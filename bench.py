@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs on local[$SPARK_GRAFT_CPUS] (default: all cores) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized through the ``noop`` sink so the full physical
+plan executes (scan → shuffle → agg) without paying collect/serialization
+or disk-write costs — the measurement is engine time, not driver I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataframework_spark.registry import all_queries  # noqa: E402
+from dataframework_spark.session import get_spark  # noqa: E402
+
+# Headline subset: one representative per operator family (agg, multi-join,
+# window, sessionization, dedup, similarity, text). BENCH_ALL=1 runs the
+# full registry.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "window_topk_per_group",
+    "window_running_sum",
+    "events_sessionize",
+    "agg_count_distinct",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or (os.cpu_count() or 4)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="dfx-bench", cpus=cpus)
+    specs = all_queries()
+    names = [n for n in (specs if os.environ.get("BENCH_ALL") else HEADLINE) if n in specs]
+
+    # JVM/codegen warmup on a trivial plan so q1 isn't charged startup cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = specs[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

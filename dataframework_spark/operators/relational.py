@@ -1,0 +1,934 @@
+"""Relational core: scans, filters, joins, aggregations, windows, set ops,
+scalar functions, subqueries — the query surface of SURVEY.md §2.3/2.4/2.9.
+
+The reference has **no** joins, windows, sorts, or set ops (verified in
+SURVEY.md §2.3/§2.9 by full read of ``/root/reference/DFW/*.py``); this
+module supplies them Spark-first.  Every query here is a declarative
+DataFrame plan — Catalyst gets full freedom for pushdown, join reordering,
+and AQE runtime re-planning.
+
+Scale notes (these hold at 100 TB, not just at the test scale factors):
+
+* Dimension joins (region, nation, and small filtered dims) are explicitly
+  ``broadcast()``-hinted: no shuffle of the fact table for those joins.
+* Fact-fact joins (orders ⋈ lineitem) shuffle on the join key — that is
+  the right plan; AQE handles skew splitting.
+* Aggregations rely on Spark's automatic partial (map-side) aggregation;
+  high-cardinality `groupBy` keys shuffle once.
+* Filters and projections are expressed before joins/aggregates so they
+  reach the parquet scan (verify with ``df.explain("formatted")`` —
+  ``PushedFilters`` / narrow ``ReadSchema``).
+* Every float output is rounded identically in the Spark plan and the
+  DuckDB oracle so summation-order noise cannot flip value hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataframework_spark.catalog import load_table
+from dataframework_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship aggregation (TPC-H Q1 style): scan → filter → groupBy → multi-agg
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+      ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+      ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
+      ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
+      ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+      COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report.
+
+    One wide scan with a pushed filter, then a single shuffle into a
+    4-group aggregate; partial aggregation makes the shuffle tiny
+    regardless of input size — the canonical 100 TB-safe plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter + global agg: every predicate is parquet-pushable, the
+    aggregate is a single scalar — at scale this is scan-bound, as it
+    should be (no shuffle beyond the final 1-row reduce)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY.md §2.3 — absent in reference, required by north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l_orderkey,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      CAST(o_orderdate AS DATE)                         AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact-dim join + agg + deterministic top-k.
+
+    customer (filtered on segment) is small → AQE converts its join to
+    broadcast; orders⋈lineitem shuffles on orderkey.  Top-k orders by the
+    *rounded* revenue with key tiebreak so the limit is stable across
+    engines and summation orders.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table join: the two constant-size dims (nation, region) and the
+    small supplier table are broadcast — only orders⋈lineitem⋈customer
+    shuffles.  At 100 TB that keeps the shuffle volume proportional to the
+    fact tables alone."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_inner_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*)                    AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + agg; customer side broadcast-eligible."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_left_null_handling",
+    oracle="""
+    SELECT c_custkey,
+           COUNT(o_orderkey)                         AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2)  AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders; COUNT(col)
+    skips the NULLs produced by non-matches in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers that never ordered."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "join_cross_small",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two constant-size dims (5 x 25) — the only
+    place a cross join is ever acceptable; both sides broadcastable."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT p.p_partkey AS p_partkey, COUNT(*) AS n_cheaper_parts
+    FROM part p
+    JOIN part q ON q.p_brand = p.p_brand
+               AND q.p_retailprice < p.p_retailprice
+    GROUP BY p.p_partkey
+    """,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range) join: equi component on brand keeps it a hash join
+    with a residual range predicate — never a full nested loop. Counts
+    strictly-cheaper same-brand parts."""
+    p = load_table(spark, sf_dir, "part").alias("p")
+    q = load_table(spark, sf_dir, "part").alias("q")
+    return (
+        p.join(
+            q,
+            (F.col("q.p_brand") == F.col("p.p_brand"))
+            & (F.col("q.p_retailprice") < F.col("p.p_retailprice")),
+        )
+        .groupBy(F.col("p.p_partkey").alias("p_partkey"))
+        .agg(F.count(F.lit(1)).alias("n_cheaper_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY.md §2.4/§2.9: distinct, rollup, cube, grouping sets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_multi_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*)                        AS n,
+           ROUND(MIN(l_extendedprice), 2)  AS min_price,
+           ROUND(MAX(l_extendedprice), 2)  AS max_price,
+           ROUND(AVG(l_extendedprice), 2)  AS avg_price,
+           ROUND(STDDEV(l_extendedprice), 2) AS std_price,
+           ROUND(SUM(l_quantity), 2)       AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_multi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate over one grouping; all partial-aggregatable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.stddev("l_extendedprice"), 2).alias("std_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi distinct-aggregate (expand-based plan in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None)  # HLL sketches differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the scale path for distinct
+    counts — no exact-distinct shuffle. Sketch values are engine-specific,
+    so the driver does a rows-only check (exactness asserted separately in
+    unit tests against the exact count within rsd)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grand total + per-flag + per-flag/status)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping combinations)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint single-column groupings)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("_gs_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        FROM _gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY.md §2.9 — ranking, frames, lag/lead, ntile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer) t
+    WHERE rnk <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — the distributed top-k idiom (no
+    global sort; each group ranks within its shuffle partition)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame; frame order is made
+    total (date, then key) so results are deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(value - LAG(value)  OVER w, 2) AS delta_prev,
+           ROUND(LEAD(value) OVER w - value, 2) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas over a per-user event timeline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           RANK()       OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS size_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS size_dense_rank
+    FROM part
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank with real ties (integer p_size)."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).alias("size_rank"),
+        F.dense_rank().over(w).alias("size_dense_rank"),
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles over a total order (tiebreak on key). This is the
+    same primitive that expresses the reference's contiguous CV folds
+    (SURVEY.md §2.5 T3, ``preprocess.py:185-191``)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select("c_custkey", F.ntile(4).over(w).alias("balance_quartile"))
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+    FROM events
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame (3-event moving average per user).
+
+    Rounded at 4 dp, not 2: an avg of two 2-decimal values lands exactly
+    on a .xx5 midpoint where Spark (HALF_UP on decimal digits) and DuckDB
+    (scale-multiply) disagree; 4 dp keeps every result off the boundary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 4).alias("moving_avg3")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark executes ORDER BY + LIMIT as TakeOrderedAndProject
+    (per-partition heaps, no full sort/shuffle) — the plan that survives
+    any scale. Tiebreak on key for cross-engine determinism."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setops_nations",
+    oracle="""
+    SELECT 'both' AS side, k FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS side, k FROM (
+      SELECT c_nationkey AS k FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'all' AS side, k FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION
+      SELECT s_nationkey FROM supplier)
+    """,
+)
+def setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct), INTERSECT, EXCEPT in one result, tagged by side."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    both = cust.intersect(supp).select(F.lit("both").alias("side"), "k")
+    cust_only = cust.subtract(supp).select(F.lit("customer_only").alias("side"), "k")
+    union_all = cust.union(supp).distinct().select(F.lit("all").alias("side"), "k")
+    return both.unionByName(cust_only).unionByName(union_all)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: string / date / math / conditional / JSON / regex
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                       AS name_upper,
+           LENGTH(c_name)                      AS name_len,
+           SUBSTR(c_name, 1, 8)                AS name_prefix,
+           CONCAT(c_mktsegment, ':', c_name)   AS tagged,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short
+    FROM customer
+    WHERE c_name LIKE 'Customer%'
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: upper/length/substr/concat/replace/LIKE."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.where(F.col("c_name").like("Customer%")).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("", F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("tagged"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_short"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT)          AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT)         AS order_month,
+           CAST(QUARTER(o_orderdate) AS BIGINT)       AS order_quarter,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)    AS due_date
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface: year/month/quarter/date_trunc/interval
+    arithmetic; outputs cast to DATE/BIGINT so both engines' schemas agree."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast("date").alias("due_date"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(ABS(p_retailprice - 1000), 2)        AS abs_delta,
+           CAST(CEIL(p_retailprice) AS BIGINT)        AS price_ceil,
+           CAST(FLOOR(p_retailprice) AS BIGINT)       AS price_floor,
+           ROUND(SQRT(p_retailprice), 4)              AS price_sqrt,
+           ROUND(LN(p_retailprice), 4)                AS price_ln,
+           ROUND(POWER(p_size, 2), 1)                 AS size_sq,
+           p_size % 5                                 AS size_mod
+    FROM part
+    WHERE p_retailprice > 0
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface; ceil/floor cast to BIGINT (Spark returns LONG,
+    DuckDB DOUBLE — the cast unifies schemas)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.where(F.col("p_retailprice") > 0).select(
+        "p_partkey",
+        F.round(F.abs(F.col("p_retailprice") - 1000), 2).alias("abs_delta"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 4).alias("price_ln"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        (F.col("p_size") % 5).alias("size_mod"),
+    )
+
+
+@register(
+    "scalar_case_expr",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 8000 THEN 'mid'
+                ELSE 'high' END AS balance_band,
+           COUNT(*) AS n,
+           ROUND(AVG(c_acctbal), 2) AS avg_bal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def scalar_case_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN banding + aggregate over the derived column."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 8000, "mid")
+        .otherwise("high")
+        .alias("balance_band")
+    )
+    return cust.groupBy(band).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+
+
+@register(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props payload column
+    (get_json_object — JVM-side, codegen-friendly), then aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+    )
+
+
+@register(
+    "scalar_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)', 1)      AS type_first_word,
+           regexp_matches(p_name, 'part_1')           AS has_part1,
+           regexp_replace(p_brand, 'Brand#', 'B')     AS brand_short
+    FROM part
+    """,
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract / boolean match / replace."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("type_first_word"),
+        F.col("p_name").rlike("part_1").alias("has_part1"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_scalar_agg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2) * 3 FROM orders)
+    """,
+)
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery as a filter threshold.  The average is
+    rounded before use so the cut point is bit-identical across engines
+    (raw cross-engine avg differs in the last ulps)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM _sq_orders
+        WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2) * 3 FROM _sq_orders)
+        """
+    )
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+    SELECT c_custkey, c_acctbal, c_nationkey
+    FROM customer c
+    WHERE c_acctbal > (SELECT ROUND(AVG(c2.c_acctbal), 2) + 2000
+                       FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into an
+    aggregate + join — no per-row re-execution at scale)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("_sq_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal, c_nationkey
+        FROM _sq_customer c
+        WHERE c_acctbal > (SELECT ROUND(AVG(c2.c_acctbal), 2) + 2000
+                           FROM _sq_customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization + time-window aggregation (batch form; streaming
+# equivalents live in dataframework_spark/streaming/)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-minute inactivity gap) — the
+    batch twin of the streaming session_window operator.  One shuffle on
+    user_id serves both window passes and the final aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"), 1
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (batch form of the streaming
+    ``window(ts, '1 hour')`` operator); window start emitted as a string
+    so both engines agree on schema."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )

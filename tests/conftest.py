@@ -1,0 +1,39 @@
+"""Shared fixtures: one SparkSession and one DuckDB connection per test run."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dataframework_spark.catalog import TABLES, table_path
+from dataframework_spark.session import get_spark
+
+# sf0.01 is what the driver's correctness gate uses; override for speed.
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="dfx-tests", cpus=os.cpu_count() or 4)
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TABLES:
+        path = table_path(ORACLE_SF_DIR, name)
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return ORACLE_SF_DIR
