@@ -1,12 +1,487 @@
 """Reference ML-preprocessing semantics (SURVEY.md §2.5-2.7) as Spark plans.
 
-This is the part of the engine that reproduces Alrash/DataFramework's
-signature operators — train/test split plans, CV fold assignment,
-per-class centering, bias extension, hyperparameter grids — re-expressed
-as window functions and aggregates over long-format DataFrames (one row
-per sample, explicit ``label`` column) instead of per-class NumPy arrays.
+Reproduces Alrash/DataFramework's signature operators on long-format
+DataFrames (one row per sample, explicit ``label`` column) instead of
+per-class NumPy object arrays (``/root/reference/DFW/preprocess.py:414-422``):
 
-Filled in incrementally; see functions below for file:line citations.
+* train/test split plans       — ``preprocess.py:155-193`` (T1)
+* CV folds, linspace regime    — ``preprocess.py:185-191`` (T3)
+* CV folds, rotation regime    — ``preprocess.py:179-184`` (T2)
+* per-feature centering        — ``preprocess.py:76-84``   (A1/M3)
+* bias extension               — ``preprocess.py:54-56``   (M2)
+* hyperparameter grid          — ``preprocess.py:489-497`` (G1)
+* seeded permutation selection — ``preprocess.py:53``      (T6)
+* the composed generator       — ``preprocess.py:44-89``   (M1)
+
+Everything is window functions + aggregates — no UDFs, no collect —
+so the same plan that passes the sf0.01 oracle runs unchanged on a
+1000-executor cluster: splits/folds are one shuffle on ``label``;
+centering is a tiny means table broadcast back onto the data.
+
+Documented divergences from the reference (intended semantics kept):
+
+* fractional train sizes use ROUND half-up in both engines; the reference
+  uses Python ``round`` (banker's), which differs only when ``n*f`` is an
+  exact .5 — unreachable for non-pathological fractions in binary floats.
+* fold indices are emitted per-sample (by key) rather than as positions in
+  a concatenated global array (``preprocess.py:128-136``) — the flat-array
+  offset bookkeeping is an artifact of the NumPy layout, not a semantic.
+* the ``labeled`` strip quirk (both branches drop the last row,
+  ``preprocess.py:422``) is NOT reproduced; we implement the intended
+  behavior (no silent row drop).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataframework_spark.catalog import load_table
+from dataframework_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Library API (reusable transforms)
+# ---------------------------------------------------------------------------
+
+
+def seeded_order(*cols: str | Column, seed: int = 42) -> Column:
+    """Deterministic pseudo-random sort key (reference T6, ``preprocess.py:53``).
+
+    The reference replays experiments by storing permutation matrices in the
+    ``.mat`` file; at scale we recompute the ordering from a seeded hash of
+    the row key — reproducible, shuffle-free of stored state, and a new
+    ``seed`` plays the role of the replication index ``no``.
+    """
+    return F.xxhash64(*cols, F.lit(seed))
+
+
+def _train_size_expr(n: Column, train_setting: float | int, cv: int) -> Column:
+    """Per-class train size, reference T1 rules (``preprocess.py:162-173``):
+    ``-1`` → all; fraction → round(n*f); int → min(t, n); any result below
+    ``cv`` is clamped up to ``min(cv, n)``."""
+    if train_setting == -1:
+        return n
+    if isinstance(train_setting, bool) or not isinstance(train_setting, (int, float)):
+        raise ValueError('"train" setting must be -1, a fraction in (0,1), or a positive int')
+    if 0 < train_setting < 1:
+        ts = F.round(n * F.lit(float(train_setting)), 0).cast("bigint")
+        return F.when(ts < cv, F.least(n, F.lit(cv).cast("bigint"))).otherwise(ts)
+    if isinstance(train_setting, int) and train_setting >= 1:
+        ts = F.least(F.lit(train_setting).cast("bigint"), n)
+        return F.when(ts < cv, F.least(F.lit(cv).cast("bigint"), n)).otherwise(ts)
+    raise ValueError('"train" setting must be -1, a fraction in (0,1), or a positive int')
+
+
+def train_test_split(
+    df: DataFrame,
+    label_col: str,
+    order_by: list[str | Column],
+    train_setting: float | int = -1,
+    cv: int = 5,
+) -> DataFrame:
+    """Add split-plan columns: ``_n`` (class size), ``_rn`` (1-based rank
+    within class), ``_train_size``, ``is_train`` (1/0).
+
+    Train = first ``train_size`` samples in ``order_by`` order, test = rest
+    (``preprocess.py:176``).  Pass ``seeded_order(pk)`` in ``order_by`` for
+    a randomized-but-reproducible split.  One shuffle on ``label_col``.
+    """
+    w_count = Window.partitionBy(label_col)
+    w_rank = Window.partitionBy(label_col).orderBy(*order_by)
+    out = (
+        df.withColumn("_n", F.count(F.lit(1)).over(w_count))
+        .withColumn("_rn", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn("_train_size", _train_size_expr(F.col("_n"), train_setting, cv))
+    )
+    return out.withColumn(
+        "is_train", (F.col("_rn") <= F.col("_train_size")).cast("int")
+    )
+
+
+def assign_folds(split_df: DataFrame, cv: int) -> DataFrame:
+    """Linspace-regime fold id for train rows (reference T3,
+    ``preprocess.py:185-191``).
+
+    The reference computes contiguous fold boundaries
+    ``floor(linspace(0, n, cv+1))``; for 0-based position ``idx`` in the
+    train segment that is exactly ``fold = ((idx+1)*cv - 1) div n`` in pure
+    integer arithmetic (worked examples ``preprocess.py:186-187`` are the
+    golden tests).  Test rows get NULL.  Requires ``train_test_split``
+    columns; only valid when ``train_size >= cv`` (else see ``cv_plan``).
+    """
+    fold = ((F.col("_rn") * cv - F.lit(1)) / F.col("_train_size")).cast("bigint")
+    return split_df.withColumn(
+        "fold", F.when(F.col("is_train") == 1, fold).otherwise(F.lit(None).cast("bigint"))
+    )
+
+
+def cv_plan(split_df: DataFrame, cv: int) -> DataFrame:
+    """General exploded CV plan: one row per (sample, fold) with a
+    train/test role — covers BOTH reference regimes (``preprocess.py:179-191``):
+
+    * ``train_size >= cv`` → contiguous linspace folds (T3): the sample is
+      the test set of its own fold, train elsewhere;
+    * ``train_size <  cv`` → rotating leave-one-out (T2): fold ``i`` tests
+      sample ``i mod train_size`` (deque rotation), trains on the rest —
+      samples repeat across folds, which is why this regime cannot be a
+      single fold column.
+
+    Only train rows participate (folds slice the train segment,
+    ``preprocess.py:68-74``).
+    """
+    folds = F.explode(F.sequence(F.lit(0), F.lit(cv - 1))).alias("fold")
+    idx = F.col("_rn") - 1  # 0-based position within the train segment
+    lin_fold = ((F.col("_rn") * cv - F.lit(1)) / F.col("_train_size")).cast("bigint")
+    role = (
+        F.when(
+            F.col("_train_size") < cv,
+            F.when(idx == F.col("fold") % F.col("_train_size"), "test").otherwise("train"),
+        )
+        .otherwise(F.when(lin_fold == F.col("fold"), "test").otherwise("train"))
+        .alias("role")
+    )
+    return (
+        split_df.where(F.col("is_train") == 1)
+        .select("*", folds)
+        .withColumn("fold", F.col("fold").cast("bigint"))
+        .select("*", role)
+    )
+
+
+def center(
+    df: DataFrame,
+    value_cols: list[str],
+    train_col: str = "is_train",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Fit/transform mean-centering (reference A1/M3, ``preprocess.py:76-84``):
+    per-feature means over the TRAIN partition only, subtracted from train
+    and test alike.
+
+    The means table is one tiny row — broadcast back with a cross join, so
+    at scale this is a map-side subtract, never a wide shuffle.  Means are
+    rounded to ``ndigits`` before subtraction so the centered values are
+    bit-identical across engines (raw cross-engine avgs differ in last ulps).
+    """
+    means = df.where(F.col(train_col) == 1).agg(
+        *[F.round(F.avg(c), ndigits).alias(f"_mean_{c}") for c in value_cols]
+    )
+    out = df.crossJoin(F.broadcast(means))
+    for c in value_cols:
+        out = out.withColumn(f"{c}_centered", F.col(c) - F.col(f"_mean_{c}"))
+    return out.drop(*[f"_mean_{c}" for c in value_cols])
+
+
+def extend_bias(df: DataFrame, features_col: str | None = None) -> DataFrame:
+    """Bias extension (reference M2, ``preprocess.py:54-56``): append a
+    constant-1 feature — as a scalar ``bias`` column, and appended to the
+    feature vector when ``features_col`` is an array column."""
+    out = df.withColumn("bias", F.lit(1.0))
+    if features_col:
+        out = out.withColumn(
+            features_col, F.concat(F.col(features_col), F.array(F.lit(1.0)))
+        )
+    return out
+
+
+def param_grid(spark: SparkSession, grid: dict[str, list]) -> DataFrame:
+    """Hyperparameter Cartesian product (reference G1,
+    ``preprocess.py:489-497``): the reference builds a ``(∏len_i × k)``
+    matrix with iterated ``np.kron``; here it is a chain of cross joins of
+    single-column DataFrames — the natural distributed form (and what
+    Spark ML's ``ParamGridBuilder`` produces for MLlib)."""
+    out: DataFrame | None = None
+    for name, values in grid.items():
+        # One-partition literal explode, NOT createDataFrame+crossJoin of
+        # multi-partition sides: cartesian task counts multiply per join
+        # (32^k empty tasks on local[32]) while this stays a single task.
+        col = spark.range(1).select(
+            F.explode(F.array(*[F.lit(v) for v in values])).alias(name)
+        )
+        out = col if out is None else out.crossJoin(col)
+    if out is None:
+        raise ValueError("empty grid")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Registered oracle-checked queries (embeddings = the long-format
+# per-class fixture: vec_id key, label class, 64-dim float array)
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL_CTE = """
+    WITH split AS (
+      SELECT vec_id, label,
+             COUNT(*)     OVER (PARTITION BY label)                    AS n,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id)    AS rn
+      FROM embeddings),
+    sized AS (
+      SELECT vec_id, label, n, rn,
+             CASE WHEN CAST(ROUND(n * 0.7) AS BIGINT) < 5
+                  THEN LEAST(n, 5)
+                  ELSE CAST(ROUND(n * 0.7) AS BIGINT) END AS train_size
+      FROM split)
+"""
+
+
+@register(
+    "ml_train_test_split",
+    oracle=_SPLIT_SQL_CTE
+    + """
+    SELECT vec_id, label,
+           CAST(rn <= train_size AS INT) AS is_train
+    FROM sized
+    """,
+)
+def ml_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference T1 split plan (``preprocess.py:155-193``) on the
+    embeddings table: per-label deterministic order by key, train fraction
+    0.7, cv clamp 5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = train_test_split(emb, "label", ["vec_id"], train_setting=0.7, cv=5)
+    return split.select("vec_id", "label", "is_train")
+
+
+@register(
+    "ml_cv_folds",
+    oracle=_SPLIT_SQL_CTE
+    + """
+    SELECT vec_id, label, (rn * 5 - 1) // train_size AS fold
+    FROM sized
+    WHERE rn <= train_size
+    """,
+)
+def ml_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference T3 contiguous linspace folds (``preprocess.py:185-191``)
+    over the train segment; integer-exact boundary parity with the
+    reference's ``floor(linspace(...))`` (golden examples
+    ``preprocess.py:186-187`` are unit-tested)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = train_test_split(emb, "label", ["vec_id"], train_setting=0.7, cv=5)
+    return assign_folds(split, cv=5).where(F.col("is_train") == 1).select(
+        "vec_id", "label", "fold"
+    )
+
+
+@register(
+    "ml_cv_plan_rotation",
+    oracle="""
+    WITH small AS (
+      SELECT vec_id, label,
+             COUNT(*)     OVER (PARTITION BY label)                 AS train_size,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      FROM embeddings WHERE vec_id < 12)
+    SELECT label, f.fold AS fold, vec_id,
+           CASE WHEN train_size < 5
+                THEN CASE WHEN rn - 1 = f.fold % train_size THEN 'test' ELSE 'train' END
+                ELSE CASE WHEN (rn * 5 - 1) // train_size = f.fold THEN 'test' ELSE 'train' END
+           END AS role
+    FROM small, (SELECT CAST(range AS BIGINT) AS fold FROM range(5)) f
+    """,
+)
+def ml_cv_plan_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference T2 rotating leave-one-out regime (``preprocess.py:179-184``):
+    with fewer train samples than folds, fold ``i`` tests sample
+    ``i mod train_size`` and trains on the rest.  Exercised on a small
+    key-range slice so classes genuinely have n < cv."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 12)
+    split = train_test_split(emb, "label", ["vec_id"], train_setting=-1, cv=5)
+    return cv_plan(split, cv=5).select("label", "fold", "vec_id", "role")
+
+
+@register(
+    "ml_center_scalar",
+    oracle="""
+    WITH means AS (
+      SELECT c_mktsegment, ROUND(AVG(c_acctbal), 4) AS seg_mean
+      FROM customer GROUP BY c_mktsegment)
+    SELECT c_custkey, c.c_mktsegment AS c_mktsegment,
+           ROUND(c_acctbal - seg_mean, 4) AS bal_centered
+    FROM customer c JOIN means m ON c.c_mktsegment = m.c_mktsegment
+    """,
+)
+def ml_center_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mean-centering (reference A1 pattern) on a scalar column:
+    group means are a tiny aggregate broadcast back onto the fact rows —
+    the scale-safe shape of ``x - mean(x)``."""
+    cust = load_table(spark, sf_dir, "customer")
+    means = cust.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 4).alias("seg_mean")
+    )
+    return (
+        cust.join(F.broadcast(means), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") - F.col("seg_mean"), 4).alias("bal_centered"),
+        )
+    )
+
+
+@register(
+    "ml_center_embeddings",
+    oracle=_SPLIT_SQL_CTE
+    + """,
+    exploded AS (
+      SELECT s.vec_id AS vec_id, CAST(rn <= train_size AS INT) AS is_train,
+             CAST(generate_subscripts(e.embedding, 1) - 1 AS BIGINT) AS pos,
+             CAST(unnest(e.embedding) AS DOUBLE) AS val
+      FROM sized s JOIN embeddings e ON s.vec_id = e.vec_id),
+    means AS (
+      SELECT pos, ROUND(AVG(val), 6) AS dim_mean
+      FROM exploded WHERE is_train = 1 GROUP BY pos)
+    SELECT e.vec_id AS vec_id, e.pos AS pos, e.is_train AS is_train,
+           ROUND(e.val - m.dim_mean, 4) AS val_centered
+    FROM exploded e JOIN means m ON e.pos = m.pos
+    WHERE e.pos < 4
+    """,
+)
+def ml_center_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's fit/transform centering (``preprocess.py:76-84``) on
+    real feature vectors: per-dimension means over TRAIN rows only,
+    subtracted from train and test alike.
+
+    posexplode keeps this expression-only (no UDF); the means table (one
+    row per dimension) broadcasts back.  Output restricted to the first 4
+    dims to keep the oracle result compact; the plan is dimension-count
+    agnostic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = train_test_split(emb, "label", ["vec_id"], train_setting=0.7, cv=5)
+    exploded = split.select(
+        "vec_id",
+        "is_train",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    means = (
+        exploded.where(F.col("is_train") == 1)
+        .groupBy("pos")
+        .agg(F.round(F.avg("val"), 6).alias("dim_mean"))
+    )
+    return (
+        exploded.join(F.broadcast(means), "pos")
+        .where(F.col("pos") < 4)
+        .select(
+            "vec_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            "is_train",
+            F.round(F.col("val") - F.col("dim_mean"), 4).alias("val_centered"),
+        )
+    )
+
+
+@register(
+    "ml_extend_bias",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) + 1 AS BIGINT)      AS n_features,
+           CAST(1.0 AS DOUBLE)                     AS bias
+    FROM embeddings
+    """,
+)
+def ml_extend_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias extension (reference M2, ``preprocess.py:54-56``): append a
+    constant-1 feature to every sample vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    extended = extend_bias(emb, features_col="embedding")
+    return extended.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("n_features"),
+        "bias",
+    )
+
+
+@register(
+    "ml_param_grid",
+    oracle="""
+    SELECT l.lmd AS lmd, g.gamma AS gamma, k.kernel AS kernel
+    FROM (VALUES (0.001), (0.01), (0.1), (1.0)) l(lmd)
+    CROSS JOIN (VALUES (0.5), (1.0), (2.0)) g(gamma)
+    CROSS JOIN (VALUES ('linear'), ('rbf')) k(kernel)
+    """,
+)
+def ml_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter grid (reference G1, ``preprocess.py:489-497``):
+    Cartesian product 4 x 3 x 2 = 24 combinations via chained cross joins."""
+    return param_grid(
+        spark,
+        {
+            "lmd": [0.001, 0.01, 0.1, 1.0],
+            "gamma": [0.5, 1.0, 2.0],
+            "kernel": ["linear", "rbf"],
+        },
+    )
+
+
+@register(
+    "ml_class_counts",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_samples,
+           (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM embeddings) AS n_classes
+    FROM embeddings GROUP BY label
+    """,
+)
+def ml_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class count + per-class sample counts (reference A2/A3,
+    ``preprocess.py:120,145-153``) — the statistics that drive split sizing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_samples"))
+    n_classes = emb.agg(F.countDistinct("label").alias("n_classes"))
+    return counts.crossJoin(F.broadcast(n_classes))
+
+
+@register(
+    "ml_pipeline_generator",
+    oracle=_SPLIT_SQL_CTE
+    + """,
+    labeled AS (
+      SELECT s.vec_id AS vec_id, s.label AS label, rn, train_size,
+             CAST(rn <= train_size AS INT) AS is_train,
+             CAST(e.embedding[1] AS DOUBLE) AS x0
+      FROM sized s JOIN embeddings e ON s.vec_id = e.vec_id),
+    means AS (
+      SELECT ROUND(AVG(x0), 6) AS mean_x0 FROM labeled WHERE is_train = 1)
+    SELECT vec_id, label, is_train,
+           CASE WHEN is_train = 1 THEN (rn * 5 - 1) // train_size END AS fold,
+           ROUND(x0 - mean_x0, 4) AS x0_centered,
+           CAST(1.0 AS DOUBLE) AS bias
+    FROM labeled, means
+    """,
+)
+def ml_pipeline_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's composed ``generator`` (M1, ``preprocess.py:44-89``)
+    end-to-end: order → split (0.7, cv=5) → fold assignment → bias
+    extension → train-mean centering, as ONE lazy plan.  The reference
+    materializes four arrays eagerly; here the whole chain is a single
+    DataFrame Catalyst can pipeline (no transpose — row-major throughout,
+    SURVEY.md §2.6 M7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = train_test_split(emb, "label", ["vec_id"], train_setting=0.7, cv=5)
+    folded = assign_folds(split, cv=5)
+    biased = extend_bias(folded).withColumn(
+        "x0", F.element_at(F.col("embedding").cast("array<double>"), 1)
+    )
+    centered = center(biased, ["x0"], ndigits=6)
+    return centered.select(
+        "vec_id",
+        "label",
+        "is_train",
+        "fold",
+        F.round("x0_centered", 4).alias("x0_centered"),
+        "bias",
+    )
+
+
+@register("ml_seeded_permutation", oracle=None)  # hash functions are engine-specific
+def ml_seeded_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded permutation replicate (reference T6, ``preprocess.py:53``):
+    the stored ``r[k][no, :]`` permutation matrix becomes a recomputed
+    ``xxhash64(key, seed=no)`` ordering — deterministic across runs and
+    cluster sizes, with zero stored state.  Engine-specific hash ⇒ driver
+    rows-only check; determinism itself is unit-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(seeded_order("vec_id", seed=7), "vec_id")
+    return emb.select(
+        "vec_id", "label", F.row_number().over(w).cast("bigint").alias("perm_pos")
+    )
