@@ -1,3 +1,241 @@
-"""Similarity search over embedding columns. SURVEY.md §2.10."""
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.10).
+
+No reference counterpart (Alrash/DataFramework stores dense matrices but
+never compares rows — SURVEY.md §2.9).  Three tiers, mirroring how an ANN
+service is actually built:
+
+* ``sim_cosine_topk``   — brute-force exact top-k: the correctness anchor.
+* ``sim_lsh_topk``      — random-hyperplane LSH buckets, search within
+  bucket: the sub-linear candidate path.
+* ``sim_ivf_topk``      — IVF-style coarse quantization (assign to nearest
+  centroid, search own cell): the partition-pruned path.
+
+Scale design: all vector math is double-precision ``zip_with``/
+``aggregate`` expressions inside whole-stage codegen — no UDFs, no
+``collect``.  Query sets are broadcast against the corpus, so the corpus
+side never shuffles for the join; ranking keys are *rounded* cosines with
+id tiebreaks so both engines produce identical top-k sets (float-noise-
+proof ordering, SURVEY.md §7).
+
+At 1000 executors: brute-force is a broadcast-nested-loop over a
+partitioned corpus (linear scan, embarrassingly parallel); LSH/IVF first
+restrict to one bucket/cell — i.e. a partition-pruning join key — which is
+the standard way to make ANN shuffle-free when the corpus is bucketed by
+cell id at write time.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataframework_spark.catalog import load_table
+from dataframework_spark.functions.arrays import as_double, cosine_sql, duck_cosine_sql
+from dataframework_spark.registry import register
+
+_DIM = 64
+_TOPK = 5
+_N_QUERIES = 8  # queries = vec_id < 8
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 1 — brute-force exact top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND({duck_cosine_sql('q.embedding', 'e.embedding')}, 4) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= {_TOPK}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for each query vector (vec_id < 8).
+
+    The query set is broadcast; the corpus is scanned once per partition
+    (no corpus shuffle).  Ranking key = (cosine rounded to 4 dp, id) —
+    deterministic across engines.  This is the recall-1.0 baseline the
+    LSH/IVF tiers are measured against."""
+    e = _corpus(spark, sf_dir)
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= _TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Tier 2 — random-hyperplane LSH buckets
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+
+
+def _plane_coef(p: int, i: int) -> int:
+    # deterministic integer "random" hyperplanes, identical in both dialects
+    return ((1 + p * 131 + i * 31) % 13) - 6
+
+
+def _bucket_sql_spark(vcol: str) -> str:
+    bits = []
+    for p in range(_N_PLANES):
+        coefs = ", ".join(f"{_plane_coef(p, i)}D" for i in range(_DIM))
+        dot = (
+            f"aggregate(zip_with({vcol}, array({coefs}), (x, y) -> x * y), "
+            "0D, (acc, v) -> acc + v)"
+        )
+        bits.append(f"(case when ({dot}) > 0 then {1 << p} else 0 end)")
+    return " + ".join(bits)
+
+
+def _bucket_sql_duck(vcol: str) -> str:
+    bits = []
+    for p in range(_N_PLANES):
+        coefs = ", ".join(str(_plane_coef(p, i)) for i in range(_DIM))
+        dot = f"list_dot_product(({vcol})::DOUBLE[], [{coefs}]::DOUBLE[])"
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@register(
+    "sim_lsh_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_bucket_sql_duck('embedding')} AS bucket
+      FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.bucket,
+             ROUND({duck_cosine_sql('q.embedding', 'e.embedding')}, 4) AS cos_sim
+      FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, bucket, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= {_TOPK}
+    """,
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 within random-hyperplane LSH buckets (8 planes → 256
+    buckets); exact cosine only on same-bucket candidates.
+
+    The hyperplanes are fixed integer vectors (seeded formula) baked into
+    both dialects, so bucket assignment is bit-identical.  At scale the
+    corpus is written bucketed/partitioned by ``bucket``, making each
+    query a partition-pruned scan of ~1/256 of the data; candidates << n
+    is what turns O(n) per query into sub-linear."""
+    e = _corpus(spark, sf_dir).withColumn("bucket", F.expr(_bucket_sql_spark("v")))
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= _TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Tier 3 — IVF coarse quantization
+# ---------------------------------------------------------------------------
+
+_N_CENTROIDS = 8
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({duck_cosine_sql('e.embedding', 'c.cv')}, 4) DESC, c.cid) AS rn
+      FROM e CROSS JOIN cent c QUALIFY rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, cid
+          FROM assigned WHERE vec_id >= 100 AND vec_id < 100 + {_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, a.cid AS cell,
+             ROUND({duck_cosine_sql('q.qv', 'a.embedding')}, 4) AS cos_sim
+      FROM q JOIN assigned a ON a.cid = q.cid AND a.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cell, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= {_TOPK}
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of 8 coarse
+    centroids (here: the first 8 vectors — a deterministic stand-in for a
+    k-means codebook), then answer queries (vec_id 100..107) from their
+    own cell only.
+
+    Assignment = broadcast(centroids) nested-loop + per-vector argmax
+    (rounded-cosine, centroid-id tiebreak — cross-engine stable).  At
+    scale the corpus is *written partitioned by cell*, so a query touches
+    one partition (nprobe=1); raising nprobe = scanning the next-nearest
+    cells.  The codebook itself would come from Spark ML k-means offline;
+    using fixed seeds keeps the operator oracle-checkable."""
+    e = _corpus(spark, sf_dir)
+    cent = e.where(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.round(F.expr(cosine_sql("v", "cv")), 4).desc(), F.col("cid")
+    )
+    assigned = (
+        e.join(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    q = assigned.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("cid").alias("qcid")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(assigned, (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cid").alias("cell"),
+            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= _TOPK)

@@ -1,3 +1,214 @@
-"""Text-analysis operators over the documents table. SURVEY.md §2.10."""
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.10).
+
+No reference counterpart: Alrash/DataFramework processes only numeric
+feature matrices (``/root/reference/DFW/preprocess.py:50``, verified in
+SURVEY.md §2.9 — its only string handling is config-path hygiene at
+``tools.py:109-131``).  These are the text-pipeline primitives a training
+-data engine needs: token statistics, quality scoring, heuristic language
+ID, term frequency, and document fingerprinting.
+
+Scale design (100 TB, not 500 rows):
+
+* Everything per-document is a narrow projection — array expressions inside
+  whole-stage codegen, zero shuffles, zero Python.
+* The only shuffles are the final small aggregations (term counts, per-
+  source rollups) — classic partial-agg-then-exchange plans.
+* No ``collect``; no UDFs.  At cluster scale these run scan-bound.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataframework_spark.catalog import load_table
+from dataframework_spark.functions.arrays import DUCK_TOKENS_SQL, TOKENS_SQL, tokens
+from dataframework_spark.registry import register
+
+# A tiny fixed English stopword list — enough for ratio features and the
+# language-ID heuristic; deterministic and identical in both dialects.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+_SW_SPARK = ", ".join(f"'{w}'" for w in STOPWORDS)
+_SW_ARRAY = "array(" + _SW_SPARK + ")"
+_SW_DUCK = "(" + _SW_SPARK + ")"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {DUCK_TOKENS_SQL} AS toks FROM documents)
+    SELECT
+      doc_id,
+      n_chars,
+      len(toks)                                                    AS n_tokens,
+      len(list_distinct(toks))                                     AS n_distinct,
+      ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4)       AS type_token_ratio,
+      ROUND(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+            / len(toks), 4)                                        AS avg_token_len,
+      ROUND(len(list_filter(toks, t -> t IN {_SW_DUCK}))::DOUBLE
+            / len(toks), 4)                                        AS stopword_ratio
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (count, diversity, length, stopwords).
+
+    One narrow projection over the scan — no shuffle at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    t = docs.withColumn("toks", tokens())
+    n = F.size("toks").cast("double")
+    return t.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.round(F.size(F.array_distinct("toks")) / n, 4).alias("type_token_ratio"),
+        F.round(
+            F.expr("aggregate(transform(toks, t -> length(t)), 0L, (acc, v) -> acc + v)") / n, 4
+        ).alias("avg_token_len"),
+        F.round(
+            F.expr(f"size(filter(toks, t -> array_contains({_SW_ARRAY}, t)))") / n, 4
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, lang, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    f AS (
+      SELECT source, lang,
+        CASE WHEN len(toks) BETWEEN 30 AND 400 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN len(list_distinct(toks))::DOUBLE / len(toks) >= 0.3 THEN 0.3 ELSE 0.0 END
+        + CASE WHEN len(list_filter(toks, t -> t IN {_SW_DUCK}))::DOUBLE / len(toks)
+               BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END AS q
+      FROM t)
+    SELECT source, lang,
+      COUNT(*)                                   AS n_docs,
+      ROUND(AVG(q), 4)                           AS avg_quality,
+      COUNT(*) FILTER (q >= 0.7)                 AS n_keep
+    FROM f GROUP BY source, lang
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length band + lexical diversity + stopword
+    band) rolled up per (source, lang) — the keep/drop decision a pretraining
+    filter makes.  Score is per-row narrow work; one small aggregate."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    t = docs.withColumn("toks", tokens())
+    n = F.size("toks").cast("double")
+    ttr = F.size(F.array_distinct("toks")) / n
+    swr = F.expr(f"size(filter(toks, t -> array_contains({_SW_ARRAY}, t)))") / n
+    q = (
+        F.when(F.size("toks").between(30, 400), F.lit(0.4)).otherwise(0.0)
+        + F.when(ttr >= 0.3, F.lit(0.3)).otherwise(0.0)
+        + F.when(swr.between(0.01, 0.5), F.lit(0.3)).otherwise(0.0)
+    )
+    return (
+        t.select("source", "lang", q.alias("q"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.count_if(F.col("q") >= 0.7).alias("n_keep"),
+        )
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT lang, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    p AS (
+      SELECT lang,
+        CASE WHEN len(list_filter(toks, t -> t IN {_SW_DUCK}))::DOUBLE / len(toks) >= 0.02
+             THEN 'en' ELSE 'und' END AS pred
+      FROM t)
+    SELECT lang, pred, COUNT(*) AS n_docs
+    FROM p GROUP BY lang, pred
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit-ratio language ID (n-gram heuristic family), confusion
+    counts vs the labeled ``lang`` column.
+
+    The synthetic corpus draws every language from one shared wordpool
+    (verified against sf0.01), so the interesting output is the confusion
+    table itself, not accuracy.  Narrow scoring + one tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents", columns=["text", "lang"])
+    t = docs.withColumn("toks", tokens())
+    swr = F.expr(f"size(filter(toks, t -> array_contains({_SW_ARRAY}, t)))") / F.size(
+        "toks"
+    ).cast("double")
+    pred = F.when(swr >= 0.02, F.lit("en")).otherwise(F.lit("und"))
+    return (
+        t.select("lang", pred.alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_term_frequency",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({DUCK_TOKENS_SQL}) AS token FROM documents)
+    SELECT token, COUNT(*) AS tf
+    FROM tok GROUP BY token
+    QUALIFY row_number() OVER (ORDER BY tf DESC, token) <= 25
+    """,
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top 25 (deterministic tiebreak on token).
+
+    explode → partial-agg → single shuffle on token; the top-k is a
+    window over the already-tiny aggregate.  At 100 TB the explode stays
+    map-side and the shuffle carries only (token, partial-count) pairs."""
+    docs = load_table(spark, sf_dir, "documents", columns=["text"])
+    tf = (
+        docs.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    return tf.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 25).drop("rn")
+
+
+# Rolling polynomial fingerprint over token features — cross-dialect
+# deterministic (pure integer math).  Production path would use
+# ``xxhash64(text)``; the polynomial form is used so the DuckDB oracle can
+# reproduce it exactly (SURVEY.md §7 "determinism over randomness").
+_FP_P = 2_147_483_647
+_FP_MUL = 1_000_003
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {DUCK_TOKENS_SQL} AS toks FROM documents)
+    SELECT
+      doc_id,
+      md5(text) AS md5_fp,
+      list_reduce(
+        list_prepend(0::BIGINT,
+          list_transform(toks, t -> (length(t) * 131 + ascii(substr(t, 1, 1)))::BIGINT)),
+        (acc, v) -> (acc * {_FP_MUL} + v) % {_FP_P}) AS roll_fp
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (md5) + order-sensitive rolling hash.
+
+    Both are narrow per-row expressions.  The rolling hash folds token
+    features left-to-right mod a prime, so reordered near-dups get
+    different prints while byte-identical docs collide — the cheap first
+    pass of an exact-dedup pipeline (see ``dedup_exact``)."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    t = docs.withColumn("toks", tokens())
+    roll = F.expr(
+        "aggregate(transform(toks, t -> cast(length(t) * 131 + ascii(substr(t, 1, 1)) as bigint)), "
+        f"cast(0 as bigint), (acc, v) -> pmod(acc * {_FP_MUL} + v, {_FP_P}))"
+    )
+    return t.select("doc_id", F.md5("text").alias("md5_fp"), roll.alias("roll_fp"))

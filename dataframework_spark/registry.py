@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
     )
     from dataframework_spark import streaming  # noqa: F401
+    from dataframework_spark.sources import io  # noqa: F401
 
     return dict(_REGISTRY)
 

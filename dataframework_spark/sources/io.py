@@ -1,0 +1,192 @@
+"""Sinks & source round-trips (SURVEY.md §2.1).
+
+The reference reads ``.mat`` files and **writes nothing** — results live
+only as in-memory arrays (``/root/reference/DFW/preprocess.py:86-89``;
+"Sinks: none", SURVEY.md §2.1).  A distributed engine's sinks are half the
+contract, so each write path here is exercised as a *round-trip query*:
+write to a scratch area → read back → aggregate, with the oracle running
+the same aggregate on the original table.  A hash match proves the format
+encoder+decoder preserved values exactly.
+
+Formats: parquet (partitioned layout — the lake layout that enables
+partition pruning), CSV (schema'd, header), JSON lines, and a
+bucket-by-key pair of tables joined without a shuffle (the co-located
+join layout for repeated fact-fact joins at 100 TB).
+
+Scratch lives under ``/root/repo/.scratch`` (gitignored); every writer
+uses ``mode("overwrite")`` so round-trips are idempotent across driver
+re-runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataframework_spark.catalog import load_table
+from dataframework_spark.registry import register
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _scratch(sf_dir: str, leaf: str) -> str:
+    # separate subtrees per scale factor so sf0.01 oracle runs never read
+    # data written by an sf0.1 bench run
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(SCRATCH, tag, leaf)
+
+
+# ---------------------------------------------------------------------------
+# Parquet, partitioned layout
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*)          AS n_docs,
+           SUM(n_chars)      AS sum_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write ``documents`` partitioned by ``lang`` (hive-style directory
+    layout), read it back, aggregate.
+
+    Partitioned layout is what makes ``WHERE lang = 'en'`` a partition-
+    pruned scan at 100 TB — the query never opens other languages' files.
+    The round-trip aggregate proves value fidelity through the
+    encoder/decoder, including the partition column that parquet stores
+    in the *path*, not the file."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch(sf_dir, "documents_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV with explicit schema
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*)                    AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders → CSV (header) → read back with an explicit schema → agg.
+
+    CSV is schemaless on disk, so the read declares the schema instead of
+    inferring it (inference = an extra full scan + type drift risk at
+    scale).  Doubles survive via full-precision default formatting."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders", columns=cols)
+    path = _scratch(sf_dir, "orders_csv")
+    orders.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
+    ).option("header", "true").csv(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON lines
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_json_roundtrip",
+    oracle="""
+    SELECT r.r_name,
+           COUNT(*)  AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation → JSON lines → read back (explicit schema) → broadcast-join
+    region → count per region.  JSONL is the interchange format for
+    document pipelines; the explicit schema avoids inference scans."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = _scratch(sf_dir, "nation_json")
+    nation.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string"
+    ).json(path)
+    region = load_table(spark, sf_dir, "region")
+    return (
+        back.join(F.broadcast(region), back.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables → co-located (shuffle-free) join
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 8
+
+
+@register(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*)                                          AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write ``lineitem`` and ``orders`` bucketed 8× by orderkey, then join
+    the bucketed tables.
+
+    Bucketing pre-shuffles ONCE at write time: both tables' files are
+    hash-partitioned by the join key, so every subsequent
+    lineitem ⋈ orders runs with **no exchange on either side** (SortMergeJoin
+    over co-located buckets).  At 100 TB, for a join repeated daily, this
+    converts the dominant shuffle into a one-time write cost.  Bucket
+    count would be sized ≈ data / (128 MB × executors) at scale."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li_tbl, ord_tbl = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    for df, tbl, key in ((li, li_tbl, "l_orderkey"), (orders, ord_tbl, "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.mode("overwrite")
+            .option("path", _scratch(sf_dir, tbl))
+            .bucketBy(_N_BUCKETS, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    lb, ob = spark.table(li_tbl), spark.table(ord_tbl)
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -1,1 +1,212 @@
-"""Structured Streaming veneer (SURVEY.md §7 Phase 4)."""
+"""Structured Streaming veneer over the ``events`` stream (SURVEY.md §7
+Phase 4).
+
+The reference is strictly batch/in-RAM (no streaming of any kind —
+SURVEY.md §2.9); these operators give the engine the streaming surface a
+modern pipeline expects: watermarked tumbling-window aggregation, session
+windows, and a custom stateful operator via ``applyInPandasWithState``.
+
+Test/driver harness shape: each query runs a real ``readStream`` →
+``writeStream`` into an in-memory sink, calls ``processAllAvailable()``,
+and returns the sink's table as a batch DataFrame — so the driver's
+oracle can hash-check streaming results against batch SQL (the streaming
+and batch semantics of a watermarked window agg are identical once all
+input is processed).
+
+Scale notes: at production scale the same plans run against Kafka/files
+with checkpointing; state stores shard by the grouping key (user_id /
+window), so state size — not throughput — is the scaling knob.  The
+watermark bounds state: windows older than (max event time − watermark)
+are finalized and evicted.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from dataframework_spark.catalog import table_path
+from dataframework_spark.registry import register
+
+_sink_counter = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ts arrives as int64
+    nanoseconds — same legacy-reader handling as the batch catalog)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # the file stream source wants a directory: stream sf_dir, glob-filtered
+    # down to the events table's file
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(stream_df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
+    """Execute a streaming plan to completion into a memory sink; return
+    the materialized result as a batch DataFrame."""
+    name = f"dfx_stream_sink_{next(_sink_counter)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# ST1 — watermarked tumbling-window aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts)      AS window_start,
+           event_type,
+           COUNT(*)                    AS n_events,
+           ROUND(SUM(value), 2)        AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows × event_type over a real file stream, with a
+    1-hour watermark for late data.
+
+    Once the stream drains, the result equals the batch hourly rollup —
+    which is exactly what the oracle checks.  State per (window, type) is
+    one partial aggregate; the watermark evicts closed windows, keeping
+    state bounded no matter how long the stream runs."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    win = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_table(win, spark)
+
+
+# ---------------------------------------------------------------------------
+# ST2 — session windows (30-minute gap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap, on a live
+    stream (``session_window`` + watermark).
+
+    The oracle replays the identical semantics in batch SQL as a classic
+    gap-and-islands query — sessions = islands of events < 30 min apart —
+    proving the streaming session state machine agrees with the
+    relational definition.  Session state shards by user_id; the
+    watermark closes (and evicts) sessions 1 hour behind the stream."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_to_table(sess, spark)
+
+
+# ---------------------------------------------------------------------------
+# ST3 — custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = "n_events bigint, sum_value double"
+_USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+
+
+def _user_totals(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running per-user totals — the minimal custom stateful operator.
+
+    Arbitrary Python state keyed by group, Arrow-batched input: the shape
+    to copy for sessionization variants, CDC upserts, or online feature
+    aggregation that windowed aggs can't express."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]})
+
+
+@register(
+    "stream_stateful_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op: per-user running totals via
+    ``applyInPandasWithState``.
+
+    After the file stream drains, running totals equal the batch per-user
+    aggregate — hash-checked by the oracle.  State is one (count, sum)
+    pair per user, sharded across the state store by user_id."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "value", "ts").withWatermark(
+        "ts", "1 hour"
+    )
+    totals = ev.groupBy("user_id").applyInPandasWithState(
+        _user_totals,
+        outputStructType=_USER_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_table(totals, spark, mode="update")
