@@ -35,8 +35,10 @@ HEADLINE = [
     "events_sessionize",
     "agg_count_distinct",
     "dedup_minhash_lsh",
-    "ann_cosine_topk",
+    "sim_cosine_topk",
     "text_quality_score",
+    "mm_decode_features",
+    "sink_bucketed_join",
 ]
 
 

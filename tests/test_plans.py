@@ -1,0 +1,88 @@
+"""Plan-quality assertions: the 100 TB safety properties, tested.
+
+Correctness says the answer is right; these say the *plan* is the one
+you'd want on a 1000-executor cluster — filters pushed into the parquet
+scan, projections pruned to the referenced columns, dimensions broadcast
+instead of shuffling the fact table, bucketed joins running without
+exchanges.  A regression here is invisible at sf0.01 and fatal at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dataframework_spark.operators.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+    q6_revenue_forecast,
+)
+from dataframework_spark.plans.explain import (
+    exchange_count,
+    has_broadcast_join,
+    plan_string,
+    pushed_filters,
+    read_schemas,
+)
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, f"shipdate filter not pushed: {pf}"
+    rs = " ".join(read_schemas(df))
+    # 7 referenced columns, not all 16 of lineitem
+    assert "l_comment" not in rs and "l_partkey" not in rs, f"no pruning: {rs}"
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    df = q6_revenue_forecast(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pf, f"{c} not pushed: {pf}"
+    rs = " ".join(read_schemas(df))
+    assert "l_extendedprice" in rs and "l_orderkey" not in rs
+
+
+def test_q3_dimension_broadcast(spark, sf_dir):
+    # customer (filtered) should broadcast; the orders⋈lineitem join may
+    # shuffle — that is the right plan shape.
+    df = q3_shipping_priority(spark, sf_dir)
+    assert has_broadcast_join(df), plan_string(df)
+
+
+def test_q5_broadcasts_region_nation(spark, sf_dir):
+    df = q5_local_supplier_volume(spark, sf_dir)
+    p = plan_string(df)
+    assert p.count("BroadcastHashJoin") >= 2, p  # region AND nation side
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """The whole point of sink_bucketed_join: after the bucketed write,
+    lineitem ⋈ orders needs NO exchange on either join side."""
+    from dataframework_spark.sources.io import sink_bucketed_join
+
+    df = sink_bucketed_join(spark, sf_dir)
+    # plan = join + final agg; the agg exchanges once on the group key, but
+    # the join inputs must not shuffle: both scans are bucket-partitioned.
+    # (At toy scale AQE may choose a broadcast join instead — equally
+    # shuffle-free; at scale, equal bucketing gives an exchange-less SMJ.)
+    p = plan_string(df, mode="simple")
+    assert p.count("Bucketed: true") == 2, f"scans not bucketed:\n{p}"
+    assert exchange_count(df) <= 1, f"bucketed join should not shuffle its inputs:\n{p}"
+
+
+def test_flagship_is_single_shuffle(spark, sf_dir):
+    """q1 = scan → partial agg → ONE exchange → final agg."""
+    df = q1_pricing_summary(spark, sf_dir)
+    assert exchange_count(df) == 1, plan_string(df)
+
+
+def test_similarity_topk_no_corpus_shuffle(spark, sf_dir):
+    """Brute-force ANN must broadcast the query set — the corpus side
+    stays where it is (only the final window ranks, on tiny scored rows)."""
+    from dataframework_spark.operators.similarity import sim_cosine_topk
+
+    df = sim_cosine_topk(spark, sf_dir)
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
