@@ -1,0 +1,269 @@
+"""Temporal joins & reshaping: as-of join, pivot/unpivot, sliding windows,
+salted skew join (SURVEY.md §2.3/§2.9 extensions).
+
+The reference has no joins at all (SURVEY.md §2.3, verified by full read);
+these are the time-series and skew-safe join forms the north star needs
+that plain equi-joins don't give:
+
+* **as-of join** — "latest prior fact" matching, the backbone of feature
+  back-filling (point-in-time-correct features for training data).
+* **pivot/unpivot** — long↔wide reshaping for feature matrices.
+* **sliding windows** — overlapping time aggregates.
+* **salted join** — the skew-mitigation pattern for hot keys, proven
+  semantically identical to the plain join by the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataframework_spark.catalog import load_table
+from dataframework_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's most recent prior signup
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the latest right row
+    with ``right_ts <= left_ts`` on the same key.
+
+    Implemented as the union + windowed ``last(ignorenulls)`` backfill
+    (SURVEY.md §2.3) rather than a range join: both sides are tagged and
+    interleaved on (key, ts); one window pass per key carries the most
+    recent right-side values forward onto left rows.  ONE shuffle on the
+    key, O(n log n) within partitions — no quadratic range-condition
+    blow-up, and skewed keys are still just one partition's sort.
+    """
+    rc = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    lt = left.select(
+        F.col(on), F.col(left_ts).alias("_ts"), F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left.columns if c not in (on, left_ts)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in rc],
+    )
+    rt = right.select(
+        F.col(on), F.col(right_ts).alias("_ts"), F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (on, left_ts)],
+        *[F.col(c).alias(f"{c}{suffix}") for c in rc],
+    )
+    # right rows sort before left rows at equal ts (ties: right visible to left)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = lt.unionByName(rt)
+    for c in rc:
+        filled = filled.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
+    filled = filled.withColumn("_asof_ts", F.last(F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True).over(w))
+    return (
+        filled.where(F.col("_is_left") == 1)
+        .drop("_is_left")
+        .withColumnRenamed("_ts", left_ts)
+    )
+
+
+@register(
+    "join_asof_events",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+    SELECT p.user_id,
+           p.ts                                   AS purchase_ts,
+           ROUND(p.value, 2)                      AS purchase_value,
+           MAX(s.ts)                              AS last_signup_ts
+    FROM p LEFT JOIN s ON s.user_id = p.user_id AND s.ts <= p.ts
+    GROUP BY p.user_id, p.ts, p.value
+    """,
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase event picks up the user's most recent
+    prior signup timestamp (point-in-time-correct feature attachment).
+
+    The oracle states the semantics as the classic inequality-join +
+    ``MAX`` formulation (O(n·m) if executed literally); the Spark plan is
+    the linear union+window form from :func:`asof_join` — same answer,
+    single shuffle.  This asymmetry is the point: declare once, pick the
+    physical strategy that survives scale."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    joined = asof_join(purchases, signups, on="user_id", right_cols=["signup_ts"])
+    return joined.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+        F.col("signup_ts_asof").alias("last_signup_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot (long ↔ wide)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "reshape_pivot",
+    oracle=f"""
+    SELECT user_id,
+      {", ".join(f"ROUND(COALESCE(SUM(value) FILTER (event_type = '{t}'), 0), 2) AS {t}_value" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-user sum of ``value`` per event type as columns.
+
+    The value list is declared explicitly, which keeps pivot a SINGLE
+    groupBy shuffle — omitting it would add a distinct-values collect
+    before planning (an extra pass over 100 TB).  Sums are left unrounded
+    here and rounded at the edge for hash stability."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "event_type", "value"])
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.coalesce(F.sum("value"), F.lit(0.0)))
+    )
+    out = wide.select(
+        "user_id", *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(f"{t}_value") for t in _EVENT_TYPES]
+    )
+    return out
+
+
+# oracle must round identically: wrap the pivot sums
+@register(
+    "reshape_unpivot",
+    oracle=f"""
+    WITH wide AS (
+      SELECT user_id,
+        {", ".join(f"COALESCE(SUM(value) FILTER (event_type = '{t}'), 0) AS {t}" for t in _EVENT_TYPES)}
+      FROM events GROUP BY user_id),
+    long AS (
+      SELECT user_id, kv.k AS event_type, kv.v AS total
+      FROM wide, LATERAL (VALUES {", ".join(f"('{t}', {t})" for t in _EVENT_TYPES)}) AS kv(k, v))
+    SELECT user_id, event_type, ROUND(total, 2) AS total
+    FROM long WHERE total > 0
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (``stack``/melt) back from the pivoted form —
+    the inverse reshape, narrow per-row work after the pivot's shuffle."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "event_type", "value"])
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.coalesce(F.sum("value"), F.lit(0.0)))
+    )
+    for t in _EVENT_TYPES:
+        wide = wide.withColumn(t, F.coalesce(F.col(t), F.lit(0.0)))
+    stack_expr = "stack({n}, {args}) as (event_type, total)".format(
+        n=len(_EVENT_TYPES), args=", ".join(f"'{t}', {t}" for t in _EVENT_TYPES)
+    )
+    return (
+        wide.select("user_id", F.expr(stack_expr))
+        .where(F.col("total") > 0)
+        .select("user_id", "event_type", F.round("total", 2).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (overlapping) time windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_sliding_hourly",
+    oracle="""
+    WITH w AS (
+      SELECT e.event_type, e.value,
+             date_trunc('hour', e.ts) - (off.o * INTERVAL 30 MINUTE)
+               + CASE WHEN minute(e.ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS window_start
+      FROM events e, (VALUES (0), (1)) AS off(o))
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def window_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in exactly
+    two windows).  ``window()`` replicates rows window-count times BEFORE
+    the shuffle — at scale the fan-out factor (width/slide) is the cost
+    knob, so keep it small and let partial aggregation shrink the shuffle.
+
+    The oracle derives the two containing window starts arithmetically —
+    same fan-out, declared relationally."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "event_type", "value"])
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted join (skew mitigation), oracle-proven equivalent to the plain join
+# ---------------------------------------------------------------------------
+
+_N_SALT = 8
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, big_key: str, small_key: str, n_salt: int = _N_SALT
+) -> DataFrame:
+    """Skew-safe equi-join: the big side gets a deterministic salt from its
+    row content; the small side is replicated ``n_salt`` times with every
+    salt value; the join key becomes (key, salt).
+
+    A hot key's rows now spread across ``n_salt`` partitions instead of
+    melting one straggler task.  Cost: small side inflates n_salt× (it is
+    small — that's why it's the replicated side).  AQE's skew-join split
+    handles moderate skew automatically; explicit salting is for the
+    pathological keys you know about (null-heavy foreign keys, celebrity
+    users)."""
+    salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(F.col(big_key)) + F.monotonically_increasing_id(), F.lit(n_salt)))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt")
+    salted_small = small.select("*", salts)
+    return salted_big.join(
+        salted_small,
+        (F.col(big_key) == F.col(small_key)) & (salted_big["_salt"] == salted_small["_salt"]),
+    ).drop("_salt")
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*)                     AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2)   AS sum_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation via explicit salting (8 salts), aggregated per
+    nation — the oracle runs the PLAIN join, proving the salted plan is
+    semantically identical (the whole point of salting: same answer,
+    different partition layout)."""
+    cust = load_table(spark, sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    nation = load_table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    joined = salted_join(cust, nation, "c_nationkey", "n_nationkey")
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )

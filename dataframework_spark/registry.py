@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        temporal,
         text,
     )
     from dataframework_spark import streaming  # noqa: F401
