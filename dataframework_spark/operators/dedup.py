@@ -38,8 +38,6 @@ from dataframework_spark.catalog import load_table
 from dataframework_spark.functions.arrays import (
     DUCK_TOKENS_SQL,
     TOKENS_SQL,
-    as_double,
-    cosine_sql,
     duck_cosine_sql,
     duck_shingles_sql,
     shingles_sql,
@@ -107,34 +105,72 @@ _JACCARD_THRESHOLD = 0.8  # the synthetic corpus plants 25 pairs at ≥ 0.9
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.8, via inverted index.
+    """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.8, via **prefix-filtered
+    inverted index** (PPJoin-family, exact — no candidate is lost).
 
-    explode(shingles) → self-join on shingle → per-pair intersection count
-    → join tiny per-doc sizes → Jaccard.  Never materializes the O(n²)
-    pair space: only docs sharing ≥ 1 shingle meet.  At 100 TB the skew
-    control is a shingle-frequency cap (drop shingles appearing in > X
-    docs — they carry no dedup signal and create hot keys); at this
-    corpus' vocabulary every shingle is informative, so no cap is applied
-    and the oracle stays exact."""
+    Two lossless pruning rules make this survive scale where the naive
+    inverted-index join (every shared shingle → a pair row) drowns in
+    common-shingle hot keys:
+
+    * **prefix filter** — order each doc's shingles globally by
+      (document-frequency, shingle), rarest first; a pair with
+      Jaccard ≥ t MUST share a shingle inside each doc's first
+      ``floor((1-t)·n) + 1`` shingles.  Candidates are generated from
+      prefixes only (~1/5 of the index at t=0.8), and prefix shingles are
+      by construction the *rarest* — hot keys never enter the join.
+    * **size band** — Jaccard ≥ t forces ``t ≤ |A|/|B| ≤ 1/t``; enforced
+      in the join condition before any counting.
+
+    Candidates then verify with an exact ``array_intersect`` on the full
+    shingle sets.  Same output as the brute formulation (the oracle *is*
+    the brute formulation), ~10× less join work at sf0.1, and the gap
+    widens with corpus size."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # A small local file scans as ONE split; shingling + the index joins
+    # are CPU-bound, so spread rows across cores first.  On a cluster the
+    # scan's own splits provide this; the repartition keeps the plan
+    # correct in both worlds (and its exchange stops Catalyst from
+    # inlining the shingle transform into downstream generators, which
+    # would re-evaluate it per exploded element).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     s = docs.withColumn("toks", tokens()).select(
         "doc_id", F.expr(shingles_sql("toks")).alias("sh")
     )
-    sizes = s.select("doc_id", F.size("sh").alias("n"))
-    inv = s.select("doc_id", F.explode("sh").alias("shingle"))
-    a, b = inv.alias("a"), inv.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    s = s.withColumn("n", F.size("sh")).cache()  # reused: index build + verification
+    inv = s.select("doc_id", "n", F.explode("sh").alias("shingle"))
+    df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length: floor((1-t)*n) + 1 smallest-df shingles per doc
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        inv.join(df_counts, "shingle")
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= F.floor(F.lit(1.0 - _JACCARD_THRESHOLD) * F.col("n")) + 1)
+        .select("doc_id", "n", "shingle")
+    ).cache()  # ~n/5 rows; both sides of the candidate self-join reuse it
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size band: t ≤ |A|/|B| ≤ 1/t, else Jaccard < t is guaranteed
+            & (F.col("a.n") >= _JACCARD_THRESHOLD * F.col("b.n"))
+            & (F.col("b.n") >= _JACCARD_THRESHOLD * F.col("a.n")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jac >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    ver = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+    )
+    jac = F.col("inter") / F.col("uni")
+    return ver.where(jac >= _JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 
 
@@ -213,6 +249,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists purely for cross-engine replay; the 100 TB variant replaces it
     with ``xxhash64(shingle)`` — no global sort, same banding math."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # single-split local scan → spread CPU-bound shingling across cores
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     s = docs.withColumn("toks", tokens()).select(
         "doc_id", F.expr(shingles_sql("toks")).alias("sh")
     )
@@ -225,6 +263,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ft = feat.join(dict_df, "shingle").select("doc_id", "tid")
     sig = ft.groupBy("doc_id").agg(*[F.expr(e) for e in _mh_exprs_spark()])
+    # one signature row per doc (tiny) — cache it, or each band arm and
+    # each side of the candidate self-join re-runs the whole explode +
+    # dictionary join + min-agg pipeline (8× at 4 bands)
+    sig = sig.cache()
     bands = None
     for i, band in enumerate(_band_cols()):
         piece = sig.select("doc_id", F.expr(band).alias("bk"), F.lit(i).alias("band"))
@@ -292,6 +334,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes shuffled near-copies collide.  Dictionary note as in
     ``dedup_minhash_lsh``: cluster-scale uses ``xxhash64(token)``."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     feat = docs.select("doc_id", F.explode(tokens()).alias("token"))
     dict_df = (
         feat.select("token")
@@ -340,18 +383,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: pairwise cosine ≥ 0.4 (threshold
     calibrated to the synthetic corpus, which has no true vector dups).
 
-    Brute-force O(n²) pair generation — the *correctness baseline*; the
-    scale path is LSH bucketing (``sim_lsh_topk``), which prunes the pair
-    space before the exact cosine.  Math is double-precision expression-
-    only (zip_with/aggregate), fully inside codegen."""
-    e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
-        "vec_id", as_double("embedding").alias("v")
-    )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = F.expr(cosine_sql("va", "vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .where(cos >= _COS_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
-    )
+    All-pairs dense cosine is BLAS territory, not expression territory:
+    Spark's higher-order lambdas (``zip_with``/``aggregate``) run
+    *interpreted* per pair — O(n²·d) interpreted ops took ~60 s at sf0.1.
+    This implementation instead:
+
+    1. L2-normalizes each vector ONCE (n·d work),
+    2. broadcasts the normalized corpus matrix to every partition,
+    3. runs an Arrow-batched ``mapInPandas`` where each partition's block
+       multiplies against the corpus via numpy ⟶ one f64 GEMM per batch
+       (~2 s at sf0.1, and each 100× data step is more GEMM, not more
+       interpretation).
+
+    Emits each pair once (vec_a < vec_b).  At 100 TB the broadcast corpus
+    no longer fits — the same kernel then runs per LSH bucket / IVF cell
+    (``sim_lsh_topk`` partitioning) with identical per-block math."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # driver-side collect builds the BROADCAST side only (same role as a
+    # broadcast join's build side) — the probe side streams distributed
+    pdf_all = e.toPandas()
+    ids = pdf_all["vec_id"].to_numpy(dtype="int64")
+    mat = np.array(pdf_all["embedding"].tolist(), dtype="float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block_pairs(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            q = np.array(pdf["embedding"].tolist(), dtype="float64")
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ b_mat.T  # one GEMM per Arrow batch
+            qi, bj = np.nonzero((sims >= _COS_THRESHOLD) & (q_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": q_ids[qi],
+                    "vec_b": b_ids[bj],
+                    "cos_sim": np.round(sims[qi, bj], 4),
+                }
+            )
+
+    return e.mapInPandas(block_pairs, schema="vec_a bigint, vec_b bigint, cos_sim double")
