@@ -1,0 +1,209 @@
+"""The engine's UDF surface: Arrow-vectorized, never row-at-a-time
+(SURVEY.md §2.9 "UDF/UDAF/UDTF").
+
+The reference has no UDF concept (users call plain Python on returned
+arrays — SURVEY.md §2.9); the engine's policy is:
+
+1. built-in expressions first (everything in ``relational.py`` etc.);
+2. ``@pandas_udf`` scalar / grouped-agg and ``applyInPandas`` grouped-map
+   when Python is genuinely needed — Arrow batches, numpy vectorization,
+   10-100× over row UDFs;
+3. row-at-a-time ``F.udf``: never (zero uses in this codebase).
+
+Each query here intentionally does something expressible in SQL so the
+DuckDB oracle hash-verifies the Arrow plumbing end-to-end (same trick as
+``mm_decode_features``); swap the body for real Python-only logic
+(tokenizers, model scoring) and the plumbing is already proven.
+
+Also here: exact interpolated percentiles and deterministic sampling —
+the remaining §2.9 checklist lines.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from dataframework_spark.catalog import load_table
+from dataframework_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Scalar pandas UDF (vectorized per-batch)
+# ---------------------------------------------------------------------------
+
+
+# NOTE: ``@pandas_udf`` resolves its return type against the active
+# SparkSession, so UDFs are built inside the query functions (the driver
+# imports this module before any session exists).
+
+
+def _log_price_score_fn(price: pd.Series, discount: pd.Series) -> pd.Series:
+    """Vectorized scalar UDF body: numpy math over whole Arrow batches."""
+    import numpy as np
+
+    return pd.Series(np.round(np.log1p(price.to_numpy() * (1.0 - discount.to_numpy())), 4))
+
+
+@register(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(AVG(ROUND(LN(1 + l_extendedprice * (1 - l_discount)), 4)), 4) AS avg_score,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_quantity < 10
+    GROUP BY l_returnflag
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``@pandas_udf`` (Arrow-batched log-score) feeding a normal
+    aggregate.  The filter still pushes to parquet — a pandas UDF in the
+    projection does not break scan pruning; it runs post-scan on batches
+    of the 3 referenced columns only."""
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_discount", "l_quantity"]
+    )
+    score_udf = pandas_udf("double")(_log_price_score_fn)  # Series→Series ⇒ SCALAR
+    return (
+        li.where(F.col("l_quantity") < 10)
+        .withColumn("score", score_udf("l_extendedprice", "l_discount"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.avg("score"), 4).alias("avg_score"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (a UDAF)
+# ---------------------------------------------------------------------------
+
+
+def _geometric_mean_fn(x: pd.Series) -> float:
+    import numpy as np
+
+    return float(np.exp(np.log(x.to_numpy()).mean()))
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(EXP(AVG(LN(l_extendedprice))), 2) AS geo_mean_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg ``@pandas_udf`` — the engine's UDAF form.  Each group's
+    column arrives as ONE pandas Series (group must fit an executor — the
+    scale constraint of custom UDAFs; high-cardinality groups are fine,
+    monster groups want the expression form the oracle shows)."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    geo_mean = pandas_udf("double")(_geometric_mean_fn)  # Series→scalar ⇒ GROUPED_AGG
+    return li.groupBy("l_returnflag").agg(
+        F.round(geo_mean("l_extendedprice"), 2).alias("geo_mean_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas (per-group transform)
+# ---------------------------------------------------------------------------
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group z-score — classic grouped-map shape (whole group as one
+    DataFrame in, transformed DataFrame out)."""
+    mu = pdf["o_totalprice"].mean()
+    sd = pdf["o_totalprice"].std(ddof=0)
+    out = pdf[["o_orderkey", "o_orderpriority"]].copy()
+    out["price_z"] = ((pdf["o_totalprice"] - mu) / sd).round(4)
+    return out
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             AVG(o_totalprice)         OVER (PARTITION BY o_orderpriority) AS mu,
+             STDDEV_POP(o_totalprice)  OVER (PARTITION BY o_orderpriority) AS sd
+      FROM orders)
+    SELECT o_orderkey, o_orderpriority,
+           ROUND((o_totalprice - mu) / sd, 4) AS price_z
+    FROM s
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandas`` grouped-map: per-priority z-score of order price.
+    One shuffle on the group key, then pure pandas per group.  The oracle
+    is the window-function formulation — which is ALSO the better plan
+    when the logic is expressible (no Python); grouped-map earns its
+    place only for genuinely imperative per-group logic."""
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    return orders.groupBy("o_orderpriority").applyInPandas(
+        _zscore_group, schema="o_orderkey bigint, o_orderpriority string, price_z double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles (exact interpolated) + deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 2)  AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``).  Exact percentile holds all group values —
+    at 100 TB switch to ``approx_percentile`` (t-digest sketch, bounded
+    memory, mergeable across partitions; see ``agg_approx_distinct`` for
+    the same sketch-vs-exact tradeoff on distinct counts)."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 2).alias(name)
+            for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ]
+    )
+
+
+@register(
+    "sample_systematic",
+    oracle="""
+    SELECT COUNT(*) AS n_sampled,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders WHERE o_orderkey % 20 = 7
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-20 sample by key residue — fully deterministic and
+    cross-engine identical (unlike ``df.sample``, whose seeded RNG is
+    engine-specific — that variant is ``sample_seeded_fraction``).  The
+    residue predicate pushes to the scan as a filter."""
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return orders.where(F.col("o_orderkey") % 20 == 7).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@register("sample_seeded_fraction", oracle=None)  # RNG is engine-specific
+def sample_seeded_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli ``df.sample`` with a fixed seed: reproducible within
+    Spark (same seed + same partitioning ⇒ same rows), but the RNG stream
+    is engine-specific, so the driver does a rows-only check.  Stratified
+    variant: ``sampleBy`` with per-label fractions."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "label"])
+    strat = emb.sampleBy("label", fractions={i: 0.2 for i in range(10)}, seed=42)
+    return strat.groupBy("label").agg(F.count(F.lit(1)).alias("n_sampled"))

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         temporal,
         text,
+        udfs,
     )
     from dataframework_spark import streaming  # noqa: F401
     from dataframework_spark.sources import io  # noqa: F401
