@@ -210,3 +210,65 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_table(totals, spark, mode="update")
+
+
+# ---------------------------------------------------------------------------
+# ST4 — multi-microbatch state accumulation (maxFilesPerTrigger=1)
+# ---------------------------------------------------------------------------
+
+_N_SPLIT_FILES = 4
+
+
+def _split_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage events as N time-ranged parquet files in scratch and stream
+    them one file per trigger — a real multi-microbatch stream, not a
+    single-batch drain.  Range-partitioning by ts makes each microbatch a
+    contiguous time slice, the shape a file-based ingestion pipeline
+    actually produces."""
+    from dataframework_spark.catalog import load_table
+    from dataframework_spark.sources.io import _scratch
+
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
+    path = _scratch(sf_dir, "events_split")
+    ev.repartitionByRange(_N_SPLIT_FILES, "ts").write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema  # plain µs timestamps now
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+
+
+@register(
+    "stream_multibatch_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_multibatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals accumulated across MULTIPLE microbatches (one file
+    per trigger): every user is updated in several batches, so state must
+    genuinely carry across triggers to match the batch oracle.
+
+    The update-mode sink holds one row per (user, update); the final
+    answer is each user's LAST update, recovered with
+    ``max(struct(n_events, ...))`` — valid because the running count is
+    strictly increasing.  This is the engine's proof that
+    ``applyInPandasWithState`` state survives batch boundaries, not just
+    a one-batch fold."""
+    ev = _split_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    totals = ev.groupBy("user_id").applyInPandasWithState(
+        _user_totals,
+        outputStructType=_USER_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    updates = _run_to_table(totals, spark, mode="update")
+    last = F.max(F.struct("n_events", "sum_value")).alias("m")
+    return (
+        updates.groupBy("user_id")
+        .agg(last)
+        .select("user_id", F.col("m.n_events").alias("n_events"), F.col("m.sum_value").alias("sum_value"))
+    )
