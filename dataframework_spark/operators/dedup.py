@@ -70,6 +70,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cluster.  This is the canonical first pass at any scale — at
     100 TB it is one scan + one digest-keyed exchange."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # regex-normalize + digest is CPU-bound; spread a single-split local
+    # scan across cores (cluster scans get this from their input splits)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
     return (
         docs.select("doc_id", fp.alias("fp"))

@@ -140,6 +140,9 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode body is a deterministic fake (see ``_fake_decode``) so the
     plumbing itself is hash-verified against the oracle."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # spread the decode across cores — one Python worker per partition, so
+    # a single-split scan would serialize the whole decode stage
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

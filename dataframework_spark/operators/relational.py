@@ -932,3 +932,43 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL face: the same engine through spark.sql over catalog views
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_face_top_nations",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(DISTINCT c.c_custkey)  AS n_customers,
+           ROUND(SUM(o.o_totalprice), 2) AS total_spend
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    ORDER BY total_spend DESC LIMIT 5
+    """,
+)
+def sql_face_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's ``spark.sql`` face: identical ANSI SQL text runs on the
+    catalog's temp views (``catalog.register_views``) and on the DuckDB
+    oracle — one query string, two engines, one hash.  Proves the view
+    layer + SQL parser path end-to-end, not just the DataFrame API."""
+    from dataframework_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               COUNT(DISTINCT c.c_custkey)   AS n_customers,
+               ROUND(SUM(o.o_totalprice), 2) AS total_spend
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        ORDER BY total_spend DESC LIMIT 5
+        """
+    )

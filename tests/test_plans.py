@@ -86,3 +86,31 @@ def test_similarity_topk_no_corpus_shuffle(spark, sf_dir):
     df = sim_cosine_topk(spark, sf_dir)
     p = plan_string(df)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_ml_split_is_single_shuffle(spark, sf_dir):
+    """Split+fold plan = one exchange on the class label (the windows for
+    count / row_number / fold all share that partitioning)."""
+    from dataframework_spark.catalog import load_table
+    from dataframework_spark.operators.ml_prep import assign_folds, train_test_split
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = assign_folds(train_test_split(emb, "label", ["vec_id"], 0.7, 5), 5)
+    assert exchange_count(df) == 1, plan_string(df, mode="simple")
+
+
+def test_ml_center_broadcasts_means(spark, sf_dir):
+    """Centering joins a ONE-ROW means table back — must be a broadcast
+    nested loop (map-side subtract), never a shuffle of the data side."""
+    from pyspark.sql import functions as F
+
+    from dataframework_spark.catalog import load_table
+    from dataframework_spark.operators.ml_prep import center, train_test_split
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "x0", F.expr("cast(embedding[0] as double)")
+    )
+    split = train_test_split(emb, "label", ["vec_id"], 0.7, 5)
+    df = center(split, ["x0"])
+    p = plan_string(df, mode="simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p

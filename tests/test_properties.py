@@ -1,0 +1,145 @@
+"""Hypothesis property tests for the pure-Python layers (config broadcast,
+split sizing, fold boundaries, grid shape).
+
+These run WITHOUT Spark: the split/fold arithmetic is mirrored in plain
+Python exactly as the window expressions compute it, and checked against
+the reference's NumPy semantics (``/root/reference/DFW/preprocess.py``)
+over randomized inputs — the properties SURVEY.md §5.4 calls for, at far
+more points than the golden vectors cover.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataframework_spark.config import ConfigError, match_and_fill, tolist
+
+# ---------------------------------------------------------------------------
+# mirrors of the engine's SQL arithmetic (kept in lockstep with
+# ml_prep._train_size_expr and ml_prep.assign_folds)
+# ---------------------------------------------------------------------------
+
+
+def train_size(n: int, setting, cv: int) -> int:
+    if setting == -1:
+        return n
+    if isinstance(setting, float) and 0 < setting < 1:
+        ts = int(round(n * setting + 1e-12))  # round-half-up like both engines
+        return min(n, cv) if ts < cv else ts
+    ts = min(int(setting), n)
+    return min(cv, n) if ts < cv else ts
+
+
+def fold_of(rn: int, train_size_: int, cv: int) -> int:
+    return (rn * cv - 1) // train_size_
+
+
+# ---------------------------------------------------------------------------
+# T1: split sizing
+# ---------------------------------------------------------------------------
+
+
+@given(
+    n=st.integers(1, 10_000),
+    cv=st.integers(1, 20),
+    frac=st.floats(0.01, 0.99),
+)
+@settings(max_examples=300, deadline=None)
+def test_fraction_split_bounds(n, cv, frac):
+    ts = train_size(n, frac, cv)
+    assert 1 <= ts <= n or (ts == min(n, cv))
+    # clamp rule: never below min(cv, n) (reference preprocess.py:162-173)
+    assert ts >= min(cv, n)
+
+
+@given(n=st.integers(1, 10_000), cv=st.integers(1, 20), t=st.integers(1, 20_000))
+@settings(max_examples=300, deadline=None)
+def test_int_split_clamps(n, cv, t):
+    ts = train_size(n, t, cv)
+    assert ts <= n and ts >= min(cv, n)
+
+
+# ---------------------------------------------------------------------------
+# T3: linspace folds — engine integer form ≡ reference floor(linspace)
+# ---------------------------------------------------------------------------
+
+
+@given(n=st.integers(1, 5_000), cv=st.integers(1, 20))
+@settings(max_examples=300, deadline=None)
+def test_fold_assignment_matches_linspace(n, cv):
+    if n < cv:
+        return  # rotation regime (T2), covered by its own golden test
+    # reference boundaries: floor(linspace(0, n, cv+1)); fold of 0-based
+    # idx = the segment containing it (preprocess.py:185-191)
+    bounds = [math.floor(i * n / cv) for i in range(cv + 1)]
+    for rn in range(1, n + 1):
+        f = fold_of(rn, n, cv)
+        idx = rn - 1
+        ref_fold = next(j for j in range(cv) if bounds[j] <= idx < bounds[j + 1])
+        assert f == ref_fold, (n, cv, rn, f, ref_fold)
+
+
+@given(n=st.integers(1, 5_000), cv=st.integers(1, 20))
+@settings(max_examples=200, deadline=None)
+def test_folds_partition_and_are_contiguous(n, cv):
+    if n < cv:
+        return
+    folds = [fold_of(rn, n, cv) for rn in range(1, n + 1)]
+    assert set(folds) == set(range(cv))  # every fold non-empty, none extra
+    assert folds == sorted(folds)  # contiguous segments
+
+
+# ---------------------------------------------------------------------------
+# C4: broadcast semantics
+# ---------------------------------------------------------------------------
+
+names_strategy = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=1, max_size=6, unique=True
+)
+
+
+@given(names=names_strategy, value=st.one_of(st.integers(), st.booleans(), st.floats(allow_nan=False)))
+@settings(max_examples=200, deadline=None)
+def test_scalar_broadcast_total(names, value):
+    out = match_and_fill(value, names)
+    assert set(out) == set(names) and all(v == value for v in out.values())
+
+
+@given(names=names_strategy, data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_positional_broadcast_requires_exact_length(names, data):
+    values = data.draw(st.lists(st.integers(), min_size=1, max_size=8))
+    if len(values) == len(names):
+        assert match_and_fill(values, names) == dict(zip(names, values))
+    else:
+        try:
+            match_and_fill(values, names, "k")
+            raised = False
+        except ConfigError:
+            raised = True
+        assert raised
+
+
+@given(names=names_strategy, default=st.integers(), data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_dict_broadcast_default_fills_gaps(names, default, data):
+    subset = data.draw(st.sets(st.sampled_from(names)))
+    value = {n: 1 for n in subset}
+    value["default"] = default
+    out = match_and_fill(value, names)
+    for n in names:
+        assert out[n] == (1 if n in subset else default)
+
+
+@given(x=st.one_of(st.integers(), st.text(), st.lists(st.integers()), st.tuples(st.integers())))
+@settings(max_examples=100, deadline=None)
+def test_tolist_always_list(x):
+    out = tolist(x)
+    assert isinstance(out, list)
+    if isinstance(x, (list, tuple)):
+        assert out == list(x)
+    else:
+        assert out == [x]
