@@ -972,3 +972,63 @@ def sql_face_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY total_spend DESC LIMIT 5
         """
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): EXISTS decorrelates to a
+    LEFT SEMI join — lineitem is filtered *before* the join, the semi join
+    emits each order at most once (no fan-out), and the date filter pushes
+    to the orders scan.  The classic correlated-subquery-to-join rewrite
+    Catalyst does for free."""
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    late = li.where(F.col("l_returnflag") == "R")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): left outer
+    join keeps zero-order customers, COUNT(col) ignores their nulls, then
+    a second tiny aggregate histograms the counts.  Two shuffles by
+    necessity (custkey, then c_count) — the second is over ~distinct-count
+    rows, negligible at any scale."""
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))

@@ -212,3 +212,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast(0 as bigint), (acc, v) -> pmod(acc * {_FP_MUL} + v, {_FP_P}))"
     )
     return t.select("doc_id", F.md5("text").alias("md5_fp"), roll.alias("roll_fp"))
+
+
+# BPE-ish regex tokenizer: letter runs | digit runs | single non-space
+# symbol — the word-piece pre-split every BPE implementation starts from.
+# Identical regex semantics in Spark (Java regex) and DuckDB (RE2) for
+# this portable subset.
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe,
+             len({DUCK_TOKENS_SQL})                     AS n_ws
+      FROM documents)
+    SELECT source,
+           SUM(n_bpe)                            AS total_bpe_tokens,
+           SUM(n_ws)                             AS total_ws_tokens,
+           ROUND(AVG(n_bpe), 2)                  AS avg_bpe_per_doc,
+           ROUND(SUM(n_bpe)::DOUBLE / SUM(n_ws), 4) AS bpe_per_word
+    FROM t GROUP BY source
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace words AND a BPE-ish regex
+    pre-split (letter runs / digit runs / single symbols), rolled up per
+    source.  The bpe/word ratio is the cheap proxy for tokenizer cost that
+    pretraining-data budgeting runs over the whole corpus; both counts are
+    narrow per-row regex work feeding one small aggregate."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text", "source"])
+    t = docs.select(
+        "source",
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).alias("n_bpe"),
+        F.size(tokens()).alias("n_ws"),
+    )
+    return t.groupBy("source").agg(
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+        F.round(F.avg("n_bpe"), 2).alias("avg_bpe_per_doc"),
+        F.round(F.sum("n_bpe") / F.sum("n_ws"), 4).alias("bpe_per_word"),
+    )
