@@ -1032,3 +1032,57 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "scalar_array_collect",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus))                 AS statuses,
+           len(list_sort(list(DISTINCT l_linestatus)))            AS n_statuses,
+           ROUND(list_sum(list_sort(list(DISTINCT ROUND(l_tax, 2)))), 2) AS tax_level_sum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def scalar_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction/manipulation: ``collect_set`` → sorted array +
+    array aggregation functions (§2.9 array-functions line).  Collected
+    sets are sorted before output — the only way array-valued results can
+    be hash-compared across engines (and the only way they're deterministic
+    at all under parallel aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_tax"])
+    statuses = F.array_sort(F.collect_set("l_linestatus"))
+    tax_levels = F.array_sort(F.collect_set(F.round("l_tax", 2)))
+    return li.groupBy("l_returnflag").agg(
+        statuses.alias("statuses"),
+        F.size(statuses).alias("n_statuses"),
+        F.round(
+            F.expr("aggregate(array_sort(collect_set(round(l_tax, 2))), 0D, (a, v) -> a + v)"), 2
+        ).alias("tax_level_sum"),
+    )
+
+
+@register(
+    "window_time_range_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS avg_1h
+    FROM events
+    """,
+)
+def window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frame: per-user trailing 1-hour average — a RANGE
+    frame over event-time seconds, not a row-count frame (rows frames are
+    wrong for irregular event spacing).  One shuffle on user_id; the frame
+    scan is a sliding two-pointer within each sorted partition."""
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("avg_1h")
+    )

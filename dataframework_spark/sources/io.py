@@ -190,3 +190,54 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge / upsert (CDC apply) on plain parquet
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_orderstatus,
+             ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0),
+    merged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM updates
+      UNION ALL
+      SELECT o.o_orderkey, o.o_orderstatus, ROUND(o.o_totalprice, 2)
+      FROM orders o ANTI JOIN updates u ON o.o_orderkey = u.o_orderkey)
+    SELECT o_orderstatus,
+           COUNT(*)                    AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (CDC apply) on plain parquet: updates win on key
+    collision, untouched base rows survive — expressed as
+    updates ∪ (base ANTI-JOIN updates), written, read back, aggregated.
+
+    This is the copy-on-write merge a lakehouse table format performs
+    under ``MERGE INTO``; on raw parquet the engine does it explicitly.
+    At 100 TB you partition the base table and rewrite ONLY partitions
+    containing update keys (partition-pruned anti join) — never the whole
+    table; the update side is typically small ⇒ broadcast anti join."""
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = load_table(spark, sf_dir, "orders", columns=cols)
+    updates = base.where(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+    )
+    kept = base.join(updates.select("o_orderkey"), "o_orderkey", "left_anti").withColumn(
+        "o_totalprice", F.round("o_totalprice", 2)
+    )
+    merged = updates.unionByName(kept)
+    path = _scratch(sf_dir, "orders_merged")
+    merged.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
