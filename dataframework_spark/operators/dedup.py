@@ -430,3 +430,100 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInPandas(block_pairs, schema="vec_a bigint, vec_b bigint, cos_sim double")
+
+
+# ---------------------------------------------------------------------------
+# D6 — cluster resolution: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+# the pair graph (same semantics as dedup_ngram_jaccard's oracle), reused
+# as a CTE by the clustering oracle
+_PAIRS_SQL_CTE = f"""
+    t AS (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {duck_shingles_sql('toks')} AS sh FROM t),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    pair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    edges AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pair p
+      JOIN sz sa ON sa.doc_id = p.doc_a
+      JOIN sz sb ON sb.doc_id = p.doc_b
+      WHERE p.inter::DOUBLE / (sa.n + sb.n - p.inter) >= {_JACCARD_THRESHOLD})
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_SQL_CTE},
+    nodes AS (SELECT doc_a AS node FROM edges UNION SELECT doc_b FROM edges),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT CASE WHEN r.node = e.doc_a THEN e.doc_b ELSE e.doc_a END, r.root
+      FROM reach r JOIN edges e ON r.node IN (e.doc_a, e.doc_b)),
+    comp AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT c.doc_id, c.cluster_id,
+           COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+           CAST(c.doc_id = c.cluster_id AS INT)      AS is_keeper
+    FROM comp c
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution: connected components over the near-dup pair
+    graph (min-doc_id label propagation), the step that turns pairwise
+    matches into keep/drop decisions — pairs are NOT transitive closures
+    (A~B, B~C ⇏ A~C pairwise), so real dedup clusters need this.
+
+    Iterative DataFrame algorithm: each round, every node takes the min
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds (near-dup clusters are tiny — here ≤ 3 rounds).
+    ``localCheckpoint`` cuts lineage each round — without it the plan
+    doubles per iteration and the job dies of analysis time long before
+    data size matters (THE classic iterative-Spark trap).  At 100 TB this
+    is exactly GraphX/GraphFrames connected components; the DataFrame
+    form keeps the engine dependency-free.  Keeper = cluster minimum, the
+    same rule as ``dedup_exact``."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").cast("bigint"), F.col("doc_b").cast("bigint")).cache()
+    nodes = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionByName(edges.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("root", F.col("node")).localCheckpoint()
+    for _ in range(20):  # >= any real component diameter; breaks at fixpoint
+        m1 = edges.join(labels, edges.doc_a == labels.node).select(
+            F.col("doc_b").alias("node"), "root"
+        )
+        m2 = edges.join(labels, edges.doc_b == labels.node).select(
+            F.col("doc_a").alias("node"), "root"
+        )
+        new_labels = (
+            labels.unionByName(m1)
+            .unionByName(m2)
+            .groupBy("node")
+            .agg(F.min("root").alias("root"))
+            .localCheckpoint()  # cut lineage: O(1) plan depth per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.root") != F.col("o.root"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("root")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("root").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("root")).cast("int").alias("is_keeper"),
+    )
