@@ -239,3 +239,43 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= _TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Tier 3b — IVF with a REAL k-means codebook (Spark ML)
+# ---------------------------------------------------------------------------
+
+
+@register("sim_ivf_kmeans", oracle=None)  # k-means centers are engine-specific
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a trained coarse quantizer: Spark ML ``KMeans`` (seeded,
+    k=8) learns the codebook that ``sim_ivf_topk`` stubs with fixed
+    vectors; queries then search only their own cell.
+
+    This is the production shape — train offline, ``transform`` assigns
+    cells in one distributed pass, write the corpus partitioned by cell.
+    Centers depend on MLlib's init sampling ⇒ no cross-engine oracle
+    (driver rows-only check); the *search* logic on top is the same code
+    path the oracle-checked ``sim_ivf_topk`` proves."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _corpus(spark, sf_dir).withColumn("features", array_to_vector("v"))
+    km = KMeans(k=_N_CENTROIDS, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(e)
+    assigned = model.transform(e).select("vec_id", "v", "cell")
+    q = assigned.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(assigned, (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= _TOPK)

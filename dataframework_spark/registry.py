@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         ml_prep,
         multimodal,
+        pipeline,
         relational,
         similarity,
         temporal,
