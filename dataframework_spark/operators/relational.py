@@ -278,12 +278,20 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers that never ordered."""
-    orders = load_table(spark, sf_dir, "orders")
+    """Left-anti join (NOT EXISTS): customers with no URGENT order.
+
+    (Every customer has *some* order in this synthetic data, so the anti
+    join runs against the filtered order set to produce a non-trivial
+    result — the filter sits on the build side, before the join.)"""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     cust = load_table(spark, sf_dir, "customer")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_acctbal"
@@ -810,7 +818,7 @@ def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2) * 3 FROM orders)
+    WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2) * 1.5 FROM orders)
     """,
 )
 def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,7 +831,7 @@ def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice
         FROM _sq_orders
-        WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2) * 3 FROM _sq_orders)
+        WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2) * 1.5 FROM _sq_orders)
         """
     )
 

@@ -1,0 +1,69 @@
+"""Edge-case unit tests for temporal.asof_join (crafted frames).
+
+The oracle covers the bulk semantics on real data; these pin the corner
+cases a backward as-of join must get right: no-prior-match → null, exact
+timestamp ties (right row visible at equal ts), multiple right rows at
+one timestamp, and key isolation (no cross-key leakage).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from dataframework_spark.operators.temporal import asof_join
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(9), 10.0),   # before ANY right row for key 1
+            (1, _ts(12), 11.0),  # after right@10 and right@11
+            (1, _ts(11), 12.0),  # EXACTLY at right@11 → ties include it
+            (2, _ts(12), 20.0),  # key 2: only right@10 exists
+            (3, _ts(12), 30.0),  # key 3: no right rows at all
+        ],
+        "k long, ts timestamp, lv double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(10), 100.0),
+            (1, _ts(11), 110.0),
+            (1, _ts(11), 111.0),  # duplicate ts: latest-in-order wins deterministically? see test
+            (2, _ts(10), 200.0),
+        ],
+        "k long, ts timestamp, rv double",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="k").select("k", "ts", "lv", "rv_asof")
+    rows = {(r.k, r.ts.hour): r.rv_asof for r in out.collect()}
+    assert rows[(1, 9)] is None          # nothing prior
+    assert rows[(1, 12)] in (110.0, 111.0)  # latest right ≤ 12:00 is one of the 11:00 rows
+    assert rows[(1, 11)] in (110.0, 111.0)  # tie: right row at equal ts IS visible
+    assert rows[(2, 12)] == 200.0        # no leakage from key 1
+    assert rows[(3, 12)] is None         # key with no right side at all
+
+
+def test_asof_row_count_preserved(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="k")
+    assert out.count() == left.count()  # as-of never fans out or drops left rows
+
+
+def test_asof_matched_ts_column(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="k")
+    rows = {(r.k, r.ts.hour): r for r in out.collect()}
+    assert rows[(2, 12)]._asof_ts.hour == 10  # records WHICH right row matched
+    assert rows[(3, 12)]._asof_ts is None
