@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dataframework_spark.catalog import load_table
-from dataframework_spark.functions.arrays import DUCK_TOKENS_SQL, TOKENS_SQL, tokens
+from dataframework_spark.functions.arrays import DUCK_TOKENS_SQL, tokens
 from dataframework_spark.registry import register
 
 # A tiny fixed English stopword list — enough for ratio features and the

@@ -256,3 +256,41 @@ def test_param_grid_shape_and_rows(spark):
         g.row(6)
     assert g.group([1]).columns == ["reg"]
     assert g.df.count() == 6
+
+
+def test_facade_two_databases_dict_broadcast(spark, sf_dir, tmp_path):
+    """Two databases in one engine with dict-broadcast process config:
+    per-database cv/train resolution and independent generators
+    (reference C4 broadcast driving C1/M1 end-to-end)."""
+    import pyspark.sql.functions as F
+
+    # second database = embeddings with shifted labels, different file
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src.withColumn("label", (F.col("label") + 1) % 10).write.mode("overwrite").parquet(
+        str(tmp_path / "emb2.parquet")
+    )
+    eng = PreProcessEngine(
+        spark,
+        {
+            "database": {
+                "name": ["embeddings", "emb2"],
+                "root": {"embeddings": sf_dir, "emb2": str(tmp_path)},
+            },
+            "process": {
+                "cv": {"embeddings": 5, "default": 4},
+                "train": {"embeddings": 0.7, "emb2": 10},
+                "extend": False,
+                "center": False,
+            },
+        },
+    )
+    assert eng.train == {"embeddings": (0.7,), "emb2": (10,)}
+    t1, _ = eng.generator(database="embeddings")
+    t2, _ = eng.generator(database="emb2")
+    # emb2: int setting -> exactly 10 train rows per class
+    counts = t2.groupBy("label").count().collect()
+    assert all(r["count"] == 10 for r in counts)
+    # embeddings: fraction setting -> ~70% per class
+    n1 = t1.count()
+    total = eng.database("embeddings").count()
+    assert 0.65 < n1 / total < 0.75
