@@ -188,3 +188,49 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_id"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 — audio chunking (segment an opaque audio payload for batch decode)
+# ---------------------------------------------------------------------------
+
+_CHUNK_S = 30
+_OVERLAP_S = 5
+
+
+@register(
+    "mm_audio_chunks",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, (10 + octet_length(text::BLOB) % 290) AS duration_s
+      FROM documents)
+    SELECT doc_id, duration_s,
+           unnest(generate_series(0, duration_s - 1, {_CHUNK_S - _OVERLAP_S})) AS chunk_start_s,
+           LEAST(unnest(generate_series(0, duration_s - 1, {_CHUNK_S - _OVERLAP_S}))
+                 + {_CHUNK_S}, duration_s) AS chunk_end_s
+    FROM a
+    """,
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation: 30 s chunks with 5 s overlap (the windowing an
+    ASR/embedding batch job feeds to its decoder).  Duration comes from
+    the deterministic fake header read (same convention as
+    ``mm_decode_features``); the chunk fan-out is a JVM-side ``sequence``
+    + ``explode`` — each chunk row would then carry (offset, length) into
+    an Arrow decode stage, so the expensive Python step reads only its
+    slice."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    a = docs.select(
+        "doc_id",
+        (10 + F.octet_length(F.encode("text", "utf-8")) % 290).cast("int").alias("duration_s"),
+    )
+    step = _CHUNK_S - _OVERLAP_S
+    return a.select(
+        "doc_id",
+        "duration_s",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_s") - 1, F.lit(step))
+        ).alias("chunk_start_s"),
+    ).withColumn(
+        "chunk_end_s", F.least(F.col("chunk_start_s") + _CHUNK_S, F.col("duration_s"))
+    )

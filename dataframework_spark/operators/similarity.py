@@ -279,3 +279,69 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= _TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Recall measurement: LSH candidates vs exact top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_lsh_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_bucket_sql_duck('embedding')} AS bucket
+      FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+    exact AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM q JOIN e ON e.vec_id <> q.vec_id
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY ROUND({duck_cosine_sql('q.embedding', 'e.embedding')}, 4) DESC,
+                 e.vec_id) <= {_TOPK}),
+    hits AS (
+      SELECT x.query_id,
+             CAST(eb.bucket = qb.bucket AS INT) AS hit
+      FROM exact x
+      JOIN e eb ON eb.vec_id = x.neighbor_id
+      JOIN e qb ON qb.vec_id = x.query_id)
+    SELECT query_id,
+           COUNT(*)                          AS k,
+           SUM(hit)                          AS candidates_found,
+           ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall_at_k
+    FROM hits GROUP BY query_id
+    """,
+)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH candidate stage against exact top-5: for each
+    query, how many of its TRUE nearest neighbors share its hyperplane
+    bucket.  The quantified tradeoff behind every ANN deployment — more
+    planes ⇒ smaller buckets ⇒ cheaper search but lower recall; this
+    query is the measurement loop that tunes plane count at scale (run it
+    on a sample, pick the knee)."""
+    e = _corpus(spark, sf_dir).withColumn("bucket", F.expr(_bucket_sql_spark("v")))
+    e = e.cache()  # reused: exact ranking + two bucket lookups
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    exact = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qb",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("bucket").alias("nb"),
+            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK)
+    )
+    hit = (F.col("nb") == F.col("qb")).cast("int")
+    return exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(hit).alias("candidates_found"),
+        F.round(F.sum(hit) / F.count(F.lit(1)), 4).alias("recall_at_k"),
+    )
