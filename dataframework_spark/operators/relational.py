@@ -1094,3 +1094,69 @@ def window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("avg_1h")
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket
+      FROM orders)
+    SELECT bucket,
+           bucket * 50000        AS bucket_lo,
+           (bucket + 1) * 50000  AS bucket_hi,
+           COUNT(*)              AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by integer bucket arithmetic (portable
+    ``width_bucket`` equivalent).  Binning before the shuffle means the
+    exchange carries one row per bucket per partition — a histogram over
+    100 TB costs one scan plus a few-hundred-row shuffle."""
+    orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice"])
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000).alias("bucket_lo"),
+            ((F.col("bucket") + 1) * 50000).alias("bucket_hi"),
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey)
+    SELECT c_mktsegment,
+           c_nationkey AS mode_nationkey,
+           n           AS mode_count
+    FROM c
+    QUALIFY row_number() OVER (
+      PARTITION BY c_mktsegment ORDER BY n DESC, c_nationkey) = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group via count + deterministic
+    rank — the portable form (Spark's ``mode()`` breaks frequency ties
+    arbitrarily, which can never hash-match another engine; count+rank
+    with a value tiebreak is stable everywhere)."""
+    cust = load_table(spark, sf_dir, "customer", columns=["c_mktsegment", "c_nationkey"])
+    counts = cust.groupBy("c_mktsegment", "c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("n").desc(), F.col("c_nationkey"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nationkey"),
+            F.col("n").alias("mode_count"),
+        )
+    )

@@ -271,3 +271,60 @@ def stream_multibatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(last)
         .select("user_id", F.col("m.n_events").alias("n_events"), F.col("m.sum_value").alias("sum_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ST5 — stream-stream interval join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, ts AS s_ts FROM events WHERE event_type = 'signup')
+    SELECT p.user_id,
+           p.p_ts                AS purchase_ts,
+           s.s_ts                AS signup_ts,
+           ROUND(p.value, 2)     AS purchase_value
+    FROM p JOIN s ON s.user_id = p.user_id
+                 AND s.s_ts >= p.p_ts - INTERVAL 24 HOUR
+                 AND s.s_ts <= p.p_ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    signups within the preceding 24 h — BOTH sides are live streams with
+    watermarks, and the interval condition is what lets the engine bound
+    join state (a purchase can stop waiting for signups once the
+    watermark passes its 24 h window; unbounded stream-stream joins are
+    rejected outright).
+
+    Drained-stream result equals the batch interval join — hash-checked.
+    State shards by user_id; the watermark+interval pair IS the state
+    eviction policy, the thing that keeps a week-long run's state flat."""
+    p = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "value")
+        .withWatermark("p_ts", "1 hour")
+    )
+    s = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+    )
+    joined = p.join(
+        s,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("s_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        "user_id",
+        F.col("p_ts").alias("purchase_ts"),
+        F.col("s_ts").alias("signup_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    return _run_to_table(joined, spark, mode="append")

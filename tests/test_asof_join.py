@@ -67,3 +67,53 @@ def test_asof_matched_ts_column(spark, frames):
     rows = {(r.k, r.ts.hour): r for r in out.collect()}
     assert rows[(2, 12)]._asof_ts.hour == 10  # records WHICH right row matched
     assert rows[(3, 12)]._asof_ts is None
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized differential test: asof_join ≡ pandas.merge_asof
+    (direction='backward', allow_exact_matches=True) — an independent
+    reference implementation — over 300 random left/right rows with
+    colliding keys and timestamps."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 8, 300),
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.randint(0, 86400, 300), "s"),
+            "lv": np.arange(300, dtype="float64"),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 10, 200),  # includes keys absent on the left
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.randint(0, 86400, 200), "s"),
+            "rv": np.arange(200, dtype="float64") * 10,
+        }
+    )
+    # merge_asof with duplicate right timestamps keeps the LAST duplicate;
+    # drop dup (k, ts) on the right to make the expected answer unique
+    right_pd = right_pd.drop_duplicates(["k", "ts"], keep="last")
+
+    expected = pd.merge_asof(
+        left_pd.sort_values("ts", kind="stable"),
+        right_pd.sort_values("ts", kind="stable"),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    exp = {(r.k, r.ts, r.lv): r.rv for r in expected.itertuples()}
+
+    out = asof_join(
+        spark.createDataFrame(left_pd), spark.createDataFrame(right_pd), on="k"
+    ).collect()
+    assert len(out) == len(left_pd)
+    for r in out:
+        want = exp[(r.k, pd.Timestamp(r.ts), r.lv)]
+        got = r.rv_asof
+        if pd.isna(want):
+            assert got is None, (r.k, r.ts, got, want)
+        else:
+            assert got == want, (r.k, r.ts, got, want)
