@@ -485,3 +485,50 @@ def ml_seeded_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", "label", F.row_number().over(w).cast("bigint").alias("perm_pos")
     )
+
+
+@register(
+    "ml_standardize",
+    oracle=_SPLIT_SQL_CTE
+    + """,
+    feat AS (
+      SELECT s.vec_id, s.label, s.rn, s.train_size,
+             CAST(rn <= train_size AS INT) AS is_train,
+             CAST(e.embedding[1] AS DOUBLE) AS x0
+      FROM sized s JOIN embeddings e ON s.vec_id = e.vec_id),
+    stats AS (
+      SELECT ROUND(AVG(x0), 6) AS mu, ROUND(STDDEV_POP(x0), 6) AS sd
+      FROM feat WHERE is_train = 1)
+    SELECT vec_id, label, is_train,
+           ROUND((x0 - mu) / sd, 4) AS x0_std
+    FROM feat, stats
+    """,
+)
+def ml_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardization (z-score): train-fitted mean AND population stddev
+    applied to train and test alike — the fit/transform companion the
+    reference stops short of (it only mean-centers,
+    ``preprocess.py:76-84``; variance scaling is the standard next step,
+    cf. Spark ML ``StandardScaler(withMean=True, withStd=True)``).
+
+    Same scale shape as ``center``: one tiny stats row broadcast back, a
+    map-side transform — never a second shuffle of the data.  Stats are
+    rounded pre-division so both engines divide identical numbers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = train_test_split(emb, "label", ["vec_id"], train_setting=0.7, cv=5)
+    feat = split.withColumn(
+        "x0", F.element_at(F.col("embedding").cast("array<double>"), 1)
+    )
+    stats = feat.where(F.col("is_train") == 1).agg(
+        F.round(F.avg("x0"), 6).alias("_mu"),
+        F.round(F.stddev_pop("x0"), 6).alias("_sd"),
+    )
+    return (
+        feat.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "label",
+            "is_train",
+            F.round((F.col("x0") - F.col("_mu")) / F.col("_sd"), 4).alias("x0_std"),
+        )
+    )

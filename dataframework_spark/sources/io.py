@@ -241,3 +241,33 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip (the other built-in columnar format)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*)                  AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2)  AS sum_acctbal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier → ORC → read back → aggregate.  ORC is Spark's second
+    built-in columnar format (same pushdown/pruning machinery as parquet,
+    different encodings); the round-trip proves the encoder/decoder
+    preserves values exactly — the oracle reads the ORIGINAL table, so
+    any ORC-side value drift flips the hash."""
+    supp = load_table(spark, sf_dir, "supplier")
+    path = _scratch(sf_dir, "supplier_orc")
+    supp.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"),
+    )
