@@ -30,6 +30,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q8_market_share",
     "window_topk_per_group",
     "window_running_sum",
     "events_sessionize",

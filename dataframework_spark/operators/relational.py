@@ -1071,6 +1071,113 @@ def scalar_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_higher_order",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT)        AS n_pos,
+           ROUND(SQRT(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))), 4)                     AS l2_norm,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> ABS(x::DOUBLE))), 4)                             AS l1_norm,
+           len(embedding) > 0 AND list_max(embedding)::DOUBLE > 3.0    AS has_outlier
+    FROM embeddings
+    """,
+)
+def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class scalar surface:
+    ``filter`` / ``transform`` / ``aggregate`` / ``exists`` lambdas over
+    the 64-dim embedding column.  All four stay inside whole-stage codegen
+    (no UDF, nothing leaves the row); accumulation is forced to double on
+    both engines so f32 element noise cannot flip the hash."""
+    e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return e.select(
+        "vec_id",
+        F.expr("size(filter(embedding, x -> x > 0))").alias("n_pos"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double))"
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+        F.round(
+            F.expr("aggregate(embedding, 0D, (a, x) -> a + abs(cast(x as double)))"), 4
+        ).alias("l1_norm"),
+        F.expr("exists(embedding, x -> cast(x as double) > 3.0D)").alias("has_outlier"),
+    )
+
+
+@register(
+    "reshape_posexplode_dims",
+    oracle="""
+    WITH flat AS (
+      SELECT unnest(range(len(embedding)))      AS dim,
+             unnest(embedding)::DOUBLE          AS v
+      FROM embeddings)
+    SELECT dim,
+           COUNT(*)            AS n,
+           ROUND(AVG(v), 4)    AS avg_v,
+           ROUND(MIN(v), 4)    AS min_v,
+           ROUND(MAX(v), 4)    AS max_v
+    FROM flat GROUP BY dim
+    """,
+)
+def reshape_posexplode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array → rows with ordinality (``posexplode`` / zipped ``unnest``):
+    per-dimension distribution stats over the embedding corpus.  The
+    explode is a narrow generate (64 rows out per row in, no shuffle);
+    the only exchange is the 64-group aggregate, which partial-aggregates
+    to 64 rows per task regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings", columns=["embedding"])
+    return (
+        e.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"))
+        .select(F.col("dim").cast("bigint").alias("dim"), "v")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 4).alias("avg_v"),
+            F.round(F.min("v"), 4).alias("min_v"),
+            F.round(F.max("v"), 4).alias("max_v"),
+        )
+    )
+
+
+@register(
+    "window_pct_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 6)  AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6)     AS cume_dist,
+           FIRST_VALUE(c_custkey) OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest_custkey,
+           NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window surface beyond ranking: percent_rank / cume_dist
+    (exact rationals — rounding is cross-engine-safe) plus first_value and
+    nth_value over an unbounded frame.  Order is made total with the key
+    tiebreak so every value function is deterministic."""
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.first("c_custkey").over(wf).alias("poorest_custkey"),
+        F.nth_value("c_custkey", 2).over(wf).alias("second_custkey"),
+    )
+
+
+@register(
     "window_time_range_avg",
     oracle="""
     SELECT event_id, user_id,

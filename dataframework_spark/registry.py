@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         temporal,
         text,
+        tpch_shapes,
         udfs,
     )
     from dataframework_spark import streaming  # noqa: F401
