@@ -1071,6 +1071,107 @@ def scalar_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_stats_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)           AS qty_price_corr,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 4)      AS qty_price_covar,
+           ROUND(VAR_POP(l_quantity), 4)                         AS qty_var,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4)                AS price_stddev,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4)     AS price_per_qty,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS price_intercept
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: correlation, covariance, variance,
+    and linear-regression aggregates (slope/intercept) per group — all
+    single-pass moment aggregations that partial-aggregate map-side like
+    any sum.  (Spark's ``skewness``/``kurtosis`` use population moments
+    while DuckDB bias-corrects, so those two are exercised in unit tests
+    rather than the cross-engine oracle.)"""
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.var_pop("l_quantity"), 4).alias("qty_var"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("price_per_qty"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("price_intercept"),
+    )
+
+
+@register(
+    "agg_minby_maxby",
+    oracle="""
+    SELECT l_returnflag,
+           ARG_MAX(l_suppkey, l_orderkey * 10 + l_linenumber) AS last_suppkey,
+           ARG_MIN(l_suppkey, l_orderkey * 10 + l_linenumber) AS first_suppkey,
+           COUNT(*) FILTER (WHERE l_discount > 0.04)          AS n_discounted,
+           BOOL_AND(l_quantity > 0)                           AS all_positive_qty,
+           BOOL_OR(l_tax > 0.07)                              AS any_high_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax + filtered and boolean aggregates: ``max_by``/``min_by``
+    (≡ DuckDB ``arg_max``/``arg_min``), ``count_if`` (≡ ``COUNT(*)
+    FILTER``), ``bool_and``/``bool_or``.  The ordering key
+    (orderkey·10 + linenumber) is unique per row, so argmin/argmax are
+    deterministic — ``max_by`` on a non-unique key is an arbitrary pick
+    that can never hash-match another engine."""
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_returnflag", "l_orderkey", "l_linenumber", "l_suppkey", "l_discount", "l_quantity", "l_tax"],
+    )
+    ord_key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_suppkey", ord_key).alias("last_suppkey"),
+        F.min_by("l_suppkey", ord_key).alias("first_suppkey"),
+        F.count_if(F.col("l_discount") > 0.04).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT p_partkey,
+           p_brand                       AS brand_v,
+           CAST(p_size AS VARCHAR)       AS size_v,
+           2                             AS n_keys,
+           ['brand', 'size']             AS keys_sorted
+    FROM part
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a ``map<string,string>`` per row,
+    then read it back with ``element_at`` / ``map_keys`` / ``size``.  The
+    result schema is plain columns — map construction and access are what
+    is exercised on the Spark side (the oracle states the equivalent
+    values directly; DuckDB's MAP type needs no round-trip to prove the
+    Spark semantics).  Maps are the natural carrier for sparse typed
+    metadata on multimodal rows (SURVEY.md §2.10)."""
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("size"), F.col("p_size").cast("string"),
+    )
+    return part.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_v"),
+        F.element_at(m, "size").alias("size_v"),
+        F.size(m).alias("n_keys"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+    )
+
+
+@register(
     "scalar_higher_order",
     oracle="""
     SELECT vec_id,

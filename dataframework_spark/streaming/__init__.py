@@ -328,3 +328,64 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("purchase_value"),
     )
     return _run_to_table(joined, spark, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# ST6 — streaming deduplication with watermark
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: emit each (user_id, event_type) key once
+    across the whole stream.  ``dropDuplicates`` keeps per-key state; the
+    event-time watermark is what lets the store evict keys older than the
+    lateness bound instead of growing forever — the streaming twin of the
+    batch exact-dedup operator (``dedup_exact``).  Only the key columns
+    are emitted, so the drained result is exactly the batch DISTINCT."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.select("user_id", "event_type", "ts").dropDuplicates(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return _run_to_table(deduped, spark, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# ST7 — stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT n_name,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events JOIN nation ON user_id % 25 = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: a live stream enriched against a batch
+    dimension table (users mapped onto nations by key residue — the test
+    schema has no user dim).  The static side needs no watermark and no
+    join state: it is broadcast to every micro-batch, which is how
+    dimension enrichment should run at any scale.  Aggregated per nation
+    in complete mode; drained result equals the batch join."""
+    from dataframework_spark.catalog import load_table
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    nation = load_table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    enriched = ev.join(
+        F.broadcast(nation), ev.user_id % 25 == nation.n_nationkey
+    )
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return _run_to_table(agg, spark, mode="complete")
