@@ -532,3 +532,48 @@ def ml_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("x0") - F.col("_mu")) / F.col("_sd"), 4).alias("x0_std"),
         )
     )
+
+
+@register(
+    "ml_feature_covariance",
+    oracle="""
+    WITH f AS (
+      SELECT vec_id,
+             unnest(range(len(embedding)))  AS i,
+             unnest(embedding)::DOUBLE      AS v
+      FROM embeddings)
+    SELECT a.i AS dim_i, b.i AS dim_j,
+           ROUND(COVAR_POP(a.v, b.v), 6) AS cov
+    FROM f a JOIN f b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY 1, 2
+    """,
+)
+def ml_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle feature covariance matrix over the embedding corpus
+    — the Gram-style statistic PCA/whitening needs (the distributed form
+    of the reference's per-feature moments, ``preprocess.py:76-84``).
+
+    Spark-first plan: each row expands to its d·(d+1)/2 index pairs with
+    a *narrow* nested-lambda transform (no self-join, nothing shuffles by
+    vec_id — the oracle's join formulation is the semantic spec, not the
+    plan), then one ``covar_pop`` aggregate partial-reduces map-side to
+    at most 2080 groups per task.  Cost at 100 TB: one scan + a
+    constant-size shuffle, independent of corpus row count."""
+    e = load_table(spark, sf_dir, "embeddings", columns=["embedding"])
+    pairs = e.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(embedding, (x, i) ->
+                  transform(slice(embedding, i + 1, size(embedding) - i), (y, j) ->
+                    struct(cast(i as bigint) as dim_i,
+                           cast(i + j as bigint) as dim_j,
+                           cast(x as double) as x,
+                           cast(y as double) as y))))
+                """
+            )
+        ).alias("p")
+    ).select("p.dim_i", "p.dim_j", "p.x", "p.y")
+    return pairs.groupBy("dim_i", "dim_j").agg(
+        F.round(F.covar_pop("x", "y"), 6).alias("cov")
+    )

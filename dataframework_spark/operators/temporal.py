@@ -267,3 +267,66 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
     )
+
+
+@register(
+    "events_gap_fill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    cal AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans)
+    SELECT c.user_id, c.day,
+           COALESCE(d.n, 0)             AS n_events,
+           ROUND(COALESCE(d.sv, 0), 2)  AS sum_value
+    FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    """,
+)
+def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill (time-series densification): per-user daily
+    aggregates with an explicit zero row for every silent day between the
+    user's first and last activity.
+
+    Spark-first plan: instead of building a calendar table and left-joining
+    it back (the oracle's formulation — which Catalyst plans as TWO scans
+    of the raw events, because the min/max aggregate collapses through the
+    daily aggregate and breaks subplan reuse), each daily row looks at the
+    *next* active day via ``lead()`` and generates the missing dates in
+    between itself.  One scan, one daily-aggregate shuffle, one small
+    window exchange over the aggregated rows, **no join** — the plan is
+    pinned by ``test_gap_fill_single_scan_no_join``.  Missing days emit 0,
+    not "no row" — the distinction downstream forecasting code depends
+    on."""
+    from pyspark.sql.window import Window
+
+    from dataframework_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    spanned = daily.withColumn("next_day", F.lead("day").over(w))
+    exploded = spanned.select(
+        "user_id",
+        "day",
+        "n",
+        "sv",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.coalesce(F.date_sub("next_day", 1), F.col("day")),
+            )
+        ).alias("cal_day"),
+    )
+    is_active = F.col("cal_day") == F.col("day")
+    return exploded.select(
+        "user_id",
+        F.col("cal_day").alias("day"),
+        F.when(is_active, F.col("n")).otherwise(F.lit(0)).alias("n_events"),
+        F.round(F.when(is_active, F.col("sv")).otherwise(F.lit(0.0)), 2).alias("sum_value"),
+    )

@@ -114,3 +114,42 @@ def test_ml_center_broadcasts_means(spark, sf_dir):
     df = center(split, ["x0"])
     p = plan_string(df, mode="simple")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_q8_broadcasts_all_dims(spark, sf_dir):
+    # part, supplier, both nation copies, and region are broadcast; the
+    # only BroadcastExchange misses should be the two fact-side shuffles.
+    from dataframework_spark.operators.tpch_shapes import q8_market_share
+
+    p = plan_string(q8_market_share(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 5, p
+
+
+def test_q10_filters_push_to_both_facts(spark, sf_dir):
+    from dataframework_spark.operators.tpch_shapes import q10_returned_items
+
+    df = q10_returned_items(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pf, f"orders quarter filter not pushed: {pf}"
+    assert "l_returnflag" in pf, f"returnflag filter not pushed: {pf}"
+
+
+def test_feature_covariance_is_narrow_expand(spark, sf_dir):
+    # the pair expansion must not self-join: exactly one exchange (the
+    # final 2080-group aggregate), never a join operator in the plan.
+    from dataframework_spark.operators.ml_prep import ml_feature_covariance
+
+    df = ml_feature_covariance(spark, sf_dir)
+    p = plan_string(df)
+    assert "Join" not in p, p
+    assert exchange_count(df) == 1, p
+
+
+def test_gap_fill_single_scan_no_join(spark, sf_dir):
+    # the lead()-based formulation scans events exactly once and never
+    # joins — the calendar-join form Catalyst plans as two raw scans.
+    from dataframework_spark.operators.temporal import events_gap_fill_daily
+
+    df = events_gap_fill_daily(spark, sf_dir)
+    assert len(read_schemas(df)) == 1, plan_string(df)  # one parquet scan
+    assert "Join" not in plan_string(df), plan_string(df)

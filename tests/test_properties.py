@@ -143,3 +143,28 @@ def test_tolist_always_list(x):
         assert out == list(x)
     else:
         assert out == [x]
+
+
+def test_skewness_kurtosis_population_moments(spark):
+    # agg_stats_corr's oracle deliberately omits skewness/kurtosis: Spark
+    # uses population moments while DuckDB bias-corrects.  Pin Spark's
+    # definitions here against hand-computed central moments.
+    import math
+
+    from pyspark.sql import functions as F
+
+    vals = [1.0, 2.0, 2.0, 3.0, 7.0, 9.0]
+    n = len(vals)
+    mean = sum(vals) / n
+    m2 = sum((v - mean) ** 2 for v in vals) / n
+    m3 = sum((v - mean) ** 3 for v in vals) / n
+    m4 = sum((v - mean) ** 4 for v in vals) / n
+    expected_skew = m3 / m2 ** 1.5
+    expected_kurt = m4 / m2 ** 2 - 3.0
+
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    row = df.agg(
+        F.skewness("x").alias("s"), F.kurtosis("x").alias("k")
+    ).collect()[0]
+    assert math.isclose(row["s"], expected_skew, rel_tol=1e-9)
+    assert math.isclose(row["k"], expected_kurt, rel_tol=1e-9)
