@@ -577,3 +577,40 @@ def ml_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("dim_i", "dim_j").agg(
         F.round(F.covar_pop("x", "y"), 6).alias("cov")
     )
+
+
+@register(
+    "ml_label_centroids",
+    oracle="""
+    WITH f AS (
+      SELECT label,
+             unnest(range(len(embedding)))  AS dim,
+             unnest(embedding)::DOUBLE      AS v
+      FROM embeddings)
+    SELECT label, dim,
+           COUNT(*)                 AS n,
+           ROUND(AVG(v), 6)         AS centroid,
+           ROUND(VAR_POP(v), 6)     AS within_var
+    FROM f GROUP BY 1, 2
+    """,
+)
+def ml_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids + within-class variance per dimension
+    — the distributed prototype/codebook statistic (nearest-centroid
+    classifiers, LDA scatter, IVF codebook seeding).  Long-format output
+    (label, dim) sidesteps array-ordering ambiguity and keeps the result
+    oracle-comparable.
+
+    The explode is narrow; the aggregate partial-reduces to
+    |labels|·d groups map-side, so the shuffle is constant-size no matter
+    how many vectors the corpus holds — same scale shape as the
+    reference's per-class means (``preprocess.py:76-84``) need."""
+    e = load_table(spark, sf_dir, "embeddings", columns=["label", "embedding"])
+    flat = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    ).select("label", F.col("dim").cast("bigint").alias("dim"), "v")
+    return flat.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("centroid"),
+        F.round(F.var_pop("v"), 6).alias("within_var"),
+    )

@@ -255,3 +255,53 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_bpe"), 2).alias("avg_bpe_per_doc"),
         F.round(F.sum("n_bpe") / F.sum("n_ws"), 4).alias("bpe_per_word"),
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({DUCK_TOKENS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           ROUND(tf.tf * LN(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY ROUND(tf.tf * LN(n.n_docs::DOUBLE / df.df), 6) DESC, term) <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-3 characteristic terms per document — the classic
+    corpus-statistics operator (term weight = tf · ln(N/df)).
+
+    Plan shape for 100 TB: one explode + (doc, term) aggregate carries
+    the bulk; the document-frequency table is aggregated from the *same*
+    shuffle output and is vocabulary-sized, so it broadcast-joins back —
+    the corpus never shuffles twice.  Scores are rounded identically on
+    both sides before the rank so libm last-ulp noise in ``ln`` cannot
+    reorder the top-k; ties break on the term itself."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select("doc_id", F.explode(tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
