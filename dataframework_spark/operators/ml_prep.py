@@ -614,3 +614,40 @@ def ml_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("v"), 6).alias("centroid"),
         F.round(F.var_pop("v"), 6).alias("within_var"),
     )
+
+
+@register(
+    "ml_quantize_embeddings",
+    oracle="""
+    WITH f AS (
+      SELECT vec_id,
+             unnest(range(len(embedding)))  AS dim,
+             unnest(embedding)::DOUBLE      AS v
+      FROM embeddings),
+    mm AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM f GROUP BY 1)
+    SELECT vec_id, f.dim,
+           CAST(ROUND((v - lo) / NULLIF(hi - lo, 0) * 255) AS INT) AS code
+    FROM f JOIN mm USING (dim)
+    """,
+)
+def ml_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension uint8 scalar quantization of the embedding corpus —
+    the 4×-storage-reduction step before ANN indexing at scale (codes
+    keep cosine ordering approximately; the dequant params are the tiny
+    ``mm`` table).
+
+    The min/max calibration table is d rows and broadcast back; the
+    corpus is exploded narrowly and joined without shuffling by vec_id.
+    Both engines round half-away-from-zero on positive values, so codes
+    hash-match exactly."""
+    e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    flat = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    ).select("vec_id", F.col("dim").cast("bigint").alias("dim"), "v")
+    mm = flat.groupBy("dim").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    span = F.when(F.col("hi") != F.col("lo"), F.col("hi") - F.col("lo"))
+    return flat.join(F.broadcast(mm), "dim").select(
+        "vec_id",
+        "dim",
+        F.round((F.col("v") - F.col("lo")) / span * 255, 0).cast("int").alias("code"),
+    )

@@ -330,3 +330,69 @@ def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_active, F.col("n")).otherwise(F.lit(0)).alias("n_events"),
         F.round(F.when(is_active, F.col("sv")).otherwise(F.lit(0.0)), 2).alias("sum_value"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_viewed,
+           (SELECT COUNT(*) FROM s3) AS n_purchased
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → later view → later purchase):
+    how many users reach each stage, where each stage must happen strictly
+    after the previous one.
+
+    Spark-first plan: the oracle's staged-join formulation (the readable
+    spec) would scan events three times; here the three stage timestamps
+    are *conditional window minimums over one user partition* — one scan,
+    ONE exchange on user_id, three window passes that all reuse the same
+    partitioning, then a tiny global aggregate.  The idiom generalizes to
+    any funnel depth without extra shuffles."""
+    from dataframework_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return staged.agg(
+        F.countDistinct(F.when(F.col("t1").isNotNull(), F.col("user_id"))).alias("n_signup"),
+        F.countDistinct(F.when(F.col("t2").isNotNull(), F.col("user_id"))).alias("n_viewed"),
+        F.countDistinct(F.when(F.col("t3").isNotNull(), F.col("user_id"))).alias(
+            "n_purchased"
+        ),
+    )

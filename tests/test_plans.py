@@ -153,3 +153,13 @@ def test_gap_fill_single_scan_no_join(spark, sf_dir):
     df = events_gap_fill_daily(spark, sf_dir)
     assert len(read_schemas(df)) == 1, plan_string(df)  # one parquet scan
     assert "Join" not in plan_string(df), plan_string(df)
+
+
+def test_funnel_single_scan_single_user_exchange(spark, sf_dir):
+    # all three stage windows share one user_id partitioning: one scan,
+    # and the only exchanges are the user_id one + the final 1-row agg.
+    from dataframework_spark.operators.temporal import events_funnel
+
+    df = events_funnel(spark, sf_dir)
+    assert len(read_schemas(df)) == 1, plan_string(df)
+    assert "Join" not in plan_string(df), plan_string(df)
