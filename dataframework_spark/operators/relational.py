@@ -339,6 +339,94 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_full_outer_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1),
+    b AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1)
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           a.spend AS spend_prev,
+           b.spend AS spend_next,
+           CASE WHEN a.o_custkey IS NULL THEN 'added'
+                WHEN b.o_custkey IS NULL THEN 'removed'
+                WHEN a.spend = b.spend   THEN 'unchanged'
+                ELSE 'changed' END AS change_type
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def join_full_outer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff via FULL OUTER join — the change-data-capture shape:
+    compare per-customer spend across two periods and classify each key
+    as added / removed / changed / unchanged.  Both snapshot aggregates
+    and the join share the same custkey partitioning, so AQE plans one
+    logical shuffle per side and the join itself co-locates for free."""
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def snapshot(lo: str, hi: str) -> DataFrame:
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        )
+
+    a = snapshot("1996-01-01", "1997-01-01").select(
+        F.col("o_custkey").alias("a_key"), F.col("spend").alias("spend_prev")
+    )
+    b = snapshot("1997-01-01", "1998-01-01").select(
+        F.col("o_custkey").alias("b_key"), F.col("spend").alias("spend_next")
+    )
+    return a.join(b, a.a_key == b.b_key, "full_outer").select(
+        F.coalesce(F.col("a_key"), F.col("b_key")).alias("custkey"),
+        "spend_prev",
+        "spend_next",
+        F.when(F.col("a_key").isNull(), "added")
+        .when(F.col("b_key").isNull(), "removed")
+        .when(F.col("spend_prev") == F.col("spend_next"), "unchanged")
+        .otherwise("changed")
+        .alias("change_type"),
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (SELECT c_custkey, NULLIF(c_nationkey % 5, 4) AS grp FROM customer),
+         r AS (SELECT r_name, NULLIF(r_regionkey % 5, 4) AS grp FROM region)
+    SELECT r.r_name, COUNT(*) AS n_customers
+    FROM c JOIN r ON c.grp IS NOT DISTINCT FROM r.grp
+    GROUP BY r.r_name
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` ≡ IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantics dimension
+    lookups need when "unknown" is itself a category.  One in five group
+    keys is NULLed on both sides; a plain equi-join would silently lose
+    that fifth of the data."""
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("grp")
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_name", F.nullif(F.col("r_regionkey") % 5, F.lit(4)).alias("grp")
+    )
+    return (
+        cust.join(F.broadcast(region), cust.grp.eqNullSafe(region.grp))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY.md §2.4/§2.9: distinct, rollup, cube, grouping sets)
 # ---------------------------------------------------------------------------
