@@ -168,3 +168,37 @@ def test_skewness_kurtosis_population_moments(spark):
     ).collect()[0]
     assert math.isclose(row["s"], expected_skew, rel_tol=1e-9)
     assert math.isclose(row["k"], expected_kurt, rel_tol=1e-9)
+
+
+def test_operators_handle_empty_input(spark):
+    # Library operators must not blow up on empty partitions/inputs —
+    # at scale, post-filter-empty partitions are routine.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType
+    )
+
+    from dataframework_spark.operators.ml_prep import (
+        assign_folds, center, train_test_split
+    )
+    from dataframework_spark.operators.temporal import asof_join
+
+    schema = StructType([
+        StructField("label", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("x", DoubleType()),
+    ])
+    empty = spark.createDataFrame([], schema)
+    split = train_test_split(empty, "label", ["vec_id"], 0.7, 5)
+    assert split.count() == 0
+    assert assign_folds(split, 5).count() == 0
+    assert center(split, ["x"]).count() == 0
+
+    ts_schema = StructType([
+        StructField("k", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("v", DoubleType()),
+    ])
+    left = spark.createDataFrame([], ts_schema)
+    right = spark.createDataFrame([], ts_schema)
+    assert asof_join(left, right, on="k").count() == 0
