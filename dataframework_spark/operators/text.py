@@ -305,3 +305,56 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@register(
+    "text_fuzzy_match",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars,
+             substr(trim(text), 1, 30) AS prefix
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.prefix, b.prefix) AS dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source
+     AND a.doc_id < b.doc_id
+     AND ABS(a.n_chars - b.n_chars) <= 50
+    WHERE levenshtein(a.prefix, b.prefix) <= 15
+    """,
+)
+def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy candidate matching by edit distance: document pairs in the
+    same (lang, source) band with lengths within +/-50 chars whose 30-char
+    prefixes are within levenshtein distance 15 (the synthetic corpus's
+    planted near-dups edit whole words, so their lengths drift tens of
+    chars).
+
+    The blocking discipline is what scales: the equi keys (lang, source)
+    drive a hash join, the ±50-char length band is a cheap residual, and the
+    expensive ``levenshtein`` runs only on surviving candidates over a
+    *bounded* prefix — never all-pairs, never unbounded strings.  Both
+    engines implement the same classic edit-distance definition, so
+    distances hash-match exactly."""
+    d = load_table(
+        spark, sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.substring(F.trim(F.col("text")), 1, 30).alias("prefix"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 50),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("dist"),
+        )
+        .where(F.col("dist") <= 15)
+    )
