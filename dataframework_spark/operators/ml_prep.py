@@ -651,3 +651,71 @@ def ml_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.round((F.col("v") - F.col("lo")) / span * 255, 0).cast("int").alias("code"),
     )
+
+
+def power_iteration_pc1(
+    df: DataFrame, vec_col: str = "embedding", iters: int = 8
+) -> list[float]:
+    """First principal component by distributed power iteration.
+
+    The pattern for d too large to materialize the d² covariance: each
+    iteration is ONE pass over the data computing
+    ``w = Σ_rows (x−µ)·((x−µ)ᵀv)`` — a zip_with dot product plus a
+    posexplode aggregate, all JVM-side — and only d floats (the running
+    vector) ever live on the driver.  Deterministic: fixed uniform init,
+    fixed iteration count, sign pinned by the largest-|loading| dimension.
+    """
+    import math
+
+    d = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    x = F.col(vec_col).cast("array<double>")
+    mu_rows = (
+        df.select(F.posexplode(x).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.avg("v").alias("mu"))
+        .collect()
+    )
+    mu = [0.0] * d
+    for r in mu_rows:
+        mu[r["dim"]] = r["mu"]
+    v = [1.0 / math.sqrt(d)] * d
+
+    for _ in range(iters):
+        mu_arr = F.array(*[F.lit(m) for m in mu])
+        v_arr = F.array(*[F.lit(c) for c in v])
+        centered = F.zip_with(x, mu_arr, lambda a, b: a - b)
+        dot = F.aggregate(
+            F.zip_with(centered, v_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, t: s + t,
+        )
+        w_rows = (
+            df.select(F.posexplode(centered).alias("dim", "c"), dot.alias("dot"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("c") * F.col("dot")).alias("w"))
+            .collect()
+        )
+        w = [0.0] * d
+        for r in w_rows:
+            w[r["dim"]] = r["w"]
+        norm = math.sqrt(sum(c * c for c in w)) or 1.0
+        v = [c / norm for c in w]
+
+    # pin the sign: the largest-magnitude loading is positive
+    pivot = max(range(d), key=lambda i: abs(v[i]))
+    if v[pivot] < 0:
+        v = [-c for c in v]
+    return v
+
+
+@register("ml_power_iteration_pc1", oracle=None)  # iterative — no SQL twin
+def ml_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component of the embedding corpus via distributed
+    power iteration (8 passes).  Rows-only driver check; the unit test
+    ``test_power_iteration_matches_numpy`` pins the loadings against the
+    true covariance eigenvector (|cos| > 0.999) at test scale."""
+    e = load_table(spark, sf_dir, "embeddings", columns=["embedding"])
+    v = power_iteration_pc1(e)
+    return spark.createDataFrame(
+        [(i, round(c, 6)) for i, c in enumerate(v)], "dim: bigint, loading: double"
+    )

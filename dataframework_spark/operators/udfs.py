@@ -207,3 +207,49 @@ def sample_seeded_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "label"])
     strat = emb.sampleBy("label", fractions={i: 0.2 for i in range(10)}, seed=42)
     return strat.groupBy("label").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "udf_table_function",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\.\s+')) AS sentence,
+             unnest(range(len(regexp_split_to_array(trim(text), '\.\s+')))) AS sentence_idx
+      FROM documents)
+    SELECT doc_id, sentence_idx,
+           length(sentence) AS n_chars,
+           len(regexp_split_to_array(trim(sentence), '\s+')) AS n_tokens
+    FROM s WHERE length(sentence) > 0
+    """,
+)
+def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: one input row → many output
+    rows, here sentence-splitting each document with positional metadata.
+
+    The UDTF mechanism is the point (arbitrary Python generators as
+    lateral joins); the body is deliberately SQL-expressible so the DuckDB
+    oracle hash-verifies the eval/terminate plumbing exactly — swap the
+    splitter for spaCy/NLTK and the harness is already proven.  UDTFs run
+    per-partition with no shuffle; at scale the cost model is identical
+    to any narrow generate."""
+    import re as _re
+
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="sentence_idx: bigint, sentence: string, n_chars: bigint, n_tokens: bigint")
+    class SentenceSplit:
+        def eval(self, text: str):  # noqa: ANN001 — UDTF protocol
+            for i, s in enumerate(_re.split(r"\.\s+", (text or "").strip())):
+                if s:
+                    yield i, s, len(s), len(_re.split(r"\s+", s.strip()))
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.sentence_idx, t.n_chars, t.n_tokens
+        FROM _udtf_docs d, LATERAL sentence_split(d.text) t
+        """
+    ).select("doc_id", "sentence_idx", "n_chars", "n_tokens")

@@ -202,3 +202,44 @@ def test_operators_handle_empty_input(spark):
     left = spark.createDataFrame([], ts_schema)
     right = spark.createDataFrame([], ts_schema)
     assert asof_join(left, right, on="k").count() == 0
+
+
+def test_power_iteration_matches_numpy(spark):
+    # Planted dominant direction: x = t·u + small noise.  With a real
+    # spectral gap, 12 iterations must recover u almost exactly.
+    import numpy as np
+
+    from dataframework_spark.operators.ml_prep import power_iteration_pc1
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 400
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    X = rng.normal(size=(n, 1)) * 5.0 @ u[None, :] + 0.1 * rng.normal(size=(n, d))
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in X], "embedding: array<double>"
+    )
+    v = np.array(power_iteration_pc1(df, iters=12))
+    cos = abs(float(v @ u))
+    assert cos > 0.99, cos
+
+
+def test_power_iteration_rayleigh_on_flat_spectrum(spark, sf_dir):
+    # The synthetic embeddings are near-isotropic (λ2/λ1 ≈ 0.99), so no
+    # method can pin the *direction* quickly; what matters is that the
+    # found vector captures (almost) maximal variance.  Assert the
+    # Rayleigh quotient reaches 95% of the true top eigenvalue.
+    import numpy as np
+
+    from dataframework_spark.catalog import load_table
+    from dataframework_spark.operators.ml_prep import power_iteration_pc1
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["embedding"])
+    v = np.array(power_iteration_pc1(emb, iters=12))
+
+    X = np.array(emb.toPandas()["embedding"].tolist(), dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    S = Xc.T @ Xc
+    lam1 = np.linalg.eigvalsh(S)[-1]
+    rq = float(v @ S @ v) / float(v @ v)
+    assert rq > 0.95 * lam1, (rq, lam1)
