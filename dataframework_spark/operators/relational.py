@@ -1563,3 +1563,93 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           COUNT(*) - COUNT(o_orderkey)   AS n_nulls,
+           COUNT(DISTINCT o_orderkey)     AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+           CAST(CAST(ROUND(MIN(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(ROUND(MAX(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+           CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+           CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profiler: per-column null count, exact distinct
+    count, and min/max (string-normalized), over every column of ``orders``.
+
+    The oracle states it as six full-table scans (one per column — the
+    naive formulation); the Spark plan computes ALL columns' metrics in ONE
+    scan with a single multi-distinct aggregate (Catalyst's Expand handles
+    the distinct counts), then unpivots the 1-row result via an
+    array-of-structs explode — profiling cost at 100 TB is one pass,
+    independent of column count.  Numeric/date min-max are normalized to
+    canonical strings (DECIMAL(18,2) / DATE) so both dialects print
+    identically."""
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    orders = load_table(spark, sf_dir, "orders", columns=cols)
+
+    def _minmax(c: str, agg) -> F.Column:
+        if c == "o_totalprice":
+            return F.round(agg(c), 2).cast("decimal(18,2)").cast("string")
+        if c == "o_orderdate":
+            return agg(c).cast("date").cast("string")
+        return agg(c).cast("string")
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            _minmax(c, F.min).alias(f"{c}__min"),
+            _minmax(c, F.max).alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    packed = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"{c}__nulls").alias("n_nulls"),
+                        F.col(f"{c}__distinct").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_val"),
+                        F.col(f"{c}__max").alias("max_val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return packed.select("p.column_name", "p.n_nulls", "p.n_distinct", "p.min_val", "p.max_val")

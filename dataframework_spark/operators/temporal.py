@@ -396,3 +396,54 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_purchased"
         ),
     )
+
+
+@register(
+    "events_user_retention",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1),
+    r AS (
+      SELECT f.cohort_day, datediff('day', f.cohort_day, d.day) AS day_offset,
+             COUNT(*) AS n_active
+      FROM d JOIN f USING (user_id) GROUP BY 1, 2),
+    c AS (SELECT cohort_day, COUNT(*) AS cohort_n FROM f GROUP BY 1)
+    SELECT r.cohort_day, r.day_offset, r.n_active,
+           ROUND(r.n_active::DOUBLE / c.cohort_n, 4) AS retention
+    FROM r JOIN c USING (cohort_day)
+    """,
+)
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, then for
+    each day-offset the count (and fraction) of that cohort active again —
+    the standard growth-analytics triangle.
+
+    Plan shape for 100 TB: the oracle states it as distinct + self-join +
+    cohort-size join (three passes over events); the Spark plan does it
+    join-free in ONE scan — ``collect_set(day)`` per user (map-side partial,
+    one shuffle on user_id; a user's distinct-day set is bounded by the
+    observation window, so sets stay small), then each user row emits its
+    (cohort_day = array_min, day_offset) pairs narrowly.  The cohort size
+    never needs a join at all: every user is active on their own first day,
+    so cohort_n ≡ n_active at offset 0 — recovered by a window over the
+    already-tiny (cohort × offset) aggregate.  ``day_offset`` is cast to
+    bigint to match the oracle dialect's datediff type exactly."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set(F.to_date("ts")).alias("days")
+    )
+    offs = per_user.select(
+        F.array_min("days").alias("cohort_day"), F.explode("days").alias("day")
+    ).select(
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint").alias("day_offset"),
+    )
+    r = offs.groupBy("cohort_day", "day_offset").agg(F.count(F.lit(1)).alias("n_active"))
+    w = Window.partitionBy("cohort_day")
+    cohort_n = F.max(F.when(F.col("day_offset") == 0, F.col("n_active"))).over(w)
+    return r.select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        F.round(F.col("n_active").cast("double") / cohort_n, 4).alias("retention"),
+    )

@@ -308,6 +308,79 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH t AS (SELECT {DUCK_TOKENS_SQL} AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS term FROM t),
+    ucnt AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY 1),
+    utot AS (SELECT SUM(c)::DOUBLE AS n FROM ucnt),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS pair
+      FROM t),
+    bcnt AS (SELECT pair[1] AS t1, pair[2] AS t2, COUNT(*) AS n_pair FROM bi GROUP BY 1, 2),
+    btot AS (SELECT SUM(n_pair)::DOUBLE AS nb FROM bcnt)
+    SELECT t1 || ' ' || t2 AS bigram, n_pair,
+           ROUND(LN((n_pair / nb) / ((u1.c / n) * (u2.c / n))), 6) AS pmi
+    FROM bcnt
+    JOIN ucnt u1 ON bcnt.t1 = u1.term
+    JOIN ucnt u2 ON bcnt.t2 = u2.term
+    CROSS JOIN utot CROSS JOIN btot
+    WHERE n_pair >= 10
+    QUALIFY row_number() OVER (ORDER BY ROUND(LN((n_pair / nb) / ((u1.c / n) * (u2.c / n))), 6) DESC, bigram) <= 25
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-25 adjacent-token bigrams by pointwise
+    mutual information, PMI = ln(p(xy) / (p(x)·p(y))), min pair count 10.
+
+    Plan shape for 100 TB: bigram pairs are generated narrowly
+    (``arrays_zip`` of two shifted slices — no join, no sequence()
+    descending-edge risk on 1-token docs).  The two count tables (unigram,
+    bigram) are vocabulary-bounded, so they are ``cache()``d — every
+    downstream use (totals, the two PMI joins) reads the cached handful of
+    rows instead of re-scanning the corpus, capping raw-text scans at two
+    (one per count table; the dedup/similarity modules set the precedent).
+    The PMI join is then two broadcast hash joins plus two scalar cross
+    joins.  PMI is rounded identically on both sides before the rank so
+    libm noise cannot reorder the top-k; ties break on the bigram string."""
+    docs = load_table(spark, sf_dir, "documents", columns=["text"])
+    t = docs.withColumn("toks", tokens())
+    uni = t.select(F.explode("toks").alias("term"))
+    ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c")).cache()
+    utot = ucnt.agg(F.sum("c").cast("double").alias("n"))
+    pairs = t.select(
+        F.explode(
+            F.expr("arrays_zip(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1))")
+        ).alias("p")
+    ).select(F.col("p.0").alias("t1"), F.col("p.1").alias("t2"))
+    bcnt = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_pair")).cache()
+    btot = bcnt.agg(F.sum("n_pair").cast("double").alias("nb"))
+    u1 = ucnt.withColumnRenamed("term", "t1").withColumnRenamed("c", "c1")
+    u2 = ucnt.withColumnRenamed("term", "t2").withColumnRenamed("c", "c2")
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.col("nb"))
+            / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+        ),
+        6,
+    )
+    scored = (
+        bcnt.where(F.col("n_pair") >= 10)
+        .join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("bigram"),
+            "n_pair",
+            pmi.alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 25).drop("rn")
+
+
+@register(
     "text_fuzzy_match",
     oracle="""
     WITH d AS (

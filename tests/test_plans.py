@@ -163,3 +163,23 @@ def test_funnel_single_scan_single_user_exchange(spark, sf_dir):
     df = events_funnel(spark, sf_dir)
     assert len(read_schemas(df)) == 1, plan_string(df)
     assert "Join" not in plan_string(df), plan_string(df)
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    # the oracle formulation is six scans (one per column); the engine's
+    # whole point is ONE multi-distinct aggregate pass.
+    from dataframework_spark.operators.relational import profile_columns
+
+    df = profile_columns(spark, sf_dir)
+    assert len(read_schemas(df)) == 1, plan_string(df)
+    assert "Join" not in plan_string(df), plan_string(df)
+
+
+def test_retention_single_scan_no_join(spark, sf_dir):
+    # cohort sizes are recovered from offset-0 rows via a window, so the
+    # distinct+self-join+cohort-join oracle shape collapses to one scan.
+    from dataframework_spark.operators.temporal import events_user_retention
+
+    df = events_user_retention(spark, sf_dir)
+    assert len(read_schemas(df)) == 1, plan_string(df)
+    assert "Join" not in plan_string(df), plan_string(df)
