@@ -325,9 +325,12 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta (range) join: equi component on brand keeps it a hash join
     with a residual range predicate — never a full nested loop. Counts
-    strictly-cheaper same-brand parts."""
-    p = load_table(spark, sf_dir, "part").alias("p")
-    q = load_table(spark, sf_dir, "part").alias("q")
+    strictly-cheaper same-brand parts.  Both sides pruned to the three
+    referenced columns so the quadratic same-brand intermediate carries
+    12 bytes of payload per row, not the whole part schema."""
+    cols = ["p_partkey", "p_brand", "p_retailprice"]
+    p = load_table(spark, sf_dir, "part", columns=cols).alias("p")
+    q = load_table(spark, sf_dir, "part", columns=cols).alias("q")
     return (
         p.join(
             q,
