@@ -527,3 +527,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("node") == F.col("root")).cast("int").alias("is_keeper"),
     )
+
+
+@register(
+    "dedup_contamination",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {duck_shingles_sql('toks', 8)} AS sh FROM t),
+    ev AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS shingle
+           FROM s WHERE doc_id % 2 = 1),
+    tr AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id % 2 = 0)
+    SELECT ev.doc_id, ev.n_shingles,
+           COUNT(*) AS n_shared,
+           ROUND(COUNT(*)::DOUBLE / ev.n_shingles, 4) AS contamination
+    FROM ev JOIN tr USING (shingle)
+    GROUP BY ev.doc_id, ev.n_shingles
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: for every eval-split document (odd
+    doc_id — stand-in for a held-out benchmark), the number and fraction of
+    its 8-gram shingles that also occur anywhere in the train split — the
+    n-gram-collision decontamination pass run before any benchmark is
+    trusted.
+
+    Scale shape: both sides reduce to (shingle, doc) pairs map-side; the
+    train side is ``distinct``-ed so each shingle crosses the wire once,
+    and the single shuffle key is the shingle — identical to the
+    inverted-index discipline of ``dedup_ngram_jaccard``.  The eval side of
+    a real pipeline is benchmark-sized (tiny), making the join effectively
+    broadcast; here both sides come from the same table so the generic
+    hash-join shape is exercised.  8-gram docs shorter than 8 tokens have
+    no shingles and cannot be flagged — the standard definition."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    t = docs.withColumn("toks", tokens())
+    s = t.select("doc_id", F.expr(shingles_sql("toks", 8)).alias("sh"))
+    ev = s.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("shingle")
+    )
+    tr = s.where(F.col("doc_id") % 2 == 0).select(F.explode("sh").alias("shingle")).distinct()
+    return (
+        ev.join(tr, "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("n_shingles"), 4).alias(
+                "contamination"
+            ),
+        )
+    )

@@ -431,3 +431,45 @@ def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist") <= 15)
     )
+
+
+@register(
+    "text_unigram_perplexity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    uni AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    ucnt AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY 1),
+    utot AS (SELECT SUM(c)::DOUBLE AS n FROM ucnt)
+    SELECT uni.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-LN(ucnt.c / utot.n)), 4) AS cross_entropy
+    FROM uni JOIN ucnt USING (term) CROSS JOIN utot
+    GROUP BY uni.doc_id
+    """,
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram language model
+    (perplexity = exp of this) — the CCNet-style perplexity-filtering
+    signal: documents whose tokens are improbable under the corpus LM are
+    boilerplate/noise candidates.
+
+    Scale shape: the unigram model is ONE token-keyed aggregate
+    (vocabulary-sized result), which then broadcast-joins back onto the
+    exploded corpus — the corpus shuffles once for scoring (on the token
+    key) and once for the per-doc average; the model table itself is tiny.
+    In production the LM would be trained on a held-out slice and applied
+    to candidates; the plan is identical.  The scoring join is exact, so
+    cross-entropies hash-match the oracle after identical rounding."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    uni = docs.select("doc_id", F.explode(tokens()).alias("term"))
+    ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c")).cache()
+    utot = ucnt.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        uni.join(F.broadcast(ucnt), "term")
+        .crossJoin(F.broadcast(utot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("cross_entropy"),
+        )
+    )
