@@ -447,3 +447,78 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         F.round(F.col("n_active").cast("double") / cohort_n, 4).alias("retention"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+    SELECT p.user_id,
+           p.ts                                   AS purchase_ts,
+           ROUND(p.value, 2)                      AS purchase_value,
+           MAX(s.ts)                              AS recent_signup_ts
+    FROM p LEFT JOIN s
+      ON s.user_id = p.user_id
+     AND s.ts <= p.ts
+     AND s.ts >= p.ts - INTERVAL 72 HOURS
+    GROUP BY p.user_id, p.ts, p.value
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: each purchase attaches the
+    most recent prior signup ONLY if it happened within the last 72 hours —
+    merge_asof's ``tolerance`` parameter, the guard real feature pipelines
+    need against silently joining months-stale facts.
+
+    Same linear union+window plan as :func:`asof_join` (the tolerance adds
+    zero shuffles): the backward-fill finds the latest prior match, then a
+    narrow timestamp comparison nulls it out when it exceeds the bound.
+    The oracle is the bounded-inequality-join formulation — quadratic if
+    executed literally, identical semantics."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    joined = asof_join(purchases, signups, on="user_id", right_cols=["signup_ts"])
+    within = F.col("signup_ts_asof") >= F.col("ts") - F.expr("INTERVAL 72 HOURS")
+    return joined.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+        F.when(within, F.col("signup_ts_asof")).alias("recent_signup_ts"),
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1)
+    SELECT day, n_events,
+           ROUND((n_events - AVG(n_events) OVER ()) / STDDEV_POP(n_events) OVER (), 4) AS z,
+           ABS((n_events - AVG(n_events) OVER ()) / STDDEV_POP(n_events) OVER ()) > 2 AS is_anomaly
+    FROM daily
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: z-score of each day's event count
+    against the whole observation window, flagging |z| > 2 — the
+    monitoring query every ingestion pipeline runs over its own metrics.
+
+    The raw scan collapses to one row per DAY before any window math, so
+    the unpartitioned (global) window — normally a scale smell — runs over
+    a calendar-sized table: ~36.5k rows for a century.  One shuffle for the
+    daily aggregate, one single-partition pass over days."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts"])
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy()
+    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev_pop("n_events").over(w)
+    return daily.select(
+        "day",
+        "n_events",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 2).alias("is_anomaly"),
+    )
