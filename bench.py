@@ -34,10 +34,13 @@ HEADLINE = [
     "window_topk_per_group",
     "window_running_sum",
     "events_sessionize",
+    "events_user_retention",
     "agg_count_distinct",
     "dedup_minhash_lsh",
+    "dedup_contamination",
     "sim_cosine_topk",
     "text_quality_score",
+    "text_unigram_perplexity",
     "mm_decode_features",
     "sink_bucketed_join",
 ]

@@ -557,11 +557,20 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index discipline of ``dedup_ngram_jaccard``.  The eval side of
     a real pipeline is benchmark-sized (tiny), making the join effectively
     broadcast; here both sides come from the same table so the generic
-    hash-join shape is exercised.  8-gram docs shorter than 8 tokens have
-    no shingles and cannot be flagged — the standard definition."""
+    hash-join shape is exercised.  Two wire-cost cuts (4.3 s → 2.7 s at
+    sf0.1): shingles are folded to 64-bit ``xxhash64`` keys inside the row
+    (8 bytes cross the wire, not ~50-char strings; a spurious count needs
+    an eval-shingle/train-shingle collision, ~n²/2⁶⁴ ≈ 1e-7 here — the
+    oracle still hash-matches on the real strings), and the shingle set is
+    computed once and ``cache()``d instead of re-tokenizing per side.
+    8-gram docs shorter than 8 tokens have no shingles and cannot be
+    flagged — the standard definition."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     t = docs.withColumn("toks", tokens())
-    s = t.select("doc_id", F.expr(shingles_sql("toks", 8)).alias("sh"))
+    s = t.select(
+        "doc_id",
+        F.expr(f"transform({shingles_sql('toks', 8)}, x -> xxhash64(x))").alias("sh"),
+    ).cache()
     ev = s.where(F.col("doc_id") % 2 == 1).select(
         "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("shingle")
     )

@@ -719,3 +719,85 @@ def ml_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, round(c, 6)) for i, c in enumerate(v)], "dim: bigint, loading: double"
     )
+
+
+@register(
+    "ml_minmax_scale",
+    oracle=_SPLIT_SQL_CTE
+    + """,
+    feat AS (
+      SELECT s.vec_id, s.label, s.rn, s.train_size,
+             CAST(rn <= train_size AS INT) AS is_train,
+             CAST(e.embedding[1] AS DOUBLE) AS x0
+      FROM sized s JOIN embeddings e ON s.vec_id = e.vec_id),
+    stats AS (SELECT MIN(x0) AS lo, MAX(x0) AS hi FROM feat WHERE is_train = 1)
+    SELECT vec_id, label, is_train,
+           ROUND((x0 - lo) / (hi - lo), 4) AS x0_scaled
+    FROM feat, stats
+    """,
+)
+def ml_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max scaling to [0, 1]: range fitted on the TRAIN split only,
+    applied to train and test alike — the fit/transform sibling of
+    ``ml_standardize`` (cf. Spark ML ``MinMaxScaler``); test rows can land
+    outside [0, 1], which is correct (no leakage of test extremes into the
+    fit).
+
+    Same scale shape as ``center``: the fitted stats are ONE row broadcast
+    back onto a map-side transform.  Min/max are order-insensitive exact
+    values, so (unlike avg/stddev) no pre-rounding is needed for
+    cross-engine hash parity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = train_test_split(emb, "label", ["vec_id"], train_setting=0.7, cv=5)
+    feat = split.withColumn(
+        "x0", F.element_at(F.col("embedding").cast("array<double>"), 1)
+    )
+    stats = feat.where(F.col("is_train") == 1).agg(
+        F.min("x0").alias("_lo"), F.max("x0").alias("_hi")
+    )
+    return feat.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "label",
+        "is_train",
+        F.round(
+            (F.col("x0") - F.col("_lo")) / (F.col("_hi") - F.col("_lo")), 4
+        ).alias("x0_scaled"),
+    )
+
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@register(
+    "ml_onehot_encode",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderpriority = '1-URGENT'        AS INT) AS pri_urgent,
+           CAST(o_orderpriority = '2-HIGH'          AS INT) AS pri_high,
+           CAST(o_orderpriority = '3-MEDIUM'        AS INT) AS pri_medium,
+           CAST(o_orderpriority = '4-NOT SPECIFIED' AS INT) AS pri_notspec,
+           CAST(o_orderpriority = '5-LOW'           AS INT) AS pri_low
+    FROM orders
+    """,
+)
+def ml_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding of a categorical column (order priority → five
+    indicator columns) — the categorical-feature materialization step
+    between raw tables and the numeric matrices the reference consumes
+    (its data model is numeric-only, ``preprocess.py:50``; encoding is the
+    missing on-ramp).
+
+    The category list is DECLARED, not discovered — like
+    ``reshape_pivot``, that keeps the plan a pure narrow projection (zero
+    shuffles, zero extra passes at 100 TB); Spark ML's ``OneHotEncoder``
+    fits a dictionary first, which costs a full pass.  Unknown categories
+    encode as all-zeros, the standard handle-invalid choice."""
+    names = ("pri_urgent", "pri_high", "pri_medium", "pri_notspec", "pri_low")
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    return orders.select(
+        "o_orderkey",
+        *[
+            (F.col("o_orderpriority") == v).cast("int").alias(n)
+            for v, n in zip(_PRIORITIES, names)
+        ],
+    )
