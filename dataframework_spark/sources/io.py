@@ -9,9 +9,9 @@ the same aggregate on the original table.  A hash match proves the format
 encoder+decoder preserved values exactly.
 
 Formats: parquet (partitioned layout — the lake layout that enables
-partition pruning), CSV (schema'd, header), JSON lines, and a
-bucket-by-key pair of tables joined without a shuffle (the co-located
-join layout for repeated fact-fact joins at 100 TB).
+partition pruning), CSV (schema'd, header), JSON lines, ORC, plain text
+lines, and a bucket-by-key pair of tables joined without a shuffle (the
+co-located join layout for repeated fact-fact joins at 100 TB).
 
 Scratch lives under ``/root/repo/.scratch`` (gitignored); every writer
 uses ``mode("overwrite")`` so round-trips are idempotent across driver
@@ -270,4 +270,36 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
+@register(
+    "sink_text_lines",
+    oracle=r"""
+    SELECT COUNT(*)                                               AS n_lines,
+           SUM(length(text))                                      AS total_chars,
+           SUM(len(regexp_split_to_array(trim(text), '\s+')))     AS total_tokens
+    FROM documents
+    """,
+)
+def sink_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source/sink round-trip: document bodies → one line per
+    document (``spark.write.text``) → read back as the schemaless
+    ``value: string`` a raw-corpus ingest starts from → corpus totals.
+
+    Text is the lowest common denominator for web-scale raw dumps; the
+    engine's job is proving lines survive byte-exact (the oracle aggregates
+    the original table).  Line-delimited text splits cleanly by newline at
+    any file size, so scans parallelize like any other splittable source.
+    Documents with embedded newlines would need JSON-lines framing instead
+    — the synthetic corpus has none, which the hash match also certifies."""
+    docs = load_table(spark, sf_dir, "documents", columns=["text"])
+    path = _scratch(sf_dir, "documents_txt")
+    docs.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.sum(F.size(toks)).alias("total_tokens"),
     )

@@ -183,3 +183,21 @@ def test_retention_single_scan_no_join(spark, sf_dir):
     df = events_user_retention(spark, sf_dir)
     assert len(read_schemas(df)) == 1, plan_string(df)
     assert "Join" not in plan_string(df), plan_string(df)
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir, tmp_path):
+    # hive-style partitioned layout + a partition-column predicate must
+    # show up as PartitionFilters (directory pruning), NOT a data filter:
+    # at 100 TB the other languages' files are never even listed open.
+    from pyspark.sql import functions as F
+
+    from dataframework_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).where(F.col("lang") == "en").select("doc_id")
+    ps = plan_string(back)
+    pf = [ln for ln in ps.splitlines() if "PartitionFilters" in ln]
+    assert pf and "lang" in pf[0], ps
+    assert back.count() > 0
