@@ -1656,3 +1656,37 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return packed.select("p.column_name", "p.n_nulls", "p.n_distinct", "p.min_val", "p.max_val")
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+    WITH k AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+    SELECT COUNT(*)                               AS n_keys,
+           MAX(n)                                 AS max_per_key,
+           ROUND(AVG(n), 4)                       AS avg_per_key,
+           ROUND(quantile_cont(n, 0.99), 2)       AS p99_per_key,
+           ROUND(MAX(n)::DOUBLE / AVG(n), 4)      AS skew_ratio
+    FROM k
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for ``lineitem.l_orderkey``: key cardinality,
+    max/avg/p99 rows per key, and the max/avg skew ratio — the diagnostic
+    run before choosing a join strategy (ratio ≈ 1 → plain shuffle join;
+    heavy tail → AQE skew splitting; pathological hot keys → the explicit
+    salting of ``join_salted_skew``).
+
+    One groupBy shuffle on the key (partial counts map-side), then a
+    single-row aggregate over the key-count table — the profile costs one
+    pass no matter the input size, and in production runs on a sample or
+    piggybacks on an existing aggregate."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey"])
+    k = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_per_key"),
+        F.round(F.avg("n"), 4).alias("avg_per_key"),
+        F.round(F.expr("percentile(n, 0.99D)"), 2).alias("p99_per_key"),
+        F.round(F.max("n").cast("double") / F.avg("n"), 4).alias("skew_ratio"),
+    )

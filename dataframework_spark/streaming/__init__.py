@@ -389,3 +389,60 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return _run_to_table(agg, spark, mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# ST8 — foreachBatch sink (the production write path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_foreachbatch_sink",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` sink: each microbatch (one file per trigger, 4
+    batches) writes its PER-BATCH partial aggregates to a parquet
+    directory; the final answer re-aggregates the partials and must equal
+    the batch per-user totals — the standard incremental-rollup write
+    path for sinks Structured Streaming doesn't natively target (JDBC,
+    MERGE targets, multi-table fanout).
+
+    Partial-then-final is the scale discipline: each batch ships
+    user-count-sized aggregates, never raw events, and the compaction
+    read is over 4×|users| rows.  foreachBatch gives exactly-once only
+    with an idempotent/transactional writer; batch_id is persisted so a
+    real target could dedup replayed batches — here the scratch dir is
+    cleared up front and the stream uses a fresh temp checkpoint, so
+    every run reprocesses everything (what the oracle comparison needs)."""
+    import shutil
+
+    from dataframework_spark.sources.io import _scratch
+
+    ev = _split_events_stream(spark, sf_dir)
+    out = _scratch(sf_dir, "events_fb_sink")
+    shutil.rmtree(out, ignore_errors=True)
+
+    def _write_batch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = ev.writeStream.foreachBatch(_write_batch).trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    back = spark.read.parquet(out)
+    return back.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"), F.round(F.sum("sv"), 2).alias("sum_value")
+    )
