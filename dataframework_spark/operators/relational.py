@@ -1690,3 +1690,61 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n, 0.99D)"), 2).alias("p99_per_key"),
         F.round(F.max("n").cast("double") / F.avg("n"), 4).alias("skew_ratio"),
     )
+
+
+@register(
+    "sql_recursive_streaks",
+    oracle="""
+    WITH RECURSIVE d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    streak(user_id, day, len) AS (
+      SELECT d.user_id, d.day, 1 FROM d
+      WHERE NOT EXISTS (SELECT 1 FROM d p WHERE p.user_id = d.user_id AND p.day = d.day - 1)
+      UNION ALL
+      SELECT s.user_id, d.day, s.len + 1
+      FROM streak s JOIN d ON d.user_id = s.user_id AND d.day = s.day + 1
+    )
+    SELECT user_id, MAX(len)::BIGINT AS longest_streak
+    FROM streak GROUP BY user_id
+    """,
+)
+def sql_recursive_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (``WITH RECURSIVE``, native in Spark 4): longest run
+    of consecutive active days per user — anchor = days with no
+    predecessor (correlated NOT EXISTS), recursive step walks day+1 edges
+    until the streak breaks.
+
+    The fixpoint iteration runs INSIDE Catalyst (each step is an
+    incremental join against the last frontier, depth = longest streak ≤
+    observation window), and the engine shares one SQL text shape with the
+    oracle — the same recursion DuckDB executes.
+
+    Measured honestly: ~13 s at sf0.1 regardless of data size — Spark's
+    recursive execution pays a constant per-step planning/scheduling cost
+    × ~30 steps (broadcast hint and single-partition input shave only
+    ~20%).  This query is the *capability* face; for per-key runs over
+    big data the production form is the gap-and-islands window
+    (``day − row_number()`` constant per island, one shuffle, zero
+    iterations), and for data-unbounded recursion (transitive closure)
+    the ``dedup_clusters`` loop with ``localCheckpoint`` is the
+    scale-hardened form."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+    # the distinct (user, day) set is calendar×users-bounded (tiny); one
+    # partition keeps each of the ~30 recursion steps a single-task job
+    ev.select("user_id", F.to_date("ts").alias("day")).distinct().coalesce(
+        1
+    ).createOrReplaceTempView("_streak_days")
+    return spark.sql(
+        """
+        WITH RECURSIVE streak(user_id, day, len) AS (
+          SELECT d.user_id, d.day, 1 FROM _streak_days d
+          WHERE NOT EXISTS (SELECT 1 FROM _streak_days p
+                            WHERE p.user_id = d.user_id AND p.day = date_add(d.day, -1))
+          UNION ALL
+          SELECT /*+ BROADCAST(d) */ s.user_id, d.day, s.len + 1
+          FROM streak s JOIN _streak_days d
+            ON d.user_id = s.user_id AND d.day = date_add(s.day, 1)
+        )
+        SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak
+        FROM streak GROUP BY user_id
+        """
+    )
