@@ -243,3 +243,16 @@ def test_power_iteration_rayleigh_on_flat_spectrum(spark, sf_dir):
     lam1 = np.linalg.eigvalsh(S)[-1]
     rq = float(v @ S @ v) / float(v @ v)
     assert rq > 0.95 * lam1, (rq, lam1)
+
+
+def test_recursive_and_window_streaks_agree(spark, sf_dir):
+    # same semantics, two physical shapes: the recursive CTE and the
+    # gap-and-islands window must produce identical per-user streaks.
+    from dataframework_spark.operators.relational import (
+        sql_recursive_streaks,
+        window_gap_islands,
+    )
+
+    a = {r["user_id"]: r["longest_streak"] for r in sql_recursive_streaks(spark, sf_dir).collect()}
+    b = {r["user_id"]: r["longest_streak"] for r in window_gap_islands(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
