@@ -414,25 +414,31 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS numcust,
            ROUND(SUM(c_acctbal), 2) AS totacctbal
     FROM customer c
-    WHERE c_nationkey IN (1, 3, 5, 7, 9)
+    WHERE c_nationkey BETWEEN 10 AND 24
       AND c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2) FROM customer
-                       WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9))
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                       WHERE c_acctbal > 0 AND c_nationkey BETWEEN 10 AND 24)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-01-01')
     GROUP BY c_nationkey
     """,
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-sales-opportunity (TPC-H Q22 shape; adapted — no ``c_phone``
     in the test data, so the country-code prefix list becomes a nationkey
-    IN-list): above-average-balance customers in selected nations who have
-    never placed an order.  Three shapes in one query: IN-list pushdown,
+    band): above-average-balance customers in selected nations with no
+    RECENT order (none since 1998 — the synthetic orders table covers
+    every custkey, so the literal "never ordered" predicate is empty at
+    every SF; the recency cutoff keeps the anti-join semantics exercised
+    on real rows).  Three shapes in one query: selective pushdown,
     uncorrelated scalar threshold (rounded on both sides, broadcast as a
-    one-row join), and NOT EXISTS as a left-anti join."""
-    nations = [1, 3, 5, 7, 9]
+    one-row join), and NOT EXISTS as a left-anti join with a pushed
+    residual date filter."""
     cust = load_table(
         spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
-    ).where(F.col("c_nationkey").isin(nations))
-    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey"])
+    ).where(F.col("c_nationkey").between(10, 24))
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).where(
+        F.col("o_orderdate") >= "1998-01-01"
+    )
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
         F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
     )
