@@ -1622,6 +1622,10 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     ]
     orders = load_table(spark, sf_dir, "orders", columns=cols)
+    # the multi-distinct Expand is CPU-bound; spread a single-split local
+    # scan across cores (cluster scans get this from their input splits —
+    # same note as dedup_exact).  Measured 3.9 s → 2.3 s at sf0.1.
+    orders = orders.repartition(spark.sparkContext.defaultParallelism)
 
     def _minmax(c: str, agg) -> F.Column:
         if c == "o_totalprice":
