@@ -566,6 +566,9 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-gram docs shorter than 8 tokens have no shingles and cannot be
     flagged — the standard definition."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # tokenization + 8-gram hashing is CPU-bound; spread the single-split
+    # local scan across cores before computing the cached shingle sets
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     t = docs.withColumn("toks", tokens())
     s = t.select(
         "doc_id",

@@ -558,8 +558,12 @@ def ml_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id — the oracle's join formulation is the semantic spec, not the
     plan), then one ``covar_pop`` aggregate partial-reduces map-side to
     at most 2080 groups per task.  Cost at 100 TB: one scan + a
-    constant-size shuffle, independent of corpus row count."""
+    constant-size shuffle, independent of corpus row count.  The d·(d+1)/2
+    expansion is CPU-bound, so a single-split local scan is spread across
+    cores first (cluster scans get this from their input splits; measured
+    2.5 s → 1.0 s at sf0.1)."""
     e = load_table(spark, sf_dir, "embeddings", columns=["embedding"])
+    e = e.repartition(spark.sparkContext.defaultParallelism)
     pairs = e.select(
         F.explode(
             F.expr(
