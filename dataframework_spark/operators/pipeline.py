@@ -110,3 +110,82 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_bpe_tokens"
         ),
     )
+
+
+@register(
+    "pipeline_semantic_dedup",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+        (SELECT CASE WHEN len(t) BETWEEN 30 AND 400 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN len(list_distinct(t))::DOUBLE / len(t) >= 0.3 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN len(list_filter(t, x -> x IN {_SW_DUCK}))::DOUBLE / len(t)
+                     BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END
+         FROM (SELECT {DUCK_TOKENS_SQL} AS t)) AS quality
+      FROM documents),
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                    * sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)))), 4) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+            / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
+             * sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)))) >= 0.4)
+    SELECT p.doc_a, p.doc_b, p.cos_sim,
+           CASE WHEN qa.quality > qb.quality THEN p.doc_a
+                WHEN qb.quality > qa.quality THEN p.doc_b
+                ELSE LEAST(p.doc_a, p.doc_b) END AS keeper_doc_id
+    FROM pairs p
+    JOIN q qa ON qa.doc_id = p.doc_a
+    JOIN q qb ON qb.doc_id = p.doc_b
+    """,
+)
+def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal semantic dedup: embedding cosine decides *duplicate*
+    (pairs ≥ 0.4 from the BLAS-blocked ``dedup_embedding_cosine``), text
+    quality decides *keeper* (higher heuristic quality wins, ties to the
+    lower doc_id) — the policy real corpus builds use, where the survivor
+    of a near-dup pair should be the better-written copy, not an
+    arbitrary id.
+
+    Composition across BOTH modal tables (documents ⋈ embeddings on
+    doc_id = vec_id): the pair table is near-dup-sized (tiny), so the two
+    quality lookups are hash joins keyed by doc id against a narrow
+    per-doc projection — the corpus text is scanned once, never
+    shuffled.  Quality scores are identical IEEE sums of the same
+    constants in both engines, so the keeper choice hash-matches
+    exactly."""
+    from dataframework_spark.operators.dedup import dedup_embedding_cosine
+
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    t = docs.withColumn("toks", tokens())
+    n = F.size("toks").cast("double")
+    ttr = F.size(F.array_distinct("toks")) / n
+    swr = F.expr(f"size(filter(toks, t -> array_contains({_SW_ARRAY}, t)))") / n
+    q = t.select(
+        "doc_id",
+        (
+            F.when(F.size("toks").between(30, 400), F.lit(0.4)).otherwise(0.0)
+            + F.when(ttr >= 0.3, F.lit(0.3)).otherwise(0.0)
+            + F.when(swr.between(0.01, 0.5), F.lit(0.3)).otherwise(0.0)
+        ).alias("quality"),
+    )
+    qa = q.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("quality", "qa")
+    qb = q.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("quality", "qb")
+    keeper = (
+        F.when(F.col("qa") > F.col("qb"), F.col("doc_a"))
+        .when(F.col("qb") > F.col("qa"), F.col("doc_b"))
+        .otherwise(F.least("doc_a", "doc_b"))
+    )
+    return (
+        pairs.withColumnRenamed("vec_a", "doc_a")
+        .withColumnRenamed("vec_b", "doc_b")
+        .join(qa, "doc_a")
+        .join(qb, "doc_b")
+        .select("doc_a", "doc_b", "cos_sim", keeper.alias("keeper_doc_id"))
+    )
