@@ -63,6 +63,13 @@ def get_spark(
         # Scan parallelism: at 100 TB this yields ~800k input splits of
         # 128 MB — the right granularity for 1000 executors.
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # NOTE deliberately NOT set: spark.sql.optimizer.runtime.bloomFilter
+        # .enabled (+ semiJoinReduction) — runtime row-level join pruning
+        # would help selective dim-filtered fact joins at 100 TB, but on
+        # this Spark build enabling them sends the optimizer into a
+        # non-terminating loop on plain explain() (reproduced on the q1
+        # plan test); leave them to cluster-level tuning where the build
+        # is validated.
         # Quieter local runs.
         "spark.ui.showConsoleProgress": "false",
         # Some inputs (events.ts) carry parquet TIMESTAMP(NANOS), which the
