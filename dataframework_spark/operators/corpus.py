@@ -1,0 +1,182 @@
+"""LLM-corpus preparation operators: repetition quality filters, document
+chunking, and context-window packing (SURVEY.md §2.10 north-star family).
+
+No reference counterpart: Alrash/DataFramework handles only numeric
+feature matrices (``/root/reference/DFW/preprocess.py:50``); these are the
+operators a pretraining-data pipeline runs between raw text and tokenized
+training sequences:
+
+* :func:`text_repetition_stats` — Gopher-style repetition signals
+  (top-bigram fraction, duplicated-bigram fraction) used to drop
+  boilerplate/spam documents;
+* :func:`text_chunk_sliding` — fixed-size sliding-window chunking with
+  overlap (the RAG / long-doc splitting primitive);
+* :func:`text_pack_sequences` — greedy contiguous packing of documents
+  into fixed token budgets (context-window fill accounting).
+
+Scale design (100 TB): chunking and packing are narrow per-row array
+expressions plus at most one shuffle (explode stays within the row until
+the final explode; packing shuffles once on the partition key for its
+window cumsum).  Repetition stats shuffle on (doc_id, bigram) — the same
+key shape as term frequency, so partial aggregation absorbs the skew of
+repeated bigrams before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataframework_spark.catalog import load_table
+from dataframework_spark.functions.arrays import DUCK_TOKENS_SQL, TOKENS_SQL, tokens
+from dataframework_spark.registry import register
+
+# Spark SQL: NON-distinct word bigrams of the ``toks`` column (repetition
+# metrics need multiplicity, unlike the dedup shingles which are distinct).
+_BIGRAMS_SPARK = (
+    "case when size(toks) < 2 then array() "
+    "else transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' ')) end"
+)
+_BIGRAMS_DUCK = (
+    "case when len(toks) < 2 then [] "
+    "else list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]) end"
+)
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    b AS (SELECT doc_id, unnest({_BIGRAMS_DUCK}) AS bg FROM t),
+    c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY 1, 2)
+    SELECT doc_id,
+           SUM(cnt)                                           AS n_bigrams,
+           MAX(cnt)                                           AS top_bigram_count,
+           ROUND(MAX(cnt)::DOUBLE / SUM(cnt), 4)              AS top_bigram_frac,
+           ROUND(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
+                 / SUM(cnt), 4)                               AS dup_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction
+    of bigram occurrences claimed by the single most frequent bigram, and
+    the fraction covered by any repeated bigram (Rae et al. 2021 drop
+    documents above thresholds on exactly these).
+
+    Plan: bigrams are built narrowly inside codegen (``sequence`` +
+    ``slice`` never leave the row), then ONE shuffle keyed on
+    (doc_id, bigram) with map-side partial counts — the same exchange
+    shape as term frequency, linear in corpus token count.  Documents with
+    fewer than two tokens have no bigrams and drop out on both sides."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    b = docs.withColumn("toks", tokens()).select(
+        "doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("bg")
+    )
+    c = b.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt")
+    return c.groupBy("doc_id").agg(
+        n.alias("n_bigrams"),
+        F.max("cnt").alias("top_bigram_count"),
+        F.round(F.max("cnt").cast("double") / n, 4).alias("top_bigram_frac"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).cast("double") / n,
+            4,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # chunk start step (overlap = _CHUNK - _STRIDE = 8 tokens)
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), {_STRIDE})) AS start
+          FROM t)
+    SELECT doc_id,
+           (start - 1) // {_STRIDE}                                AS chunk_id,
+           len(list_slice(toks, start, start + {_CHUNK} - 1))      AS chunk_len,
+           array_to_string(list_slice(toks, start, start + {_CHUNK} - 1), ' ') AS chunk_text
+    FROM s
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split every document into {_CHUNK}-token
+    chunks starting every {_STRIDE} tokens (8-token overlap) — the
+    splitting primitive for RAG indexing and long-document training, where
+    overlap preserves context across chunk boundaries.
+
+    Plan: chunk starts and slices are pure array expressions inside
+    whole-stage codegen; the only row-expanding step is the final
+    ``explode``, which is narrow (no shuffle at any scale — output
+    partitioning inherits the scan).  The trailing chunk is naturally
+    partial; ``slice`` past the end clamps identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    t = docs.withColumn("toks", tokens())
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.expr(f"sequence(1, size(toks), {_STRIDE})")).alias("start"),
+    )
+    chunk = F.expr(f"slice(toks, start, {_CHUNK})")
+    return s.select(
+        "doc_id",
+        ((F.col("start") - 1) / _STRIDE).cast("bigint").alias("chunk_id"),
+        F.size(chunk).alias("chunk_len"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+_CTX = 2048  # token budget per packed sequence
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT lang, doc_id, len({DUCK_TOKENS_SQL}) AS n FROM documents),
+    c AS (SELECT lang, n,
+                 SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT lang,
+           CAST(FLOOR((cum - n) / {_CTX}.0) AS BIGINT) AS pack_id,
+           COUNT(*)                                    AS n_docs,
+           SUM(n)                                      AS pack_tokens,
+           ROUND(SUM(n)::DOUBLE / {_CTX}, 4)           AS fill_ratio
+    FROM c GROUP BY lang, pack_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing accounting: stream each language's documents
+    in doc_id order into {_CTX}-token budgets; a document belongs to the
+    pack in which it *starts* (greedy contiguous fill, documents may
+    straddle a boundary — the standard pre-tokenization packing layout).
+    Reports docs, tokens, and fill ratio per pack.
+
+    Plan: one shuffle on the partition key (lang) for the running-sum
+    window, then the pack rollup reuses that partitioning (no second
+    exchange of the full data).  The window is a plain cumulative sum —
+    linear, spill-safe, and the per-key streams are independent, so the
+    plan is embarrassingly parallel across languages/shards at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    t = docs.select("lang", "doc_id", F.size(tokens()).alias("n"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n").over(w))
+    pack = F.floor((F.col("cum") - F.col("n")) / float(_CTX)).cast("bigint")
+    return (
+        c.withColumn("pack_id", pack)
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("pack_tokens"),
+            F.round(F.sum("n").cast("double") / _CTX, 4).alias("fill_ratio"),
+        )
+    )

@@ -522,3 +522,97 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 2).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_scd2_state",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    c AS (
+      SELECT user_id, event_type AS state, ts AS effective_from
+      FROM o WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, state, effective_from,
+           LEAD(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from)
+             AS effective_to,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY effective_from)
+             AS version,
+           LEAD(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from)
+             IS NULL AS is_current
+    FROM c
+    """,
+)
+def events_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each user's event
+    stream into state intervals — a new version whenever ``event_type``
+    changes, with ``effective_from``/``effective_to`` validity bounds and an
+    ``is_current`` flag on the open-ended row.  This is the standard
+    history-preserving dimension load (Kimball SCD2) that warehouse
+    pipelines run over CDC streams.
+
+    Plan: one shuffle on user_id, then ALL window math (change detection
+    via ``lag``, interval close via ``lead``, version numbering) runs in a
+    single per-user sorted pass — Spark evaluates the three functions over
+    one Window spec without re-exchanging.  Ordering ties on ts are broken
+    by event_id so the plan is deterministic (oracle discipline: no
+    unordered LAG)."""
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w_ord))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", F.col("event_type").alias("state"), F.col("ts").alias("effective_from"))
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("effective_from")
+    eff_to = F.lead("effective_from").over(w_ver)
+    return changes.select(
+        "user_id",
+        "state",
+        "effective_from",
+        eff_to.alias("effective_to"),
+        F.row_number().over(w_ver).alias("version"),
+        eff_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "events_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1),
+    acc AS (
+      SELECT day, n_events,
+             list(n_events) OVER (ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS xs
+      FROM daily)
+    SELECT day, n_events,
+           ROUND(list_reduce(list_transform(xs, x -> x::DOUBLE),
+                             (acc, v) -> 0.3 * v + 0.7 * acc), 4) AS ewma
+    FROM acc
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume
+    (alpha = 0.3, pandas ``ewm(adjust=False)`` recurrence: ewma_1 = x_1,
+    ewma_t = 0.3·x_t + 0.7·ewma_{t-1}) — the smoothing baseline behind
+    alerting thresholds and trend dashboards.
+
+    EWMA's recurrence is not a frame-able window aggregate, so each day
+    folds its prefix of daily counts with ``aggregate`` over a windowed
+    ``collect_list``.  That prefix is CALENDAR-sized, not data-sized: the
+    raw scan collapses to one row per day first (one shuffle), so even a
+    century of 100 TB telemetry folds ≤36.5k-element arrays — the global
+    window runs over the tiny aggregate only.  For per-entity EWMA the
+    identical plan partitions the window by key."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts"])
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy().orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    acc = daily.withColumn("xs", F.collect_list("n_events").over(w))
+    fold = (
+        "aggregate(slice(xs, 2, size(xs) - 1), cast(element_at(xs, 1) as double), "
+        "(acc, v) -> 0.3 * v + 0.7 * acc)"
+    )
+    return acc.select("day", "n_events", F.round(F.expr(fold), 4).alias("ewma"))

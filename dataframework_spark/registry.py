@@ -51,6 +51,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def all_queries() -> dict[str, QuerySpec]:
     # Import operator modules for their registration side effects.
     from dataframework_spark.operators import (  # noqa: F401
+        corpus,
         dedup,
         ml_prep,
         multimodal,
