@@ -805,3 +805,66 @@ def ml_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for v, n in zip(_PRIORITIES, names)
         ],
     )
+
+
+@register(
+    "ml_nearest_centroid_confusion",
+    oracle="""
+    WITH f AS (
+      SELECT label,
+             unnest(range(len(embedding)))  AS dim,
+             unnest(embedding)::DOUBLE      AS v
+      FROM embeddings),
+    cd AS (SELECT label, dim, AVG(v) AS c FROM f GROUP BY 1, 2),
+    cent AS (SELECT label AS clabel, list(c ORDER BY dim) AS centroid FROM cd GROUP BY 1),
+    d AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             list_sum(list_transform(range(len(e.embedding)),
+               i -> (e.embedding[i + 1]::DOUBLE - c.centroid[i + 1])
+                    * (e.embedding[i + 1]::DOUBLE - c.centroid[i + 1]))) AS dist2
+      FROM embeddings e CROSS JOIN cent c),
+    r AS (
+      SELECT label, clabel, dist2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ROUND(dist2, 6), clabel) AS rn
+      FROM d)
+    SELECT label, clabel AS predicted, COUNT(*) AS n,
+           ROUND(AVG(SQRT(dist2)), 2) AS avg_dist
+    FROM r WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def ml_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification of every embedding against the
+    per-label centroids, reported as a confusion matrix (true label ×
+    predicted label, with count and mean distance) — the zero-training
+    baseline classifier and the standard label-noise diagnostic for an
+    embedding corpus.
+
+    Plan shape for 100 TB: the centroid "model" is |labels| rows and is
+    built with a constant-size shuffle (same partial-agg shape as
+    ``ml_label_centroids``), then BROADCAST — the corpus-side pass is a
+    narrow map (cross join against a 10-row build side + argmin window
+    keyed by vec_id, which AQE handles as local sort within scan
+    partitions).  Distances are ranked on a 6-dp rounding with the label
+    as tiebreak, so cross-engine float noise cannot flip the argmin."""
+    e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+    flat = e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"))
+    cd = flat.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    cent = cd.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").alias("centroid")
+    ).select(F.col("label").alias("clabel"), "centroid")
+    d = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.expr(
+            "aggregate(zip_with(cast(embedding as array<double>), centroid, "
+            "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("dist2", 6), "clabel")
+    r = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return r.groupBy("label", F.col("clabel").alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.sqrt("dist2")), 2).alias("avg_dist"),
+    )

@@ -616,3 +616,53 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(acc, v) -> 0.3 * v + 0.7 * acc)"
     )
     return acc.select("day", "n_events", F.round(F.expr(fold), 4).alias("ewma"))
+
+
+@register(
+    "events_max_concurrency",
+    oracle="""
+    WITH pts AS (
+      SELECT ts AS p, 1 AS d FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 15 MINUTES AS p, -1 AS d FROM events),
+    net AS (SELECT p, SUM(d) AS nd FROM pts GROUP BY p),
+    run AS (
+      SELECT p, SUM(nd) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS conc
+      FROM net)
+    SELECT CAST(p AS DATE) AS day, MAX(conc) AS max_concurrent
+    FROM run GROUP BY 1
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval sweep-line: peak number of concurrently-active sessions per
+    day, modeling each event as a 15-minute activity interval — the
+    capacity-planning query (peak load, license seats, connection pools).
+
+    The textbook sweep is a GLOBAL ordered running sum over ±1 deltas —
+    a single-partition sort over data-sized input, the oracle's (fine for
+    DuckDB) formulation and exactly what a 100 TB plan must avoid.  This
+    plan factors it: (1) net deltas collapse to one row per distinct
+    timestamp (one shuffle, partial-agg'd map-side); (2) the running sum
+    runs INSIDE each day partition — parallel across days; (3) each day's
+    carry-in (concurrency inherited at midnight) is the prefix sum of
+    per-day delta totals, a calendar-sized global window; (4) carry is
+    broadcast back.  Identity: global_prefix(t) = day_prefix(t) +
+    carry(day(t)), so values match the oracle exactly."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts"])
+    starts = ev.select(F.col("ts").alias("p"), F.lit(1).alias("d"))
+    ends = ev.select((F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("p"), F.lit(-1).alias("d"))
+    net = starts.unionByName(ends).groupBy("p").agg(F.sum("d").alias("nd"))
+    net = net.withColumn("day", F.to_date("p"))
+    w_in_day = (
+        Window.partitionBy("day").orderBy("p").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_in_day = net.withColumn("run", F.sum("nd").over(w_in_day))
+    day_tot = net.groupBy("day").agg(F.sum("nd").alias("day_net"))
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = day_tot.withColumn("carry", F.coalesce(F.sum("day_net").over(w_days), F.lit(0)))
+    joined = run_in_day.join(F.broadcast(carry.select("day", "carry")), "day")
+    return (
+        joined.select("day", (F.col("run") + F.col("carry")).alias("conc"))
+        .groupBy("day")
+        .agg(F.max("conc").alias("max_concurrent"))
+    )

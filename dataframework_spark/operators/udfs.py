@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 from dataframework_spark.catalog import load_table
 from dataframework_spark.registry import register
@@ -262,3 +263,41 @@ def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL sentence_split(d.text) t
         """
     ).select("doc_id", "sentence_idx", "n_chars", "n_tokens")
+
+
+@register(
+    "sample_hash_per_group",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS hkey
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, hkey,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rnk
+      FROM h)
+    SELECT lang, rnk, doc_id, hkey FROM r WHERE rnk <= 8
+    """,
+)
+def sample_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly k=8 documents per
+    language, chosen as the k smallest values of a Knuth multiplicative
+    hash of the key — a uniform pseudo-random draw that is reproducible,
+    engine-portable (plain int64 arithmetic, unlike seeded RNG streams),
+    and stable under insertion order.  This is the fixed-size-per-stratum
+    companion to ``sample_systematic`` (fixed-rate) and
+    ``sample_seeded_fraction`` (RNG).
+
+    Plan: the hash is a narrow projection; per-stratum top-k is one
+    ranking window shuffled by lang.  At 100 TB the window never
+    materializes whole strata in memory — AQE sorts spill, and for tiny k
+    a ``groupBy(lang).agg(min_by-heap)`` variant bounds state further."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang"])
+    h = docs.select(
+        "doc_id", "lang", F.expr("(doc_id * 2654435761) % 4294967296").alias("hkey")
+    )
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        h.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 8)
+        .select("lang", "rnk", "doc_id", "hkey")
+    )
