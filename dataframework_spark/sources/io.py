@@ -303,3 +303,87 @@ def sink_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).alias("total_chars"),
         F.sum(F.size(toks)).alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (mergeSchema) and corrupt-record handling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
+           COUNT(*)                    AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: batch 1 is written with the v1 schema
+    (orderkey, totalprice), batch 2 with a v2 schema that added a column
+    (orderstatus); ``mergeSchema=true`` reconciles them into one frame
+    with nulls where the old files lack the column — the append-only data
+    lake upgrade path, no rewrite of historical files.
+
+    Scale note: mergeSchema reconciles FOOTERS (per-file metadata), not
+    data; the scan stays a plain pruned parquet read.  Keep it off by
+    default at 100 TB (footer listing cost) and turn it on only for reads
+    that span a schema boundary — or register the table in a catalog with
+    the superset schema."""
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    orders = load_table(spark, sf_dir, "orders", columns=cols)
+    path = _scratch(sf_dir, "orders_evolved")
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1)
+    v1.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch=1"), os.path.join(path, "batch=2")
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "source_corrupt_json",
+    oracle="""
+    SELECT CASE WHEN doc_id % 10 = 3 THEN NULL ELSE lang END AS lang,
+           COUNT(*)                                          AS n_rows,
+           SUM(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END)  AS n_corrupt
+    FROM documents GROUP BY 1
+    """,
+)
+def source_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine: a JSON-lines feed where 10% of rows are
+    malformed (truncated payloads) is read in PERMISSIVE mode with an
+    explicit ``_corrupt_record`` column — bad rows surface as data (all
+    fields null, raw line captured) instead of failing the job or being
+    silently dropped, so the pipeline can count/route them.
+
+    The malformed lines are synthesized deterministically (doc_id % 10 = 3
+    truncates the object) so the oracle can recompute the quarantine
+    counts from the clean table.  PERMISSIVE + explicit schema is the
+    100 TB posture: no inference scan, no job-killing poison rows, and the
+    corrupt column materializes only when referenced.  The read is cached
+    before aggregation because Spark refuses plans that reference only the
+    internal corrupt column on the raw scan."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang"])
+    line = F.when(
+        F.col("doc_id") % 10 == 3, F.lit('{"doc_id": ')
+    ).otherwise(F.to_json(F.struct("doc_id", "lang")))
+    path = _scratch(sf_dir, "docs_jsonl")
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema("doc_id bigint, lang string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    back = back.cache()
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("bigint")).alias("n_corrupt"),
+    )
