@@ -38,6 +38,13 @@ _BIGRAMS_SPARK = (
     "case when size(toks) < 2 then array() "
     "else transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' ')) end"
 )
+# Same bigrams collapsed to int64 identities inside the row, so the shuffle
+# never carries strings (counting needs identity only; see docstring).
+_BIGRAM_HASHES_SPARK = (
+    "case when size(toks) < 2 then array() "
+    "else transform(sequence(1, size(toks) - 1), "
+    "i -> xxhash64(array_join(slice(toks, i, 2), ' '))) end"
+)
 _BIGRAMS_DUCK = (
     "case when len(toks) < 2 then [] "
     "else list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]) end"
@@ -66,13 +73,19 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents above thresholds on exactly these).
 
     Plan: bigrams are built narrowly inside codegen (``sequence`` +
-    ``slice`` never leave the row), then ONE shuffle keyed on
-    (doc_id, bigram) with map-side partial counts — the same exchange
-    shape as term frequency, linear in corpus token count.  Documents with
-    fewer than two tokens have no bigrams and drop out on both sides."""
+    ``slice`` never leave the row) and immediately collapsed to xxhash64
+    int64 keys, so the (doc_id, bigram) exchange moves 16-byte rows, never
+    strings — same exchange shape as term frequency, linear in corpus
+    token count (the count-by-key only needs bigram *identity*; a 64-bit
+    collision inside one document is the only failure mode and is
+    vanishingly rare at any document length).  The scan is spread across
+    executors first because the test parquet is a single split and the
+    bigram expansion is the CPU-bound stage.  Documents with fewer than
+    two tokens have no bigrams and drop out on both sides."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     b = docs.withColumn("toks", tokens()).select(
-        "doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("bg")
+        "doc_id", F.explode(F.expr(_BIGRAM_HASHES_SPARK)).alias("bg")
     )
     c = b.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
     n = F.sum("cnt")
