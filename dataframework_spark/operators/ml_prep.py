@@ -868,3 +868,118 @@ def ml_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(F.sqrt("dist2")), 2).alias("avg_dist"),
     )
+
+
+@register(
+    "ml_auc_rank",
+    oracle="""
+    WITH cpos AS (
+      SELECT dim, AVG(v) AS c FROM (
+        SELECT unnest(range(len(embedding))) AS dim, unnest(embedding)::DOUBLE AS v
+        FROM embeddings WHERE label = 0) GROUP BY dim),
+    cent AS (SELECT list(c ORDER BY dim) AS centroid FROM cpos),
+    s AS (
+      SELECT e.vec_id, e.label = 0 AS is_pos,
+             list_sum(list_transform(range(len(e.embedding)),
+               i -> e.embedding[i + 1]::DOUBLE * c.centroid[i + 1])) AS score
+      FROM embeddings e CROSS JOIN cent c),
+    r AS (
+      SELECT is_pos,
+             ROW_NUMBER() OVER (ORDER BY ROUND(score, 6), vec_id) AS rnk
+      FROM s)
+    SELECT SUM(CASE WHEN is_pos THEN 1 ELSE 0 END)                   AS n_pos,
+           SUM(CASE WHEN is_pos THEN 0 ELSE 1 END)                   AS n_neg,
+           ROUND((SUM(CASE WHEN is_pos THEN rnk ELSE 0 END)
+                  - SUM(CASE WHEN is_pos THEN 1 ELSE 0 END)
+                    * (SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) + 1) / 2.0)
+                 / (SUM(CASE WHEN is_pos THEN 1 ELSE 0 END)
+                    * SUM(CASE WHEN is_pos THEN 0 ELSE 1 END)), 4)   AS auc
+    FROM r
+    """,
+)
+def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC by the Mann-Whitney rank-sum identity for a deterministic
+    scorer (dot product against the positive-class centroid, positives =
+    label 0): AUC = (Σ ranks of positives − n_pos(n_pos+1)/2) / (n_pos·
+    n_neg) — the standard evaluation metric, computed without any ML
+    library and oracle-checkable.
+
+    Plan: the scorer "model" is one broadcast d-vector; scoring is a
+    narrow row expression.  The rank is a GLOBAL ordered window — exact
+    AUC fundamentally needs a total order, and this is the one place the
+    engine accepts a single-partition sort (ranking doubles, not rows:
+    the window input is (bool, double) pairs).  At 100 TB swap in the
+    binned estimator: histogram scores into ~10k buckets, AUC from
+    cumulative bucket counts — one aggregate, error O(1/buckets); the
+    exact form stays as the oracle-checked reference.  Score ties are
+    broken by vec_id identically in both engines."""
+    e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+    pos_flat = e.where(F.col("label") == 0).select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    cent = (
+        pos_flat.groupBy("dim")
+        .agg(F.avg("v").alias("c"))
+        .groupBy()
+        .agg(F.expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").alias("centroid"))
+    )
+    s = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        (F.col("label") == 0).alias("is_pos"),
+        F.expr(
+            "aggregate(zip_with(cast(embedding as array<double>), centroid, "
+            "(x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+        ).alias("score"),
+    )
+    w = Window.partitionBy().orderBy(F.round("score", 6), "vec_id")
+    r = s.select("is_pos", F.row_number().over(w).alias("rnk"))
+    n_pos = F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+    n_neg = F.sum(F.when(F.col("is_pos"), 0).otherwise(1))
+    rank_sum = F.sum(F.when(F.col("is_pos"), F.col("rnk")).otherwise(0))
+    return r.groupBy().agg(
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.round((rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 4).alias("auc"),
+    )
+
+
+_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@register(
+    "ml_quantile_bucketize",
+    oracle=f"""
+    WITH th AS (
+      SELECT quantile_cont(o_totalprice, {_DECILES}) AS ths FROM orders)
+    SELECT 1 + len(list_filter(th.ths, t -> o.o_totalprice > t)) AS bucket,
+           COUNT(*)                     AS n,
+           ROUND(MIN(o.o_totalprice), 2) AS lo,
+           ROUND(MAX(o.o_totalprice), 2) AS hi
+    FROM orders o CROSS JOIN th GROUP BY 1
+    """,
+)
+def ml_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization (Spark ML ``QuantileDiscretizer`` semantics,
+    exact): order prices bucketed into deciles by interpolated-quantile
+    thresholds, with per-bucket counts and bounds — the feature-binning
+    step before tree models and the skew diagnostic for monetization
+    columns.
+
+    Plan: thresholds come from ONE exact-percentile aggregate buffer (a
+    single sort-based agg — the repo's measured-fast formulation), come
+    back as a 9-element array broadcast to every row, and bucket
+    assignment is a narrow ``filter``-count over that array.  At 100 TB
+    substitute ``approx_percentile`` for the threshold pass (sketch
+    merge, no sort) — assignment is unchanged."""
+    orders = load_table(spark, sf_dir, "orders", columns=["o_totalprice"])
+    qlist = ", ".join(str(q) for q in _DECILES)
+    th = orders.agg(F.expr(f"percentile(o_totalprice, array({qlist}))").alias("ths"))
+    b = orders.crossJoin(F.broadcast(th)).select(
+        (1 + F.expr("size(filter(ths, t -> o_totalprice > t))")).alias("bucket"),
+        "o_totalprice",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
