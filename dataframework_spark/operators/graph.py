@@ -1,0 +1,126 @@
+"""Graph analytics on DataFrames: weighted PageRank over the nation trade
+graph (SURVEY.md §2.10 extension family; the cluster-resolution /
+connected-components sibling lives in ``operators/dedup.py``).
+
+No reference counterpart (Alrash/DataFramework has no joins at all —
+SURVEY.md §2.3); this demonstrates the iterative-algorithm pattern the
+north star needs beyond one-shot relational plans: a fixed number of
+sparse matrix-vector products expressed as join + aggregate.
+
+Scale design (100 TB): the expensive part is EDGE AGGREGATION — the
+four-way fact join that collapses lineitem-scale data down to a
+|nations|² ≤ 625-row weighted adjacency.  Everything iterative happens
+AFTER that collapse, on broadcast-sized tables, so iteration count never
+multiplies big-data shuffles.  The same shape holds for any entity graph:
+aggregate edges first, iterate on the contracted graph.  (For graphs
+whose contracted form is still huge, each iteration is one
+shuffle-on-dst join — PageRank's classic Pregel shape — and the loop
+below works unchanged; only the broadcast hints go.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataframework_spark.catalog import load_table
+from dataframework_spark.registry import register
+
+_N = 25  # |nation| — fixed-size TPC-H dimension at every scale factor
+_DAMP = 0.85
+_ITERS = 3
+
+# One PageRank step as a DuckDB CTE pair: contribution join + dangling mass.
+_DUCK_STEP = """
+    {next} AS (
+      SELECT n.n_nationkey AS node,
+             ROUND(0.15 / {N} + {damp} * (
+               COALESCE((SELECT SUM(e.w_norm * r.r) FROM e
+                         JOIN {prev} r ON r.node = e.src WHERE e.dst = n.n_nationkey), 0)
+               + (SELECT COALESCE(SUM(r.r), 0) FROM {prev} r
+                  WHERE r.node NOT IN (SELECT DISTINCT src FROM e)) / {N}), 10) AS r
+      FROM nation n)
+"""
+
+
+def _duck_oracle() -> str:
+    steps = ",\n".join(
+        _DUCK_STEP.format(next=f"r{i + 1}", prev=f"r{i}", N=_N, damp=_DAMP)
+        for i in range(_ITERS)
+    )
+    return f"""
+    WITH raw AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      GROUP BY 1, 2),
+    e AS (
+      SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS w_norm FROM raw),
+    r0 AS (SELECT n_nationkey AS node, 1.0 / {_N} AS r FROM nation),
+    {steps}
+    SELECT node, ROUND(r, 6) AS pagerank FROM r{_ITERS}
+    """
+
+
+@register("graph_pagerank_nations", oracle=_duck_oracle())
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 iterations, dangling mass
+    redistributed uniformly) over the directed trade graph whose edges are
+    customer-nation → supplier-nation revenue flows — "which nations'
+    suppliers attract the trade network's money" — the influence-ranking
+    primitive behind seller/domain authority scores.
+
+    Plan: one lineitem-scale join pipeline (dimensions broadcast) collapses
+    the facts to a ≤625-row adjacency; out-edge normalization is a window
+    over that tiny table; each iteration is then a broadcast join +
+    25-row aggregate.  Intermediate ranks round at 10 dp (final at 6) so
+    three chained float folds cannot drift across engines."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = load_table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = load_table(spark, sf_dir, "nation", columns=["n_nationkey"])
+
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w"))
+    )
+    from pyspark.sql.window import Window
+
+    e = raw.withColumn("w_norm", F.col("w") / F.sum("w").over(Window.partitionBy("src"))).select(
+        "src", "dst", "w_norm"
+    )
+    e = e.cache()
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    r = nodes.select("node", (F.lit(1.0) / _N).alias("r"))
+
+    out_srcs = e.select(F.col("src").alias("node")).distinct()
+    for _ in range(_ITERS):
+        contrib = (
+            e.join(F.broadcast(r.withColumnRenamed("node", "src_node")), F.col("src") == F.col("src_node"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("w_norm") * F.col("r")).alias("c"))
+        )
+        dang = (
+            r.join(out_srcs, "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
+        )
+        r = (
+            nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.round(
+                    0.15 / _N
+                    + _DAMP * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dang") / _N),
+                    10,
+                ).alias("r"),
+            )
+        )
+    return r.select("node", F.round("r", 6).alias("pagerank"))

@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from dataframework_spark.operators import (  # noqa: F401
         corpus,
         dedup,
+        graph,
         ml_prep,
         multimodal,
         pipeline,

@@ -446,3 +446,43 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("user_id").agg(
         F.sum("n").alias("n_events"), F.round(F.sum("sv"), 2).alias("sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# ST9 — sliding (overlapping) windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts)
+               - k.k * INTERVAL 10 MINUTES AS window_start,
+             value
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k)
+    SELECT window_start,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM w GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding every 10 minutes over the live stream —
+    the overlapping-aggregate mode (each event lands in exactly three
+    windows) that powers moving dashboards, distinct from tumbling
+    (``stream_tumbling_counts``) and gap-based sessions
+    (``stream_session_window``).
+
+    State is 3× the tumbling case (one partial aggregate per open window
+    copy) and still watermark-bounded.  The oracle derives the same
+    multiset in batch SQL by exploding each event into its three covering
+    window starts on the shared 10-minute epoch grid — Spark's window()
+    and DuckDB's time_bucket() align identically there."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    win = (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
+    )
+    return _run_to_table(win, spark)
