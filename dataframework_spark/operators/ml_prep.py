@@ -983,3 +983,103 @@ def ml_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+_GD_D = 64  # embedding dimensionality (TESTDATA.md: array<float> x 64)
+_GD_LR = 1.0
+_GD_STEPS = 3
+
+# One full-batch gradient-descent step as DuckDB CTEs: probabilities under
+# the current weights, per-dimension mean gradient, weight update.  Each
+# step rounds at 12 dp (noise floor ~1e-16) so chained float folds cannot
+# drift across engines; the driver hash sees only the 6-dp final weights.
+_GD_DUCK_STEP = """
+    p{i} AS (
+      SELECT x, y,
+             1.0 / (1.0 + exp(-list_sum(list_transform(range({d}),
+               j -> x[j + 1] * w{i}.wl[j + 1])))) AS p
+      FROM x CROSS JOIN w{i}),
+    g{i} AS (
+      SELECT dim.d AS dim,
+             ROUND(AVG((p.p - p.y) * p.x[dim.d + 1]), 12) AS g
+      FROM p{i} p CROSS JOIN (SELECT unnest(range({d})) AS d) dim
+      GROUP BY 1),
+    w{next} AS (
+      SELECT list(ROUND(w{i}.wl[g.dim + 1] - {lr} * g.g, 12) ORDER BY g.dim) AS wl
+      FROM g{i} g CROSS JOIN w{i})
+"""
+
+
+def _gd_oracle() -> str:
+    steps = ",".join(
+        _GD_DUCK_STEP.format(i=i, next=i + 1, d=_GD_D, lr=_GD_LR) for i in range(_GD_STEPS)
+    )
+    return f"""
+    WITH x AS (
+      SELECT list_transform(embedding, v -> v::DOUBLE) AS x,
+             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings),
+    w0 AS (SELECT list_transform(range({_GD_D}), i -> 0.0) AS wl),
+    {steps}
+    SELECT dim.d AS dim, ROUND(w{_GD_STEPS}.wl[dim.d + 1], 6) AS weight
+    FROM w{_GD_STEPS} CROSS JOIN (SELECT unnest(range({_GD_D})) AS d) dim
+    """
+
+
+@register("ml_logreg_gd", oracle=_gd_oracle())
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training: {steps} full-batch
+    gradient-descent steps (binary target label==0, zero init, lr={lr})
+    over the embedding corpus, returning the learned weight vector — the
+    data-parallel training loop (compute gradients where the data lives,
+    keep the model on the driver/broadcast) that underlies every
+    large-scale linear/GLM trainer.
+
+    Per-step plan at 100 TB: the weight vector is ONE broadcast row;
+    scoring + per-example residual is a narrow codegen pass; the gradient
+    is a posexplode into (dim, residual·x_dim) partial-averaged map-side,
+    so the only exchange is d-sized regardless of corpus size.  Iterating
+    multiplies narrow passes, never big-data shuffles — the same
+    contract-then-iterate shape as ``graph_pagerank_nations`` and
+    ``ml_power_iteration_pc1``.  Each step's gradient and weights round
+    at 12 dp to pin cross-engine float parity (libm exp may differ by
+    1 ulp; the mean buries it 4 orders below the rounding)."""
+    e = load_table(spark, sf_dir, "embeddings", columns=["label", "embedding"])
+    x = e.select(
+        F.col("embedding").cast("array<double>").alias("x"),
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+    )
+    w = spark.range(1).select(F.expr(f"array_repeat(0.0D, {_GD_D})").alias("wl"))
+    for _ in range(_GD_STEPS):
+        p = x.crossJoin(F.broadcast(w)).select(
+            "x",
+            "y",
+            (
+                1.0
+                / (
+                    1.0
+                    + F.exp(
+                        -F.expr(
+                            "aggregate(zip_with(x, wl, (a, b) -> a * b), 0D, (acc, v) -> acc + v)"
+                        )
+                    )
+                )
+            ).alias("p"),
+        )
+        g = (
+            p.select("p", "y", F.posexplode("x").alias("dim", "xv"))
+            .groupBy("dim")
+            .agg(F.round(F.avg((F.col("p") - F.col("y")) * F.col("xv")), 12).alias("g"))
+        )
+        w = (
+            g.crossJoin(F.broadcast(w))
+            .select("dim", F.round(F.expr(f"element_at(wl, dim + 1) - {_GD_LR} * g"), 12).alias("wn"))
+            .groupBy()
+            .agg(F.expr("transform(array_sort(collect_list(struct(dim, wn))), s -> s.wn)").alias("wl"))
+        )
+    return w.select(F.posexplode("wl").alias("dim", "weight")).select(
+        F.col("dim").cast("bigint").alias("dim"), F.round("weight", 6).alias("weight")
+    )
+
+
+ml_logreg_gd.__doc__ = ml_logreg_gd.__doc__.format(steps=_GD_STEPS, lr=_GD_LR)

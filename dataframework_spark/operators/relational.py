@@ -1786,3 +1786,57 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
     return runs.groupBy("user_id").agg(F.max("len").alias("longest_streak"))
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    n AS (SELECT user_id, first_day AS day, COUNT(*) AS new_types FROM f GROUP BY 1, 2)
+    SELECT d.user_id, d.day, d.n_events,
+           COALESCE(n.new_types, 0) AS new_types,
+           SUM(COALESCE(n.new_types, 0)) OVER (
+             PARTITION BY d.user_id ORDER BY d.day
+             ROWS UNBOUNDED PRECEDING) AS distinct_types_todate
+    FROM d LEFT JOIN n USING (user_id, day)
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per user over time — how many distinct
+    event types each user has touched by each active day.  SQL has no
+    streaming-distinct window aggregate; the naive form re-scans every
+    prefix (quadratic).  This is the linear factorization: an event type
+    contributes exactly once, on its FIRST day (a groupBy MIN), so the
+    running distinct count is a plain cumulative sum of per-day
+    first-occurrence counts.
+
+    Plan: two aggregates and one window, all partitioned by user_id —
+    three exchanges on the same key (AQE reuses the partitioning for the
+    join), state linear in (user × type) and (user × day).  The same
+    first-occurrence trick computes running-distinct for any cardinality
+    at 100 TB where an exact distinct-per-prefix would be quadratic."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    day = F.to_date("ts").alias("day")
+    f = ev.groupBy("user_id", "event_type").agg(F.min(F.to_date("ts")).alias("day"))
+    n = f.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("new_types"))
+    d = ev.groupBy("user_id", day).agg(F.count(F.lit(1)).alias("n_events"))
+    j = d.join(n, ["user_id", "day"], "left").withColumn(
+        "new_types", F.coalesce(F.col("new_types"), F.lit(0))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        "n_events",
+        "new_types",
+        F.sum("new_types").over(w).alias("distinct_types_todate"),
+    )
