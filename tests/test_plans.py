@@ -201,3 +201,49 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir, tmp_path):
     pf = [ln for ln in ps.splitlines() if "PartitionFilters" in ln]
     assert pf and "lang" in pf[0], ps
     assert back.count() > 0
+
+
+def test_chunk_sliding_is_narrow(spark, sf_dir):
+    # chunking must be explode-only: zero exchanges at any scale
+    from dataframework_spark.operators.corpus import text_chunk_sliding
+
+    df = text_chunk_sliding(spark, sf_dir)
+    assert exchange_count(df) == 0, plan_string(df)
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    # one shuffle on lang for the cumsum window; the pack rollup must
+    # reuse that partitioning (hash(lang) satisfies clustering by
+    # (lang, pack_id)), not re-exchange the corpus
+    from dataframework_spark.operators.corpus import text_pack_sequences
+
+    df = text_pack_sequences(spark, sf_dir)
+    assert exchange_count(df) == 1, plan_string(df)
+
+
+def test_scd2_single_user_exchange(spark, sf_dir):
+    # change detection + interval close + versioning: three window
+    # functions, ONE user_id exchange
+    from dataframework_spark.operators.temporal import events_scd2_state
+
+    df = events_scd2_state(spark, sf_dir)
+    assert exchange_count(df) == 1, plan_string(df)
+
+
+def test_logreg_gradient_exchange_is_dim_sized(spark, sf_dir):
+    # every gradient step must broadcast the weights, never shuffle the
+    # corpus: all joins in the loop are broadcast joins
+    from dataframework_spark.operators.ml_prep import ml_logreg_gd
+
+    df = ml_logreg_gd(spark, sf_dir)
+    p = plan_string(df)
+    assert "SortMergeJoin" not in p, p
+
+
+def test_pagerank_iterations_broadcast(spark, sf_dir):
+    # the fact join may shuffle; the 25-node iteration tables must not
+    from dataframework_spark.operators.graph import graph_pagerank_nations
+
+    df = graph_pagerank_nations(spark, sf_dir)
+    p = plan_string(df)
+    assert p.count("BroadcastHashJoin") >= 5, p
