@@ -666,3 +666,46 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.max("conc").alias("max_concurrent"))
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events),
+    c AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM c
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain of user behavior: for every ordered pair of
+    consecutive events within a user's stream, the transition count and the
+    row-normalized probability P(next=b | current=a) — the model behind
+    next-action prediction, funnel leak detection, and session-replay
+    compression.
+
+    Plan: one shuffle on user_id for the ``lead`` ordering pass, then the
+    pair counts partial-aggregate into a |types|² table; normalization is
+    a window over that tiny matrix.  Sequence order ties on ts break by
+    event_id, so the chain is deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    c = s.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 4).alias("p"),
+    )
