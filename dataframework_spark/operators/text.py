@@ -473,3 +473,38 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("cross_entropy"),
         )
     )
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({DUCK_TOKENS_SQL}) AS token FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT c.token, c.n,
+           ROUND(c.n::DOUBLE / t.total, 5) AS share
+    FROM c CROSS JOIN t
+    WHERE c.n::DOUBLE / t.total > 0.01
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: every token holding >1% of all corpus token
+    occurrences — the frequency skew diagnostic run before building
+    vocabularies or stopword lists (and the exact reference answer an
+    approximate count-min/space-saving sketch would be validated
+    against at 100 TB, where one pass + sketch merge replaces the exact
+    count's token-keyed shuffle).
+
+    Plan: explode → one (token) exchange with map-side partial counts →
+    the total is a single-row broadcast back onto the vocabulary-sized
+    count table; the corpus itself is scanned once."""
+    docs = load_table(spark, sf_dir, "documents", columns=["text"])
+    tok = docs.select(F.explode(tokens()).alias("token"))
+    c = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .where(F.col("n").cast("double") / F.col("total") > 0.01)
+        .select("token", "n", F.round(F.col("n").cast("double") / F.col("total"), 5).alias("share"))
+    )

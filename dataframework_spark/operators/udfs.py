@@ -301,3 +301,49 @@ def sample_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 8)
         .select("lang", "rnk", "doc_id", "hkey")
     )
+
+
+@register(
+    "sample_weighted_topk",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             (((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0 AS uni
+      FROM documents),
+    k AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND(-LN(uni) / n_chars, 10) AS ekey
+      FROM u),
+    r AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (ORDER BY ekey, doc_id) AS rnk
+      FROM k)
+    SELECT rnk, doc_id, lang, n_chars FROM r WHERE rnk <= 20
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ExpJ):
+    draw 20 documents with inclusion probability proportional to length,
+    by ranking on exponential keys -ln(u)/w — longer documents are
+    proportionally likelier, yet the draw is deterministic because the
+    uniform u comes from the same Knuth multiplicative hash as
+    ``sample_hash_per_group`` instead of an RNG stream.  This is how a
+    pretraining mixture samples documents by token budget rather than
+    uniformly.
+
+    Plan: key computation is narrow; global top-k compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of 20-row
+    candidates) — no full sort at any scale.  Keys round at 10 dp so the
+    ln/div float path cannot reorder near-ties across engines; doc_id
+    breaks exact ties."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    uni = (F.expr("(doc_id * 2654435761) % 4294967296") + 0.5) / 4294967296.0
+    k = docs.select(
+        "doc_id", "lang", "n_chars", F.round(-F.log(uni) / F.col("n_chars"), 10).alias("ekey")
+    )
+    w = Window.orderBy("ekey", "doc_id")
+    return (
+        k.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("rnk", "doc_id", "lang", "n_chars")
+    )
