@@ -1840,3 +1840,210 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_types",
         F.sum("new_types").over(w).alias("distinct_types_todate"),
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier): cheapest-and-smallest parts per brand
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_skyline_pareto",
+    oracle="""
+    WITH pts AS (SELECT DISTINCT p_brand, p_retailprice, p_size FROM part)
+    SELECT p_brand, round(p_retailprice, 2) AS p_retailprice, p_size
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+    """,
+)
+def window_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): per brand, the parts not dominated
+    on (price, size) — minimize both.  The oracle states the definition
+    as a quadratic NOT EXISTS; the engine uses the sort-scan
+    factorization: over DISTINCT (price, size) pairs sorted by (price
+    asc, size asc), a point is dominated iff some preceding point has
+    size <= its size, i.e. iff the running MIN(size) over the preceding
+    frame reaches it.  One window pass over a deduped aggregate —
+    O(n log n) per brand vs the oracle's O(n²), and the partitionBy key
+    makes every brand an independent partition at 100 TB."""
+    pts = (
+        load_table(spark, sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+        .select("p_brand", F.round("p_retailprice", 2).alias("p_retailprice"), "p_size")
+        .distinct()
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_retailprice").asc(), F.col("p_size").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("min_size_before", F.min("p_size").over(w))
+        .where(F.col("min_size_before").isNull() | (F.col("min_size_before") > F.col("p_size")))
+        .drop("min_size_before")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity: brand co-occurrence with support and lift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_basket_affinity",
+    oracle="""
+    WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON p_partkey = l_partkey),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    bc AS (SELECT p_brand, COUNT(*) AS cnt FROM ob GROUP BY 1),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS pair_count
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2)
+    SELECT brand_a, brand_b, pair_count,
+           round(CAST(pair_count AS DOUBLE) / n.n_orders, 4) AS support,
+           round(CAST(pair_count AS DOUBLE) * n.n_orders
+                 / (ca.cnt * cb.cnt), 3) AS lift
+    FROM pairs, n
+    JOIN bc ca ON ca.p_brand = pairs.brand_a
+    JOIN bc cb ON cb.p_brand = pairs.brand_b
+    """,
+)
+def join_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand affinity: for every brand pair, co-occurrence
+    count, support, and lift (observed / expected-under-independence) —
+    the association-rule primitive behind recommenders.
+
+    The self-join runs on the DISTINCT (order, brand) projection, so the
+    blow-up is quadratic in a basket's distinct BRANDS (≤ 25), never in
+    line items; pair counts collapse in the same shuffle.  Brand
+    marginals are a 25-row aggregate broadcast back onto the pairs.  At
+    100 TB the (order, brand) exchange is the only data-sized shuffle —
+    the pattern survives any corpus where per-basket distinct-item count
+    is bounded (cap or top-k the basket otherwise)."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().count()
+    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, ["l_orderkey"])
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("cnt").alias("cnt_a"))
+    cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_count",
+            F.round(F.col("pair_count").cast("double") / F.lit(n_orders), 4).alias("support"),
+            F.round(
+                F.col("pair_count").cast("double") * F.lit(n_orders)
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                3,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary quartiles per customer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rfm_segments",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY max(o_orderdate) DESC, c_custkey) AS r_quartile,
+           ntile(4) OVER (ORDER BY count(*) DESC, c_custkey)         AS f_quartile,
+           ntile(4) OVER (ORDER BY sum(o_totalprice) DESC, c_custkey) AS m_quartile,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile rank each customer on Recency
+    (latest order), Frequency (order count), Monetary (total spend) —
+    the standard marketing segmentation, and a 3-window ntile exercise
+    with deterministic custkey tiebreaks.
+
+    The windows are global (unpartitioned) — fine here because they run
+    over the customer-sized AGGREGATE, not orders.  At 100 TB an
+    unpartitioned ntile is a single-task sort, so the scale path swaps
+    each ntile for approx-quantile cutoffs (computed in one pass,
+    broadcast back as a CASE) — same quartile semantics, no global sort;
+    documented rather than built because the exact form is what the
+    cross-engine oracle can pin."""
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey"])
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_spend"),
+        )
+    )
+    return per_cust.select(
+        "c_custkey",
+        F.ntile(4).over(Window.orderBy(F.col("_last").desc(), "c_custkey")).alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("n_orders").desc(), "c_custkey"))
+        .alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy(F.col("_spend").desc(), "c_custkey")).alias("m_quartile"),
+        "n_orders",
+        F.round("_spend", 2).alias("total_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup: daily HLL sketches unioned to coarser grains
+# ---------------------------------------------------------------------------
+
+
+@register("agg_hll_rollup", oracle=None)  # estimates are engine-specific → rows-only
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: per (event_type, day)
+    HyperLogLog sketches of distinct users, then the MERGE path —
+    ``hll_union_agg`` rolls daily sketches up to event_type totals
+    without touching raw events again.  This is THE pattern that makes
+    distinct-count rollups incremental at 100 TB: day partitions
+    sketch independently (re-aggregation reads sketch bytes, not data),
+    and any coarser grain (week / month / all-time) is a union of
+    stored sketches.  Estimates are engine-specific, so the driver runs
+    the rows-only check; ``test_hll_rollup_accuracy`` pins the estimate
+    to within 5% of exact."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+        )
+        .select("event_type", "n_days", "est_users")
+    )

@@ -709,3 +709,42 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wp), 4).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling: per-user daily open/high/low/close bars
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ohlc_daily",
+    oracle="""
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           round(arg_min(value, ts), 2) AS open,
+           round(max(value), 2)        AS high,
+           round(min(value), 2)        AS low,
+           round(arg_max(value, ts), 2) AS close,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to daily OHLC bars per user — the
+    classic resample/rollup every metrics store (and every hypertable
+    continuous aggregate) is built on.
+
+    ``min_by``/``max_by`` give open/close in the SAME single aggregate
+    as high/low — no window, no self-join, one shuffle on the
+    (user, day) key, partial aggregation map-side.  (user_id, ts) is
+    unique in the data, so the ts key is a total order and arg_min /
+    min_by agree across engines.  At 100 TB: the bar table is
+    days×users sized — this is the canonical pre-aggregation that later
+    queries (EWMA, anomaly flags) read instead of raw events."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
+    return ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.min_by("value", "ts"), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", "ts"), 2).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -508,3 +508,52 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n").cast("double") / F.col("total") > 0.01)
         .select("token", "n", F.round(F.col("n").cast("double") / F.col("total"), 5).alias("share"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope: log-log least-squares fit of the rank-frequency curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH t AS (SELECT lang, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    tok AS (SELECT lang, unnest(toks) AS token FROM t),
+    tf AS (SELECT lang, token, COUNT(*) AS freq FROM tok GROUP BY 1, 2),
+    ranked AS (SELECT lang, freq,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY freq DESC, token) AS rnk
+               FROM tf)
+    SELECT lang,
+           round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+           COUNT(*) AS n_types,
+           SUM(freq) AS n_tokens
+    FROM ranked GROUP BY lang
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: slope of ln(frequency) against
+    ln(rank) over the token vocabulary — natural text sits near -1, and
+    deviation is a standard corpus-health / synthetic-text detector.
+
+    Plan: explode → one (lang, token) count shuffle, then the ranking
+    window and ``regr_slope`` run over the VOCABULARY-sized aggregate
+    (tiny vs the corpus).  Equal-frequency ties get distinct ranks, but
+    the (freq, rank) multiset — hence the regression — is
+    tiebreak-invariant, so engines agree.  At 100 TB: identical shape;
+    the only data-sized cost is the token count already shared with the
+    TF/heavy-hitter family."""
+    docs = load_table(spark, sf_dir, "documents", columns=["lang", "text"])
+    tf = (
+        docs.select("lang", F.explode(tokens()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("token"))
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("lang").agg(
+        F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 4).alias("zipf_slope"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").alias("n_tokens"),
+    )

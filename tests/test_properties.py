@@ -256,3 +256,25 @@ def test_recursive_and_window_streaks_agree(spark, sf_dir):
     a = {r["user_id"]: r["longest_streak"] for r in sql_recursive_streaks(spark, sf_dir).collect()}
     b = {r["user_id"]: r["longest_streak"] for r in window_gap_islands(spark, sf_dir).collect()}
     assert a == b and len(a) > 0
+
+
+def test_hll_rollup_accuracy(spark, sf_dir):
+    # the mergeable-sketch rollup must land within 5% of the exact
+    # distinct count it approximates (and the union path must not lose
+    # or double-count days' sketches).
+    from pyspark.sql import functions as F
+
+    from dataframework_spark.catalog import load_table
+    from dataframework_spark.operators.relational import agg_hll_rollup
+
+    est = {r["event_type"]: r["est_users"] for r in agg_hll_rollup(spark, sf_dir).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events", columns=["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact) and len(est) > 0
+    for et, n in exact.items():
+        assert abs(est[et] - n) / n < 0.05, (et, est[et], n)
