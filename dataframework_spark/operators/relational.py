@@ -2047,3 +2047,135 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_days", "est_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median: robust trailing smoother per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT user_id, ts, rolling_med FROM (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+             round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_med
+      FROM events)
+    WHERE rn >= 7
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-event rolling MEDIAN of value per user — the robust
+    sibling of the moving average (one outlier can't drag it).  Exact
+    percentile as a window aggregate over a rows frame; (user_id, ts)
+    is unique so the frame is deterministic.  Rows before the frame
+    fills (< 7 events) are dropped: an even-count median interpolates a
+    midpoint, and the two engines' interpolation differs in the last
+    ulp, which can flip the 2-dp rounding — a full 7-row frame makes
+    the median an actual data value, bit-identical everywhere.  One
+    shuffle on user_id, sort within partition, constant 7-row state per
+    step — at 100 TB cost is the same per-key sort every window op here
+    pays, with no extra exchange."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    w = wo.rowsBetween(-6, Window.currentRow)
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            F.row_number().over(wo).alias("rn"),
+            F.round(F.percentile("value", F.lit(0.5)).over(w), 2).alias("rolling_med"),
+        )
+        .where(F.col("rn") >= 7)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration: how many customers cover 80% of revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_pareto_concentration",
+    oracle="""
+    WITH pc AS (SELECT o_custkey, SUM(o_totalprice) AS spend
+                FROM orders GROUP BY 1),
+    r AS (SELECT spend,
+                 row_number() OVER (ORDER BY spend DESC, o_custkey) AS rn,
+                 SUM(spend) OVER (ORDER BY spend DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(spend) OVER () AS total,
+                 COUNT(*) OVER () AS n
+          FROM pc)
+    SELECT MIN(rn) AS cutoff_customers,
+           round(CAST(MIN(rn) AS DOUBLE) / MAX(n), 4) AS top_frac
+    FROM r WHERE cum >= 0.8 * total
+    """,
+)
+def window_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration: the smallest set of top customers
+    whose cumulative spend reaches 80% of total revenue, as a count and
+    a fraction of the customer base.  Running-sum window over the
+    customer-sized spend aggregate (never over orders); the global
+    ordering is a single-task sort of that aggregate only — at 100 TB
+    you'd histogram spend and walk bin prefix sums instead (documented;
+    the exact form is the oracle-checkable one)."""
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    pc = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    wo = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    r = pc.select(
+        "spend",
+        F.row_number().over(wo).cast("long").alias("rn"),
+        F.sum("spend").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("spend").over(Window.partitionBy()).alias("total"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return r.where(F.col("cum") >= 0.8 * F.col("total")).agg(
+        F.min("rn").alias("cutoff_customers"),
+        F.round(F.min("rn").cast("double") / F.max("n"), 4).alias("top_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram: single-pass distribution profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_histogram",
+    oracle="""
+    WITH s AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+               FROM lineitem)
+    SELECT LEAST(CAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 10.0)) AS INT), 9) AS bin,
+           round(MIN(mn + ((mx - mn) / 10.0) *
+             LEAST(CAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 10.0)) AS INT), 9)), 2) AS bin_lo,
+           COUNT(*) AS n_rows
+    FROM lineitem, s GROUP BY 1
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bin histogram of line-item price — the
+    distribution-profiling primitive (skew detection, bin pruning, UI
+    sparklines).  Two passes: a min/max aggregate broadcast back as the
+    bin calibration, then one groupBy on the computed bin — both
+    map-side-combinable, shuffle carries ≤ 10 rows.  Bin edges are pure
+    double arithmetic, identical IEEE ops in both engines, so bins agree
+    exactly.  At 100 TB this is the one-extra-scan profile; sketch
+    histograms (t-digest) replace it only when min/max themselves need
+    streaming."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_extendedprice"])
+    s = li.agg(F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / 10.0
+    bin_ = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("mn")) / width).cast("int"), F.lit(9)
+    )
+    return (
+        li.crossJoin(F.broadcast(s))
+        .select(bin_.alias("bin"), (F.col("mn") + width * bin_).alias("_lo"))
+        .groupBy("bin")
+        .agg(F.round(F.min("_lo"), 2).alias("bin_lo"), F.count(F.lit(1)).alias("n_rows"))
+    )
