@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dataframework_spark.catalog import load_table
+from dataframework_spark.functions.arrays import tokens
 from dataframework_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1083,3 +1084,56 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ml_logreg_gd.__doc__ = ml_logreg_gd.__doc__.format(steps=_GD_STEPS, lr=_GD_LR)
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick): tokens → fixed-width sparse buckets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_feature_hash",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                 FROM documents),
+    h AS (SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                list_transform(string_split(token, ''),
+                                               x -> CAST(ascii(x) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 2147483647) % 64 AS bucket
+          FROM tok)
+    SELECT doc_id, bucket, COUNT(*) AS tf
+    FROM h GROUP BY 1, 2
+    """,
+)
+def ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: project an unbounded token vocabulary onto 64
+    fixed buckets via a polynomial character hash — the featurizer that
+    needs NO vocabulary pass, so streaming and training see identical
+    features.  Output is the sparse (doc, bucket, tf) triple form that
+    feeds linear models directly.
+
+    The hash is a pure-SQL polynomial (acc*31 + codepoint, mod 2^31-1)
+    so both engines compute it bit-identically — same reasoning as
+    ``text_fingerprint``; production would swap in ``xxhash64(token)``
+    and more buckets, same plan.  Explode stays map-side; ONE shuffle on
+    (doc_id, bucket) which partial aggregation shrinks to ≤ 64 rows per
+    doc — at 100 TB the exchange is bounded by docs × buckets, not
+    corpus tokens."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    token_hash = (
+        F.aggregate(
+            F.split(F.col("token"), ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(2147483647),
+        )
+        % 64
+    )
+    return (
+        docs.select("doc_id", F.explode(tokens()).alias("token"))
+        .select("doc_id", token_hash.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

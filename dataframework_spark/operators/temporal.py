@@ -748,3 +748,76 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value", "ts"), 2).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-order gap statistics per customer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_order_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap
+      FROM orders)
+    SELECT o_custkey, COUNT(*) AS n_gaps,
+           round(AVG(gap), 2) AS avg_gap_days,
+           MIN(gap) AS min_gap_days, MAX(gap) AS max_gap_days
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """,
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence: days between consecutive orders per
+    customer (lag diff), rolled up to per-customer gap statistics — the
+    churn-risk / reorder-prediction feature.  Orderkey tiebreak makes
+    same-day sequences deterministic.  One shuffle on o_custkey serves
+    BOTH the lag window and the groupBy (AQE reuses the partitioning);
+    at 100 TB this is one sort-within-partition pass over orders."""
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap"), 2).alias("avg_gap_days"),
+        F.min("gap").alias("min_gap_days"),
+        F.max("gap").alias("max_gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly seasonality profile: day-of-week × hour-of-day activity grid
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonality_profile",
+    oracle="""
+    SELECT isodow(ts) AS dow, hour(ts) AS hod,
+           COUNT(*) AS n_events, round(AVG(value), 2) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heat-grid: event count and mean value for each
+    (day-of-week × hour-of-day) cell — the profile behind traffic
+    forecasting and anomaly baselines.  Spark ``weekday()`` is Mon=0,
+    DuckDB ``isodow`` is Mon=1; the +1 pins the ISO convention in both
+    dialects.  Aggregate is 168 cells — fully map-side combinable, the
+    exchange is constant-size at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts", "value"])
+    return ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+    )
