@@ -2179,3 +2179,108 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.round(F.min("_lo"), 2).alias("bin_lo"), F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap type-set profile: which combinations of event types users touch
+# ---------------------------------------------------------------------------
+
+_TYPE_BITS = (("click", 1), ("error", 2), ("purchase", 4), ("signup", 8), ("view", 16))
+
+
+@register(
+    "agg_bitmask_typesets",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                    WHEN 'view' THEN 16 ELSE 0 END) AS type_mask,
+             string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_set
+      FROM events GROUP BY 1)
+    SELECT type_mask, type_set, COUNT(*) AS n_users
+    FROM u GROUP BY 1, 2
+    """,
+)
+def agg_bitmask_typesets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap set-profile: each user's touched event types folded into
+    one integer bitmask (bit_or of fixed per-type bits), then users
+    counted per exact type-combination.  The bitmask is the
+    constant-width set representation that survives any re-aggregation
+    (bit_or is associative — same mergeability argument as the HLL
+    rollup) and feeds set-membership predicates as single AND-mask
+    scans.  Explicit CASE mapping keeps bit assignment engine-neutral.
+    Two exchanges: user_id, then the ≤ 2^5-row mask rollup."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "event_type"])
+    mask = F.lit(0)
+    for name, bit in _TYPE_BITS:
+        mask = mask + F.when(F.col("event_type") == name, bit).otherwise(0)
+    u = ev.groupBy("user_id").agg(
+        F.bit_or(mask).alias("type_mask"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("type_set"),
+    )
+    return u.groupBy("type_mask", "type_set").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Entropy profile: distribution health of categorical columns
+# ---------------------------------------------------------------------------
+
+
+def _entropy_duck(table: str, col: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name, COUNT(*) AS n_distinct,
+           round(-SUM((n / tot) * ln(n / tot)), 4) AS entropy
+    FROM (SELECT CAST({col} AS VARCHAR) v, COUNT(*)::DOUBLE AS n FROM {table} GROUP BY 1),
+         (SELECT COUNT(*)::DOUBLE AS tot FROM {table})
+    """
+
+
+@register(
+    "profile_entropy",
+    oracle=" UNION ALL ".join(
+        [
+            _entropy_duck("lineitem", "l_returnflag"),
+            _entropy_duck("lineitem", "l_linestatus"),
+            _entropy_duck("orders", "o_orderpriority"),
+            _entropy_duck("customer", "c_mktsegment"),
+            _entropy_duck("part", "p_brand"),
+        ]
+    ),
+)
+def profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of categorical columns — the one-number
+    distribution-health signal (0 = constant column, ln(k) = uniform
+    over k values) that catches skewed partitions and broken upstream
+    encoders before they bite.  One groupBy per column over that
+    column's table, each exchange value-cardinality-sized; entropy
+    itself is computed on the tiny count table via the identity
+    H = ln(T) - Σ n·ln(n) / T, which folds the total into the SAME
+    aggregate — one pass per column, no separate count action.  At
+    100 TB the per-column scans share nothing — they parallelize as
+    independent stages (and a multi-column single-scan variant is
+    ``profile_columns``' shape)."""
+
+    def one(table: str, col: str) -> DataFrame:
+        t = load_table(spark, sf_dir, table, columns=[col])
+        c = t.groupBy(F.col(col).cast("string").alias("v")).agg(
+            F.count(F.lit(1)).cast("double").alias("n")
+        )
+        tot = F.sum("n")
+        return c.agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.log(tot) - F.sum(F.col("n") * F.log("n")) / tot, 4).alias("entropy"),
+        )
+
+    parts = [
+        one("lineitem", "l_returnflag"),
+        one("lineitem", "l_linestatus"),
+        one("orders", "o_orderpriority"),
+        one("customer", "c_mktsegment"),
+        one("part", "p_brand"),
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out

@@ -345,3 +345,49 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).alias("candidates_found"),
         F.round(F.sum(hit) / F.count(F.lit(1)), 4).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall evaluation: the ANN tier measured against the exact baseline
+# ---------------------------------------------------------------------------
+
+from dataframework_spark.registry import get_spec as _get_spec
+
+_BRUTE_ORACLE = _get_spec("sim_cosine_topk").oracle
+_LSH_ORACLE = _get_spec("sim_lsh_topk").oracle
+
+
+@register(
+    "sim_recall_eval",
+    oracle=f"""
+    WITH brute AS ({_BRUTE_ORACLE}),
+    approx AS ({_LSH_ORACLE})
+    SELECT b.query_id,
+           COUNT(a.neighbor_id) AS n_hits,
+           round(COUNT(a.neighbor_id) / {_TOPK}.0, 4) AS recall
+    FROM brute b LEFT JOIN approx a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY 1
+    """,
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH tier against the exact brute-force baseline,
+    per query — the evaluation loop every ANN deployment needs before
+    trusting the approximate tier.  Composes the two registered queries
+    (and their oracles verbatim), so the metric is itself hash-checked
+    end to end.  At 100 TB the baseline runs on a sampled query set
+    (exact top-k per query is one corpus scan) while the ANN tier serves
+    everything — exactly this join then scores the sample."""
+    brute = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_lsh_topk(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    j = brute.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("an").alias("n_hits"),
+        F.round(F.count("an") / F.lit(float(_TOPK)), 4).alias("recall"),
+    )

@@ -821,3 +821,46 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("value"), 2).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Path analysis: most common 3-step behavior sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts) AS e3
+      FROM events)
+    SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path LIMIT 25
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 25 three-step behavior paths (consecutive event-type
+    trigrams per user) — the path-analysis primitive behind funnel
+    discovery, generalizing ``events_markov_transitions`` beyond first
+    order.  Two leads in ONE window pass (same user_id sort serves
+    both); the trigram-count exchange is bounded by |types|³ = 125
+    rows, and the final top-k is TakeOrderedAndProject.  (user_id, ts)
+    is unique so sequences are deterministic."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        s.select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(25)
+    )

@@ -78,3 +78,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in all_queries().items() if spec.oracle is not None
     }
+
+
+def get_spec(name: str) -> QuerySpec:
+    """Lookup an already-registered spec (for queries that compose other
+    queries' oracles — e.g. the ANN recall evaluator)."""
+    return _REGISTRY[name]
