@@ -591,3 +591,36 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest-row compaction: CDC snapshot (keep newest row per key)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_type,
+           round(arg_max(value, ts), 2) AS last_value,
+           max(ts) AS last_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_versions
+    FROM events GROUP BY 1, 2
+    """,
+)
+def dedup_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: collapse an append-only change stream to the
+    newest row per (user, type) key — the materialized "current state"
+    every upsert sink needs.  ``max_by`` folds the pick into the SAME
+    single aggregate as the version count (no row_number window, no
+    second pass); (user_id, ts) uniqueness makes the winner
+    deterministic.  This is the batch twin of
+    ``stream_stateful_user_totals``' state and the compaction step
+    upstream of ``events_scd2_state``'s history build.  One shuffle on
+    the key; at 100 TB it is exactly parquet upsert-compaction."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "event_type", "ts", "value"])
+    return ev.groupBy("user_id", "event_type").agg(
+        F.round(F.max_by("value", "ts"), 2).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )

@@ -1137,3 +1137,42 @@ def ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding: leakage-safe categorical → numeric
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_target_encoding",
+    oracle="""
+    WITH g AS (SELECT c_mktsegment, SUM(c_acctbal) AS s, COUNT(*) AS n
+               FROM customer GROUP BY 1)
+    SELECT c_custkey, c_mktsegment,
+           round((s - c_acctbal) / (n - 1), 4) AS segment_loo_mean
+    FROM customer JOIN g USING (c_mktsegment)
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: replace a categorical with the
+    mean target of its group EXCLUDING the row itself — the standard
+    leakage-safe encoder for high-cardinality categoricals.  The trick:
+    LOO mean = (group_sum − own_value) / (group_n − 1), so one tiny
+    (category, sum, n) aggregate broadcast back onto the table encodes
+    every row without a window or self-join.  At 100 TB: one map-side
+    combinable aggregate + one broadcast join, zero fact-table
+    shuffles."""
+    cust = load_table(
+        spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+    g = cust.groupBy("c_mktsegment").agg(
+        F.sum("c_acctbal").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return cust.join(F.broadcast(g), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round((F.col("s") - F.col("c_acctbal")) / (F.col("n") - 1), 4).alias(
+            "segment_loo_mean"
+        ),
+    )

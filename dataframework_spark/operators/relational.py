@@ -2284,3 +2284,57 @@ def profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Higher moments: skewness / kurtosis from one pass of power sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+    WITH m AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, SUM(value) AS s1,
+                      SUM(value*value) AS s2, SUM(value*value*value) AS s3,
+                      SUM(value*value*value*value) AS s4
+               FROM events GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           round((s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
+                 / pow(s2/n - pow(s1/n, 2), 1.5), 4) AS skewness,
+           round((s4/n - 4*(s1/n)*(s3/n) + 6*pow(s1/n, 2)*(s2/n) - 3*pow(s1/n, 4))
+                 / pow(s2/n - pow(s1/n, 2), 2) - 3, 4) AS ex_kurtosis
+    FROM m
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event type, computed
+    from raw power sums (Σx, Σx², Σx³, Σx⁴) in ONE aggregate pass —
+    engines disagree on native skewness/kurtosis definitions
+    (sample-vs-population corrections), so the engine pins the explicit
+    moment algebra instead, identical in both dialects.  Power sums are
+    associative → fully map-side combinable; the shuffle carries 4
+    doubles per group at any scale.  (Catastrophic cancellation needs
+    value ranges ≫ these; a Welford/merge-moments variant is the
+    documented fallback for extreme dynamic range.)"""
+    ev = load_table(spark, sf_dir, "events", columns=["event_type", "value"])
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    var = s2 / n - mu * mu
+    skew = (s3 / n - 3 * mu * (s2 / n) + 2 * F.pow(mu, 3)) / F.pow(var, 1.5)
+    kurt = (s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * F.pow(mu, 4)) / F.pow(
+        var, 2
+    ) - 3
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        F.round(skew, 4).alias("skewness"),
+        F.round(kurt, 4).alias("ex_kurtosis"),
+    )
