@@ -77,7 +77,12 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the facts to a ≤625-row adjacency; out-edge normalization is a window
     over that tiny table; each iteration is then a broadcast join +
     25-row aggregate.  Intermediate ranks round at 10 dp (final at 6) so
-    three chained float folds cannot drift across engines."""
+    three chained float folds cannot drift across engines.  Each
+    iteration ``localCheckpoint``s the 25-row rank vector: the rank is
+    consumed TWICE per round (contribution join + dangling mass), so an
+    unbroken lineage re-evaluates the previous round's subtree twice —
+    exponential plan growth, the same iterative-Spark trap
+    ``dedup_clusters`` documents."""
     li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
@@ -98,7 +103,7 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e.cache()
     nodes = nation.select(F.col("n_nationkey").alias("node"))
-    r = nodes.select("node", (F.lit(1.0) / _N).alias("r"))
+    r = nodes.select("node", (F.lit(1.0) / _N).alias("r")).localCheckpoint()
 
     out_srcs = e.select(F.col("src").alias("node")).distinct()
     for _ in range(_ITERS):
@@ -122,5 +127,6 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     10,
                 ).alias("r"),
             )
+            .localCheckpoint()  # cut lineage: rank is read twice next round
         )
     return r.select("node", F.round("r", 6).alias("pagerank"))

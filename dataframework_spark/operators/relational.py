@@ -1928,12 +1928,16 @@ def join_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded (cap or top-k the basket otherwise)."""
     li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
+    # cache the distinct (order, brand) projection: it feeds the self-join
+    # twice plus the marginals, and Spark replicates uncached subplans
     ob = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        .cache()
     )
-    n_orders = li.select("l_orderkey").distinct().count()
+    # 1-row total folded into the plan (broadcast) — no separate count job
+    n_df = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
     a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
     b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
@@ -1948,13 +1952,14 @@ def join_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(ca), "brand_a")
         .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_df))
         .select(
             "brand_a",
             "brand_b",
             "pair_count",
-            F.round(F.col("pair_count").cast("double") / F.lit(n_orders), 4).alias("support"),
+            F.round(F.col("pair_count").cast("double") / F.col("n_orders"), 4).alias("support"),
             F.round(
-                F.col("pair_count").cast("double") * F.lit(n_orders)
+                F.col("pair_count").cast("double") * F.col("n_orders")
                 / (F.col("cnt_a") * F.col("cnt_b")),
                 3,
             ).alias("lift"),
