@@ -1176,3 +1176,60 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment_loo_mean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash bootstrap: uncertainty without resampling passes
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 20
+_KNUTH = 2654435761
+
+
+@register(
+    "ml_bootstrap_ci",
+    oracle=f"""
+    WITH b AS (SELECT unnest(range({_BOOT_B})) AS b),
+    s AS (SELECT b.b, o_totalprice FROM orders, b
+          WHERE ((o_orderkey * {_KNUTH} + b.b * 40503) % 4294967296) % 2 = 0),
+    m AS (SELECT b, AVG(o_totalprice) AS mb FROM s GROUP BY 1)
+    SELECT COUNT(*) AS n_resamples,
+           round(AVG(mb), 2) AS boot_mean,
+           round(AVG(mb) - 2 * stddev_samp(mb), 2) AS ci_lo,
+           round(AVG(mb) + 2 * stddev_samp(mb), 2) AS ci_hi
+    FROM m
+    """,
+)
+def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence interval for mean order value by deterministic
+    half-sample bootstrap: 20 subsamples, membership decided by a
+    Knuth multiplicative hash of (orderkey, replicate) — no ``rand()``,
+    so the resamples are reproducible AND identical across engines
+    (same portable-hash approach as ``sample_hash_per_group``).
+
+    The explode-by-replicate is map-side (each row fans out to its
+    member replicates in place); ONE shuffle on the 20-value
+    replicate key computes every subsample mean in parallel — B
+    re-reads of the corpus collapse into a single pass.  Half-sampling
+    widens the spread vs the n-out-of-n bootstrap (σ ≈ √2×); the ±2σ
+    band is therefore conservative, which is the right default for a
+    data-quality gate.  At 100 TB this is THE cheap uncertainty
+    quantifier: cost is one scan regardless of B."""
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    s = (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .where(
+            ((F.col("o_orderkey") * _KNUTH + F.col("b") * 40503) % 4294967296) % 2 == 0
+        )
+    )
+    m = s.groupBy("b").agg(F.avg("o_totalprice").alias("mb"))
+    return m.agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.round(F.avg("mb"), 2).alias("boot_mean"),
+        F.round(F.avg("mb") - 2 * F.stddev_samp("mb"), 2).alias("ci_lo"),
+        F.round(F.avg("mb") + 2 * F.stddev_samp("mb"), 2).alias("ci_hi"),
+    )

@@ -2343,3 +2343,59 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 4).alias("skewness"),
         F.round(kurt, 4).alias("ex_kurtosis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient: inequality of customer spend per segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_gini_inequality",
+    oracle="""
+    WITH s AS (SELECT c_mktsegment, o_custkey, SUM(o_totalprice) AS x
+               FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1, 2),
+    r AS (SELECT c_mktsegment, x,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY x, o_custkey) AS i,
+                 COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+          FROM s)
+    SELECT c_mktsegment,
+           round(2.0 * SUM(i * x) / (MAX(n) * SUM(x)) - (MAX(n) + 1.0) / MAX(n), 4)
+             AS gini,
+           MAX(n) AS n_customers
+    FROM r GROUP BY 1
+    """,
+)
+def window_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    standard inequality index (0 = equal, →1 = one customer is the
+    whole market), the scalar companion to the
+    ``window_pareto_concentration`` curve.  Uses the rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over spend sorted ascending — one
+    rank window per segment over the customer-sized aggregate, then a
+    plain group aggregate; custkey tiebreak pins equal spends.  At
+    100 TB both passes run on (segment × customers) rows, never on
+    orders."""
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    s = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    wp = Window.partitionBy("c_mktsegment")
+    r = s.select(
+        "c_mktsegment",
+        "x",
+        F.row_number().over(wp.orderBy("x", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.sum("x"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            4,
+        ).alias("gini"),
+        F.max("n").alias("n_customers"),
+    )
