@@ -66,7 +66,9 @@ def _duck_oracle() -> str:
 
 
 @register("graph_pagerank_nations", oracle=_duck_oracle())
-def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_pagerank_nations(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Weighted PageRank (damping 0.85, 3 iterations, dangling mass
     redistributed uniformly) over the directed trade graph whose edges are
     customer-nation → supplier-nation revenue flows — "which nations'
@@ -103,7 +105,9 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = e.cache()
     nodes = nation.select(F.col("n_nationkey").alias("node"))
-    r = nodes.select("node", (F.lit(1.0) / _N).alias("r")).localCheckpoint()
+    r = nodes.select("node", (F.lit(1.0) / _N).alias("r"))
+    if checkpoint:
+        r = r.localCheckpoint()
 
     out_srcs = e.select(F.col("src").alias("node")).distinct()
     for _ in range(_ITERS):
@@ -127,6 +131,7 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     10,
                 ).alias("r"),
             )
-            .localCheckpoint()  # cut lineage: rank is read twice next round
         )
+        if checkpoint:  # cut lineage: rank is read twice next round
+            r = r.localCheckpoint()
     return r.select("node", F.round("r", 6).alias("pagerank"))

@@ -241,9 +241,11 @@ def test_logreg_gradient_exchange_is_dim_sized(spark, sf_dir):
 
 
 def test_pagerank_iterations_broadcast(spark, sf_dir):
-    # the fact join may shuffle; the 25-node iteration tables must not
+    # the fact join may shuffle; the 25-node iteration tables must not.
+    # checkpoint=False keeps the full lineage visible (the production
+    # path localCheckpoints each round, which truncates the plan).
     from dataframework_spark.operators.graph import graph_pagerank_nations
 
-    df = graph_pagerank_nations(spark, sf_dir)
+    df = graph_pagerank_nations(spark, sf_dir, checkpoint=False)
     p = plan_string(df)
     assert p.count("BroadcastHashJoin") >= 5, p
