@@ -624,3 +624,58 @@ def dedup_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("n_versions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding quality: precision/recall vs the exact-Jaccard ground truth
+# ---------------------------------------------------------------------------
+
+from dataframework_spark.registry import get_spec as _get_spec
+
+_LSH_PAIRS_ORACLE = _get_spec("dedup_minhash_lsh").oracle
+_EXACT_PAIRS_ORACLE = _get_spec("dedup_ngram_jaccard").oracle
+
+
+@register(
+    "dedup_lsh_eval",
+    oracle=f"""
+    WITH lsh AS ({_LSH_PAIRS_ORACLE}),
+    truth AS ({_EXACT_PAIRS_ORACLE}),
+    hits AS (SELECT 1 FROM lsh JOIN truth
+             ON lsh.doc_a = truth.doc_a AND lsh.doc_b = truth.doc_b)
+    SELECT (SELECT COUNT(*) FROM lsh)   AS n_candidates,
+           (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM hits)  AS n_hits,
+           round((SELECT COUNT(*) FROM hits) * 1.0
+                 / (SELECT COUNT(*) FROM lsh), 4)   AS precision,
+           round((SELECT COUNT(*) FROM hits) * 1.0
+                 / (SELECT COUNT(*) FROM truth), 4) AS recall
+    """,
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of MinHash-LSH banding against the exact
+    prefix-filtered n-gram-Jaccard pairs — the tuning loop for
+    bands×rows: banding trades recall for candidate count, and this
+    query IS the measurement (composed from both registered queries AND
+    their oracles, so the metric itself is hash-checked).  At 100 TB
+    the truth side runs on a sample (exact all-pairs is the quadratic
+    thing LSH exists to avoid); the join here is pair-keyed and tiny."""
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    truth = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("ta"), F.col("doc_b").alias("tb")
+    )
+    hits = lsh.join(
+        truth, (F.col("doc_a") == F.col("ta")) & (F.col("doc_b") == F.col("tb"))
+    )
+    counts = (
+        lsh.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return counts.select(
+        "n_candidates",
+        "n_truth",
+        "n_hits",
+        F.round(F.col("n_hits") * 1.0 / F.col("n_candidates"), 4).alias("precision"),
+        F.round(F.col("n_hits") * 1.0 / F.col("n_truth"), 4).alias("recall"),
+    )

@@ -864,3 +864,53 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly flags: median absolute deviation on daily volume
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*)::DOUBLE AS n
+               FROM events GROUP BY 1),
+    med AS (SELECT quantile_cont(n, 0.5) AS m FROM d),
+    mad AS (SELECT quantile_cont(abs(n - m), 0.5) AS mad FROM d, med)
+    SELECT day, CAST(n AS BIGINT) AS n_events,
+           round((n - m) / (1.4826 * mad), 2) AS robust_z,
+           CAST(abs(n - m) > 3 * 1.4826 * mad AS INT) AS is_anomaly
+    FROM d, med, mad
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly flags via median absolute deviation —
+    the breakdown-resistant sibling of ``events_anomaly_zscore``: one
+    wild day inflates a stddev (masking itself) but moves a median
+    barely at all.  Two exact medians over the CALENDAR-sized daily
+    aggregate (data-sized work is only the first count), both broadcast
+    back; daily counts are integers, so medians and deviations are
+    exact binary fractions — no cross-engine interpolation ulps.
+    1.4826·MAD estimates σ under normality, making ±3 comparable to the
+    z-score query's threshold."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts"])
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    med = d.agg(F.percentile("n", F.lit(0.5)).alias("m"))
+    mad = d.crossJoin(F.broadcast(med)).agg(
+        F.percentile(F.abs(F.col("n") - F.col("m")), F.lit(0.5)).alias("mad")
+    )
+    return (
+        d.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            F.col("n").cast("long").alias("n_events"),
+            F.round((F.col("n") - F.col("m")) / (1.4826 * F.col("mad")), 2).alias("robust_z"),
+            (F.abs(F.col("n") - F.col("m")) > 3 * 1.4826 * F.col("mad"))
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+    )
