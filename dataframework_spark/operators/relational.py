@@ -863,7 +863,7 @@ def scalar_case_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,
@@ -1137,7 +1137,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_collect",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus))                 AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            len(list_sort(list(DISTINCT l_linestatus)))            AS n_statuses,
            ROUND(list_sum(list_sort(list(DISTINCT ROUND(l_tax, 2)))), 2) AS tax_level_sum
     FROM lineitem GROUP BY l_returnflag
@@ -1148,12 +1148,15 @@ def scalar_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     array aggregation functions (§2.9 array-functions line).  Collected
     sets are sorted before output — the only way array-valued results can
     be hash-compared across engines (and the only way they're deterministic
-    at all under parallel aggregation)."""
+    at all under parallel aggregation).  The sorted array is emitted as a
+    comma-joined STRING (``array_join``) so every top-level column is a
+    scalar the driver's pandas canonicalizer can sort and hash — the array
+    logic itself stays internal (driver r1 err: unhashable list)."""
     li = load_table(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_tax"])
     statuses = F.array_sort(F.collect_set("l_linestatus"))
     tax_levels = F.array_sort(F.collect_set(F.round("l_tax", 2)))
     return li.groupBy("l_returnflag").agg(
-        statuses.alias("statuses"),
+        F.array_join(statuses, ",").alias("statuses"),
         F.size(statuses).alias("n_statuses"),
         F.round(
             F.expr("aggregate(array_sort(collect_set(round(l_tax, 2))), 0D, (a, v) -> a + v)"), 2
@@ -1236,7 +1239,7 @@ def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
            p_brand                       AS brand_v,
            CAST(p_size AS VARCHAR)       AS size_v,
            2                             AS n_keys,
-           ['brand', 'size']             AS keys_sorted
+           'brand,size'                  AS keys_sorted
     FROM part
     """,
 )
@@ -1258,7 +1261,7 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "brand").alias("brand_v"),
         F.element_at(m, "size").alias("size_v"),
         F.size(m).alias("n_keys"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
     )
 
 

@@ -19,6 +19,21 @@ SPECS = all_queries()
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)
+    # Output discipline: oracle-checked queries must emit only scalar
+    # top-level columns — the driver's pandas canonicalizer sorts/hashes
+    # column values and crashes on array/map/struct cells (r1:
+    # scalar_array_collect / scalar_map_funcs err "unhashable type: list").
+    # Emit array_join(...)/to_json(...) strings instead; keep nesting internal.
+    if spec.oracle is not None:
+        offenders = [
+            f"{f.name}:{f.dataType.typeName()}"
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        assert not offenders, (
+            f"{name} emits non-scalar top-level columns {offenders}; "
+            "the driver canonicalizer cannot hash these"
+        )
     if spec.oracle is None:
         # rows-only check, like the driver's weaker path
         assert df.count() >= 0
