@@ -64,6 +64,29 @@ def duck_shingles_sql(toks_sql: str, n: int = 3) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Cross-dialect term ids (string → bounded bigint, identical on both engines)
+# ---------------------------------------------------------------------------
+
+# MinHash/SimHash need an integer id per shingle/token.  A dictionary
+# (global row_number over the distinct vocabulary) is a single-partition
+# sort of the whole corpus vocabulary — the r1 scale-killer.  Instead both
+# engines hash the term directly: the first 15 hex digits of md5 (60 bits,
+# < int64) reduced mod a caller-chosen modulus.  Collisions (~|V|²/2m) map
+# the SAME term to the SAME id on both engines, so oracles stay exact; for
+# signature math a rare shared id merely perturbs one minhash slot.
+
+
+def tid_sql(col: str, mod: int) -> str:
+    """Spark SQL: deterministic term id in ``[0, mod)`` for a string column."""
+    return f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint) % {mod}"
+
+
+def duck_tid_sql(col: str, mod: int) -> str:
+    """DuckDB twin of :func:`tid_sql` (hex-literal cast instead of conv)."""
+    return f"CAST('0x' || substr(md5({col}), 1, 15) AS BIGINT) % {mod}"
+
+
+# ---------------------------------------------------------------------------
 # Vector math (embeddings.embedding: array<float>)
 # ---------------------------------------------------------------------------
 

@@ -40,7 +40,9 @@ from dataframework_spark.functions.arrays import (
     TOKENS_SQL,
     duck_cosine_sql,
     duck_shingles_sql,
+    duck_tid_sql,
     shingles_sql,
+    tid_sql,
     tokens,
 )
 from dataframework_spark.registry import register
@@ -220,9 +222,7 @@ def _band_cols() -> list[str]:
     s AS (SELECT doc_id, {duck_shingles_sql('toks')} AS sh FROM t),
     sz AS (SELECT doc_id, len(sh) AS n FROM s),
     feat AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-    dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS tid
-             FROM (SELECT DISTINCT shingle FROM feat)),
-    ft AS (SELECT f.doc_id, d.tid FROM feat f JOIN dict d USING (shingle)),
+    ft AS (SELECT doc_id, {duck_tid_sql('shingle', _MH_P)} AS tid FROM feat),
     sig AS (SELECT doc_id, {_mh_exprs_duck()} FROM ft GROUP BY doc_id),
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {band} AS bk, {i} AS band FROM sig" for i, band in enumerate(_band_cols()))}
@@ -248,9 +248,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banding catches a pair with p ≈ 0.986; both engines compute the
     same signatures, so the oracle is still exact.
 
-    The shingle dictionary (global ``row_number`` over distinct shingles)
-    exists purely for cross-engine replay; the 100 TB variant replaces it
-    with ``xxhash64(shingle)`` — no global sort, same banding math."""
+    Term ids come straight from a cross-dialect md5-prefix hash
+    (``tid_sql``) — no shingle dictionary, no global ``row_number`` sort
+    (the r1 single-partition scale-killer).  Signature construction is now
+    a narrow map + one groupBy(doc_id) shuffle, which is the 100 TB shape."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     # single-split local scan → spread CPU-bound shingling across cores
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
@@ -259,12 +260,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s.cache()  # reused for candidates AND verification
     feat = s.select("doc_id", F.explode("sh").alias("shingle"))
-    dict_df = (
-        feat.select("shingle")
-        .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("shingle")))
-    )
-    ft = feat.join(dict_df, "shingle").select("doc_id", "tid")
+    ft = feat.select("doc_id", F.expr(tid_sql("shingle", _MH_P)).alias("tid"))
     sig = ft.groupBy("doc_id").agg(*[F.expr(e) for e in _mh_exprs_spark()])
     # one signature row per doc (tiny) — cache it, or each band arm and
     # each side of the candidate self-join re-runs the whole explode +
@@ -314,10 +310,9 @@ _SH_MOD = 4_294_967_296  # 2^32
     oracle=f"""
     WITH t AS (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
     feat AS (SELECT doc_id, unnest(toks) AS token FROM t),
-    dict AS (SELECT token, row_number() OVER (ORDER BY token) AS tid
-             FROM (SELECT DISTINCT token FROM feat)),
-    ft AS (SELECT f.doc_id, ({_SH_MUL}::BIGINT * d.tid + {_SH_ADD}) % {_SH_MOD} AS g
-           FROM feat f JOIN dict d USING (token)),
+    ft AS (SELECT doc_id,
+           ({_SH_MUL}::BIGINT * ({duck_tid_sql('token', _MH_P)}) + {_SH_ADD}) % {_SH_MOD} AS g
+           FROM feat),
     sig AS (
       SELECT doc_id,
         {" + ".join(f"(CASE WHEN SUM(CASE WHEN (g >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(_SH_BITS))}
@@ -334,19 +329,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each doc reduces to one small integer — the groupBy(doc) shuffle
     carries (doc_id, token-hash) and the bucket join is on a 2-byte key.
     Token weights are multiset counts (duplicated tokens count), which is
-    what makes shuffled near-copies collide.  Dictionary note as in
-    ``dedup_minhash_lsh``: cluster-scale uses ``xxhash64(token)``."""
+    what makes shuffled near-copies collide.  Token ids come from the
+    cross-dialect md5-prefix hash (``tid_sql``) — dictionary-free, so the
+    only shuffle is the groupBy(doc_id) signature fold."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     feat = docs.select("doc_id", F.explode(tokens()).alias("token"))
-    dict_df = (
-        feat.select("token")
-        .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("token")))
-    )
-    ft = feat.join(dict_df, "token").select(
+    ft = feat.select(
         "doc_id",
-        F.expr(f"pmod({_SH_MUL}L * tid + {_SH_ADD}, {_SH_MOD})").alias("g"),
+        F.expr(
+            f"pmod({_SH_MUL}L * ({tid_sql('token', _MH_P)}) + {_SH_ADD}, {_SH_MOD})"
+        ).alias("g"),
     )
     bit_sum = [
         F.sum(F.when(F.expr(f"(g >> {j}) & 1 = 1"), 1).otherwise(-1)).alias(f"s{j}")
@@ -389,47 +382,70 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-pairs dense cosine is BLAS territory, not expression territory:
     Spark's higher-order lambdas (``zip_with``/``aggregate``) run
     *interpreted* per pair — O(n²·d) interpreted ops took ~60 s at sf0.1.
-    This implementation instead:
+    This implementation is a distributed **block nested-loop GEMM** with
+    nothing driver-resident (the r1 version ``toPandas()``-collected the
+    whole corpus to build a broadcast matrix — driver OOM at scale):
 
-    1. L2-normalizes each vector ONCE (n·d work),
-    2. broadcasts the normalized corpus matrix to every partition,
-    3. runs an Arrow-batched ``mapInPandas`` where each partition's block
-       multiplies against the corpus via numpy ⟶ one f64 GEMM per batch
-       (~2 s at sf0.1, and each 100× data step is more GEMM, not more
-       interpretation).
+    1. every vector is hashed into one of ``B`` blocks
+       (``pmod(xxhash64(vec_id), B)``),
+    2. each row is replicated to the B block-pairs it participates in
+       (left side of (bid, j≥bid), right side of (i<bid, bid)) — a narrow
+       explode, then ONE shuffle on the (gi, gj) group key,
+    3. each ``applyInPandas`` group holds exactly two blocks (one on the
+       diagonal) and runs a single f64 GEMM over them.
 
-    Emits each pair once (vec_a < vec_b).  At 100 TB the broadcast corpus
-    no longer fits — the same kernel then runs per LSH bucket / IVF cell
-    (``sim_lsh_topk`` partitioning) with identical per-block math."""
+    Per-task memory is O((n/B)·d) — tune B so a block pair fits an
+    executor, independent of corpus size.  Exact all-pairs is inherently
+    O(n²·d) compute; at 100 TB the *approximate* tier (LSH buckets /
+    IVF cells, ``sim_lsh_topk`` partitioning) bounds candidates instead —
+    this operator is the exact-correctness tier that the approximate ones
+    are measured against (``dedup_lsh_eval``).  Emits each pair once
+    (vec_a < vec_b)."""
     import numpy as np
     import pandas as pd
 
+    n_blocks = 4  # sf-test sizing; at scale: ceil(corpus_rows·d·8 / task_mem) per block
     e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    # driver-side collect builds the BROADCAST side only (same role as a
-    # broadcast join's build side) — the probe side streams distributed
-    pdf_all = e.toPandas()
-    ids = pdf_all["vec_id"].to_numpy(dtype="int64")
-    mat = np.array(pdf_all["embedding"].tolist(), dtype="float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    participate = (
+        f"concat("
+        f"transform(sequence(bid, {n_blocks - 1}),"
+        f" j -> struct(bid as gi, j as gj, true as is_left)),"
+        f"case when bid = 0 then array()"
+        f" else transform(sequence(0, bid - 1),"
+        f" i -> struct(i as gi, bid as gj, false as is_left)) end"
+        f")"
+    )
+    blocks = (
+        e.withColumn("bid", F.expr(f"cast(pmod(xxhash64(vec_id), {n_blocks}) as int)"))
+        .select("vec_id", "embedding", F.explode(F.expr(participate)).alias("g"))
+        .select("vec_id", "embedding", "g.gi", "g.gj", "g.is_left")
+    )
 
-    def block_pairs(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(dtype="int64")
-            q = np.array(pdf["embedding"].tolist(), dtype="float64")
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ b_mat.T  # one GEMM per Arrow batch
-            qi, bj = np.nonzero((sims >= _COS_THRESHOLD) & (q_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": q_ids[qi],
-                    "vec_b": b_ids[bj],
-                    "cos_sim": np.round(sims[qi, bj], 4),
-                }
-            )
+    def block_pairs(key, pdf):
+        gi, gj = key
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        mat = np.array(pdf["embedding"].tolist(), dtype="float64")
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        if gi == gj:  # diagonal: rows appear once (as left); self-GEMM
+            sims = mat @ mat.T
+            li, rj = np.nonzero((sims >= _COS_THRESHOLD) & (ids[:, None] < ids[None, :]))
+            a, b = ids[li], ids[rj]
+        else:
+            left = pdf["is_left"].to_numpy(dtype=bool)
+            l_ids, r_ids = ids[left], ids[~left]
+            if not len(l_ids) or not len(r_ids):
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+            sims = mat[left] @ mat[~left].T
+            li, rj = np.nonzero(sims >= _COS_THRESHOLD)
+            a = np.minimum(l_ids[li], r_ids[rj])
+            b = np.maximum(l_ids[li], r_ids[rj])
+        return pd.DataFrame(
+            {"vec_a": a, "vec_b": b, "cos_sim": np.round(sims[li, rj], 4)}
+        )
 
-    return e.mapInPandas(block_pairs, schema="vec_a bigint, vec_b bigint, cos_sim double")
+    return blocks.groupBy("gi", "gj").applyInPandas(
+        block_pairs, schema="vec_a bigint, vec_b bigint, cos_sim double"
+    )
 
 
 # ---------------------------------------------------------------------------
