@@ -39,6 +39,7 @@ from pyspark.sql.window import Window
 
 from dataframework_spark.catalog import load_table
 from dataframework_spark.functions.arrays import tokens
+from dataframework_spark.functions.ranking import global_order_stats
 from dataframework_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -906,14 +907,12 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     library and oracle-checkable.
 
     Plan: the scorer "model" is one broadcast d-vector; scoring is a
-    narrow row expression.  The rank is a GLOBAL ordered window — exact
-    AUC fundamentally needs a total order, and this is the one place the
-    engine accepts a single-partition sort (ranking doubles, not rows:
-    the window input is (bool, double) pairs).  At 100 TB swap in the
-    binned estimator: histogram scores into ~10k buckets, AUC from
-    cumulative bucket counts — one aggregate, error O(1/buckets); the
-    exact form stays as the oracle-checked reference.  Score ties are
-    broken by vec_id identically in both engines."""
+    narrow row expression.  Exact AUC needs a total order over scores, but
+    NOT a single-partition window: the global rank comes from
+    :func:`global_order_stats` (range-partitioned parallel sort +
+    per-partition prefix offsets), so the ranking scales like any
+    ``orderBy``.  Score ties are broken by vec_id identically in both
+    engines."""
     e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
     pos_flat = e.where(F.col("label") == 0).select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
@@ -932,8 +931,10 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(x, y) -> x * y), 0D, (acc, v) -> acc + v)"
         ).alias("score"),
     )
-    w = Window.partitionBy().orderBy(F.round("score", 6), "vec_id")
-    r = s.select("is_pos", F.row_number().over(w).alias("rnk"))
+    s = s.withColumn("_score_r", F.round("score", 6))
+    r = global_order_stats(
+        s, [F.col("_score_r"), F.col("vec_id")], rn="rnk"
+    ).select("is_pos", "rnk")
     n_pos = F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
     n_neg = F.sum(F.when(F.col("is_pos"), 0).otherwise(1))
     rank_sum = F.sum(F.when(F.col("is_pos"), F.col("rnk")).otherwise(0))

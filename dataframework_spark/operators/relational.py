@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dataframework_spark.catalog import load_table
+from dataframework_spark.functions.ranking import global_order_stats, with_global_ntile
 from dataframework_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -652,10 +653,16 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile quartiles over a total order (tiebreak on key). This is the
     same primitive that expresses the reference's contiguous CV folds
-    (SURVEY.md §2.5 T3, ``preprocess.py:185-191``)."""
+    (SURVEY.md §2.5 T3, ``preprocess.py:185-191``).
+
+    Computed via :func:`with_global_ntile` — a range-partitioned sort plus
+    per-partition offsets — NOT ``ntile().over(Window.orderBy(...))``,
+    which collapses the whole table into one task.  Bit-identical to SQL
+    NTILE at any parallelism."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return cust.select("c_custkey", F.ntile(4).over(w).alias("balance_quartile"))
+    return with_global_ntile(
+        cust, 4, [F.col("c_acctbal"), F.col("c_custkey")], "balance_quartile"
+    ).select("c_custkey", "balance_quartile")
 
 
 @register(
@@ -1991,16 +1998,15 @@ def join_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: quartile rank each customer on Recency
     (latest order), Frequency (order count), Monetary (total spend) —
-    the standard marketing segmentation, and a 3-window ntile exercise
-    with deterministic custkey tiebreaks.
+    the standard marketing segmentation with deterministic custkey
+    tiebreaks.
 
-    The windows are global (unpartitioned) — fine here because they run
-    over the customer-sized AGGREGATE, not orders.  At 100 TB an
-    unpartitioned ntile is a single-task sort, so the scale path swaps
-    each ntile for approx-quantile cutoffs (computed in one pass,
-    broadcast back as a CASE) — same quartile semantics, no global sort;
-    documented rather than built because the exact form is what the
-    cross-engine oracle can pin."""
+    Each quartile is an exact global NTILE computed by
+    :func:`with_global_ntile` (range-partitioned sort + per-partition
+    offsets) — three range shuffles of the customer-sized aggregate, the
+    honest cost of exact quartiles on three independent orders, and no
+    single-task window anywhere.  (Cheaper-but-approximate at 100 TB:
+    one ``approxQuantile`` pass per metric broadcast back as a CASE.)"""
     orders = load_table(
         spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
     )
@@ -2014,13 +2020,20 @@ def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").alias("_spend"),
         )
     )
-    return per_cust.select(
+    r = with_global_ntile(
+        per_cust, 4, [F.col("_last").desc(), F.col("c_custkey")], "r_quartile"
+    )
+    r = with_global_ntile(
+        r, 4, [F.col("n_orders").desc(), F.col("c_custkey")], "f_quartile"
+    )
+    r = with_global_ntile(
+        r, 4, [F.col("_spend").desc(), F.col("c_custkey")], "m_quartile"
+    )
+    return r.select(
         "c_custkey",
-        F.ntile(4).over(Window.orderBy(F.col("_last").desc(), "c_custkey")).alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("n_orders").desc(), "c_custkey"))
-        .alias("f_quartile"),
-        F.ntile(4).over(Window.orderBy(F.col("_spend").desc(), "c_custkey")).alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
         "n_orders",
         F.round("_spend", 2).alias("total_spend"),
     )
@@ -2127,20 +2140,21 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto (80/20) concentration: the smallest set of top customers
     whose cumulative spend reaches 80% of total revenue, as a count and
-    a fraction of the customer base.  Running-sum window over the
-    customer-sized spend aggregate (never over orders); the global
-    ordering is a single-task sort of that aggregate only — at 100 TB
-    you'd histogram spend and walk bin prefix sums instead (documented;
-    the exact form is the oracle-checkable one)."""
+    a fraction of the customer base.  The global rank, running sum, and
+    grand totals all come from ONE :func:`global_order_stats` pass
+    (range-partitioned sort + per-partition prefix offsets) — no
+    single-task window, no ``Window.partitionBy()`` whole-table frame,
+    exact at any parallelism."""
     orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     pc = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
-    wo = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
-    r = pc.select(
-        "spend",
-        F.row_number().over(wo).cast("long").alias("rn"),
-        F.sum("spend").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("spend").over(Window.partitionBy()).alias("total"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    r = global_order_stats(
+        pc,
+        [F.col("spend").desc(), F.col("o_custkey")],
+        rn="rn",
+        value_col="spend",
+        cum="cum",
+        n_total="n",
+        value_total="total",
     )
     return r.where(F.col("cum") >= 0.8 * F.col("total")).agg(
         F.min("rn").alias("cutoff_customers"),

@@ -508,14 +508,17 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the whole observation window, flagging |z| > 2 — the
     monitoring query every ingestion pipeline runs over its own metrics.
 
-    The raw scan collapses to one row per DAY before any window math, so
-    the unpartitioned (global) window — normally a scale smell — runs over
-    a calendar-sized table: ~36.5k rows for a century.  One shuffle for the
-    daily aggregate, one single-partition pass over days."""
+    The raw scan collapses to one row per DAY before any window math
+    (calendar-sized: ~36.5k rows for a century); the corpus mean/stddev
+    are a one-row aggregate of that, broadcast back with a cross join —
+    no whole-table window frame anywhere."""
     ev = load_table(spark, sf_dir, "events", columns=["ts"])
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n_events"))
-    w = Window.partitionBy()
-    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev_pop("n_events").over(w)
+    stats = daily.agg(
+        F.avg("n_events").alias("_mu"), F.stddev_pop("n_events").alias("_sd")
+    )
+    daily = daily.crossJoin(F.broadcast(stats))
+    z = (F.col("n_events") - F.col("_mu")) / F.col("_sd")
     return daily.select(
         "day",
         "n_events",
@@ -609,7 +612,7 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical plan partitions the window by key."""
     ev = load_table(spark, sf_dir, "events", columns=["ts"])
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n_events"))
-    w = Window.partitionBy().orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy().orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)  # _GLOBAL_WINDOW_OK: input is the per-day aggregate (calendar-sized)
     acc = daily.withColumn("xs", F.collect_list("n_events").over(w))
     fold = (
         "aggregate(slice(xs, 2, size(xs) - 1), cast(element_at(xs, 1) as double), "
@@ -658,7 +661,7 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_in_day = net.withColumn("run", F.sum("nd").over(w_in_day))
     day_tot = net.groupBy("day").agg(F.sum("nd").alias("day_net"))
-    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)  # _GLOBAL_WINDOW_OK: input is the per-day aggregate (calendar-sized)
     carry = day_tot.withColumn("carry", F.coalesce(F.sum("day_net").over(w_days), F.lit(0)))
     joined = run_in_day.join(F.broadcast(carry.select("day", "carry")), "day")
     return (

@@ -163,17 +163,19 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency, top 25 (deterministic tiebreak on token).
 
-    explode → partial-agg → single shuffle on token; the top-k is a
-    window over the already-tiny aggregate.  At 100 TB the explode stays
-    map-side and the shuffle carries only (token, partial-count) pairs."""
+    explode → partial-agg → single shuffle on token; the top-k is
+    ``orderBy().limit(25)``, which compiles to TakeOrderedAndProject —
+    per-partition 25-row heaps merged on the driver, NOT a global sort or
+    single-task window, so it holds even when the vocabulary itself is
+    huge.  At 100 TB the explode stays map-side and the shuffle carries
+    only (token, partial-count) pairs."""
     docs = load_table(spark, sf_dir, "documents", columns=["text"])
     tf = (
         docs.select(F.explode(tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
-    return tf.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 25).drop("rn")
+    return tf.orderBy(F.col("tf").desc(), F.col("token")).limit(25)
 
 
 # Rolling polynomial fingerprint over token features — cross-dialect
@@ -376,8 +378,8 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             pmi.alias("pmi"),
         )
     )
-    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
-    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 25).drop("rn")
+    # top-k via TakeOrderedAndProject (partition heaps), not a global window
+    return scored.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(25)
 
 
 @register(

@@ -341,9 +341,9 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = docs.select(
         "doc_id", "lang", "n_chars", F.round(-F.log(uni) / F.col("n_chars"), 10).alias("ekey")
     )
-    w = Window.orderBy("ekey", "doc_id")
+    top = k.orderBy("ekey", "doc_id").limit(20)  # TakeOrderedAndProject
+    w = Window.orderBy("ekey", "doc_id")  # _GLOBAL_WINDOW_OK: input is the 20-row top-k
     return (
-        k.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("rnk", "doc_id", "lang", "n_chars")
     )
