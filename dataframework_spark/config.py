@@ -30,6 +30,7 @@ Documented divergences (intended semantics kept, SURVEY.md §7):
 
 from __future__ import annotations
 
+import copy
 import re
 import warnings
 from collections.abc import Iterable
@@ -119,12 +120,20 @@ def remove_dict_items(d: dict, keys: Iterable[str]) -> dict:
 
 
 def match_and_fill(value: Any, names: list[str], key: str = "?") -> dict[str, Any]:
-    """Broadcast one config value across databases (C4).
+    """Broadcast one config value across databases (C4,
+    ``preprocess.py:435-466``).
 
-    scalar → every database gets it; list → positional (length must match,
-    else :class:`ConfigError` — ``preprocess.py:460-461``); dict → by
-    database name with a ``'default'`` fallback, unknown names warned
-    (``preprocess.py:453-455``).
+    Reference semantics, restored exactly in r2:
+
+    * scalar **and tuple** → every database gets the value; a tuple is ONE
+      broadcast value (multiple train settings per db), never split
+      positionally (``preprocess.py:438-439`` wraps tuple as ``[item]``);
+    * list → length must be 1 or ``len(names)``
+      (``preprocess.py:460-461``): a singleton broadcasts its element to
+      all databases (deep-copied per database so entries never alias,
+      ``preprocess.py:464``), a full-length list maps positionally;
+    * dict → by database name with a ``'default'`` fallback, unknown
+      names warned (``preprocess.py:451-455``).
     """
     if isinstance(value, dict):
         unknown = [k for k in value if k not in names and k != DEFAULT_KEY_NAME]
@@ -137,13 +146,16 @@ def match_and_fill(value: Any, names: list[str], key: str = "?") -> dict[str, An
                 f"{DEFAULT_KEY_NAME!r} fallback"
             )
         return {n: value.get(n, value.get(DEFAULT_KEY_NAME)) for n in names}
-    if isinstance(value, (list, tuple)):
-        if len(value) != len(names):
+    if isinstance(value, list):
+        if len(value) not in (1, len(names)):
             raise ConfigError(
-                f"config key {key!r}: list length {len(value)} != "
-                f"database count {len(names)}"
+                f"config key {key!r}: list length {len(value)} is neither 1 "
+                f"nor the database count {len(names)}"
             )
+        if len(value) == 1:
+            return {n: copy.deepcopy(value[0]) for n in names}
         return dict(zip(names, value))
+    # scalars AND tuples broadcast whole (tuple = one multi-setting value)
     return {n: value for n in names}
 
 
@@ -211,8 +223,20 @@ def decode_load_config(config: dict) -> dict[str, dict[str, Any]]:
     per_db: dict[str, dict[str, Any]] = {}
     broadcast = {
         k: match_and_fill(cfg[k], names, k)
-        for k in ("root", "format", "labeled", "key", "label", "features", "columns")
+        for k in ("root", "format", "labeled", "key", "label", "features")
     }
+    # "columns" is list-valued like "range": a flat list/tuple of column
+    # names applies to EVERY database (the common intent); per-database
+    # column sets use a dict or list-of-lists (C4 rules apply).
+    cols_val = cfg["columns"]
+    if (
+        isinstance(cols_val, (list, tuple))
+        and cols_val
+        and all(isinstance(c, str) for c in cols_val)
+    ):
+        broadcast["columns"] = {n: list(cols_val) for n in names}
+    else:
+        broadcast["columns"] = match_and_fill(cols_val, names, "columns")
     # "range" is itself list-valued, so broadcast is ambiguous: a flat
     # [lo, hi] int pair applies to every database (the reference's common
     # case, ``predefine.py:11``); a list of pairs matches positionally; a

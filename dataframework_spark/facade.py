@@ -41,7 +41,7 @@ from dataframework_spark.config import (
     decode_process_config,
 )
 from dataframework_spark.operators.ml_prep import (
-    center,
+    center_features,
     cv_plan,
     extend_bias,
     param_grid,
@@ -136,7 +136,9 @@ class PreProcessEngine:
         lazy plan: seeded permutation (replication ``no`` folds into the
         hash seed, T6) → optional bias extension (M2) → per-class
         train/test split (T1) → fold assignment (T3) → optional train-mean
-        centering of the first feature (A1/M3).
+        centering of EVERY feature dimension (A1/M3,
+        ``preprocess.py:76-79``: the full per-feature mean vector is
+        subtracted from train AND test).
 
         Returns ``(train_df, test_df)``; labels are already columns (M4 is
         a no-op in long format), folds ride along as a ``fold`` column —
@@ -155,10 +157,7 @@ class PreProcessEngine:
         if proc["extend"]:
             planned = extend_bias(planned, features_col=spec["features"])
         if proc["center"]:
-            planned = planned.withColumn(
-                "_x0", F.element_at(F.col(spec["features"]).cast("array<double>"), 1)
-            )
-            planned = center(planned, ["_x0"])
+            planned = center_features(planned, spec["features"])
         keep = [c for c in planned.columns if c not in ("_n", "_rn", "_train_size")]
         planned = planned.select(*keep)
         train_df = planned.where(F.col("is_train") == 1)
@@ -168,7 +167,13 @@ class PreProcessEngine:
     def get_cv_data(self, fold: int, database: str | None = None) -> tuple[DataFrame, DataFrame]:
         """Fold ``fold``'s (cv_train, cv_test) slices (M6,
         ``preprocess.py:91-96``) via the exploded general plan (T2+T3 —
-        covers both the linspace and the rotating leave-one-out regime)."""
+        covers both the linspace and the rotating leave-one-out regime).
+
+        When ``center`` is configured, each fold is re-centered by its OWN
+        fold-train per-dimension means (reference ``preprocess.py:80-84``
+        re-centers every CV slice after the global pass) — fold-test rows
+        get the fold-train means subtracted, exactly like the outer
+        train/test pair."""
         name = database or self._names[0]
         spec, proc = self._scan_specs[name], self._process[name]
         df = self.database(name)
@@ -177,6 +182,14 @@ class PreProcessEngine:
         plan = cv_plan(split, proc["cv"]).where(F.col("fold") == fold)
         keep = [c for c in plan.columns if c not in ("_n", "_rn", "_train_size")]
         plan = plan.select(*keep)
+        if proc["center"]:
+            plan = center_features(
+                plan.withColumn(
+                    "_is_fold_train", (F.col("role") == "train").cast("int")
+                ),
+                spec["features"],
+                train_col="_is_fold_train",
+            ).drop("_is_fold_train")
         return plan.where(F.col("role") == "train"), plan.where(F.col("role") == "test")
 
 

@@ -175,6 +175,44 @@ def center(
     return out.drop(*[f"_mean_{c}" for c in value_cols])
 
 
+def center_features(
+    df: DataFrame,
+    features_col: str,
+    train_col: str = "is_train",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Full-vector fit/transform centering (reference ``preprocess.py:76-84``):
+    subtract the per-DIMENSION train means from EVERY dimension of every
+    row's feature vector, train and test alike — the reference's
+    ``center=True`` semantics (r1 centered only the first dimension on the
+    facade path; ADVICE r1).
+
+    Plan shape: posexplode of TRAIN rows only → per-dim mean (one shuffle,
+    dim-sized result) → means collected into ONE array row, broadcast back
+    → ``zip_with`` subtract (narrow, codegen).  The data table itself
+    never explodes or shuffles."""
+    exploded = df.where(F.col(train_col) == 1).select(
+        F.posexplode(F.col(features_col).cast("array<double>")).alias("pos", "val")
+    )
+    means = exploded.groupBy("pos").agg(F.round(F.avg("val"), ndigits).alias("m"))
+    marr = means.groupBy().agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias(
+            "_dim_means"
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(marr))
+        .withColumn(
+            features_col,
+            F.expr(
+                f"zip_with(cast({features_col} as array<double>), _dim_means, "
+                "(x, m) -> x - m)"
+            ),
+        )
+        .drop("_dim_means")
+    )
+
+
 def extend_bias(df: DataFrame, features_col: str | None = None) -> DataFrame:
     """Bias extension (reference M2, ``preprocess.py:54-56``): append a
     constant-1 feature — as a scalar ``bias`` column, and appended to the

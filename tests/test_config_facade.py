@@ -40,9 +40,25 @@ def test_match_and_fill_list_positional():
     assert match_and_fill([1, 2], ["a", "b"]) == {"a": 1, "b": 2}
 
 
+def test_match_and_fill_singleton_list_broadcasts():
+    # reference preprocess.py:460-464: len-1 lists broadcast their element,
+    # deep-copied so databases never alias one mutable value
+    out = match_and_fill([{"k": 1}], ["a", "b"])
+    assert out == {"a": {"k": 1}, "b": {"k": 1}}
+    out["a"]["k"] = 99
+    assert out["b"]["k"] == 1
+
+
+def test_match_and_fill_tuple_is_one_broadcast_value():
+    # reference preprocess.py:438-439: tuple wraps as [item] — ONE value
+    # (e.g. multiple train settings per db), never split positionally
+    assert match_and_fill((0.5, 100), ["a", "b"]) == {"a": (0.5, 100), "b": (0.5, 100)}
+
+
 def test_match_and_fill_list_length_mismatch():
+    # len must be 1 (broadcast) or the db count (positional) — nothing else
     with pytest.raises(ConfigError, match="length"):
-        match_and_fill([1], ["a", "b"], "cv")
+        match_and_fill([1, 2, 3], ["a", "b"], "cv")
 
 
 def test_match_and_fill_dict_with_default():
@@ -180,8 +196,19 @@ def test_facade_generator_extend_and_center(engine):
     assert row.bias == 1.0 and len(row.embedding) == 65  # 64 + bias
     import pyspark.sql.functions as F
 
-    mean = train.agg(F.avg("_x0_centered")).collect()[0][0]
-    assert abs(mean) < 1e-2  # train mean ~ 0 after centering
+    # reference preprocess.py:76-79 — EVERY dimension of the train matrix is
+    # mean-zero after center=True, not just the first (ADVICE r1)
+    dim_means = (
+        train.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+        )
+        .groupBy("pos")
+        .agg(F.avg("val").alias("m"))
+        .collect()
+    )
+    assert len(dim_means) == 65
+    for r in dim_means:
+        assert abs(r.m) < 1e-2, f"dim {r.pos} mean {r.m} not centered"
 
 
 def test_facade_replication_changes_split(engine):

