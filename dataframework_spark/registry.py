@@ -130,7 +130,7 @@ def all_queries() -> dict[str, QuerySpec]:
         udfs,
     )
     from dataframework_spark import streaming  # noqa: F401
-    from dataframework_spark.sources import io  # noqa: F401
+    from dataframework_spark.sources import io, matlab  # noqa: F401
 
     return _interleaved(_REGISTRY)
 
