@@ -3,16 +3,16 @@
 The reference has no joins or subqueries at all (SURVEY.md §2.3 — verified
 by full read of ``/root/reference/DFW/preprocess.py`` and ``tools.py``), so
 TPC-H coverage is pure north-star surface.  ``relational.py`` carries
-q1/q3/q4/q5/q6/q13/q14/q18/q19; this module adds the remaining *shapes*
-that the synthetic tables can express.
+q1/q3/q4/q5/q6/q13/q14/q18/q19; this module adds every remaining shape —
+all 22 TPC-H queries are covered.
 
 The test data has no ``partsupp`` table and lacks
 ``l_shipmode``/``l_commitdate``/``l_receiptdate``/``c_phone``
-(TESTDATA.md), so q2/q11/q12/q16/q20/q21 cannot run verbatim.  Each query
-below implements the *query shape* (correlated min, two-sided join pair
-disjunction, CASE-ratio market share, max-over-view, correlated average,
-NOT EXISTS + scalar threshold) on the columns that exist, and the docstring
-names the adaptation.
+(TESTDATA.md), so q2/q11/q12/q16/q20/q21 cannot run verbatim.  Each such
+query implements the *query shape* (correlated min, global-fraction
+threshold, two-category CASE counting, NOT IN exclusion + count-distinct,
+nested semi-joins over derived aggregates, EXISTS + NOT EXISTS pair) on
+the columns that exist, and the docstring names the adaptation.
 
 Scale notes: every dim join is broadcast-hinted; fact-fact joins shuffle on
 their key once; all correlated subqueries are written (or rewritten by
@@ -450,4 +450,228 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey AS partkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY 1)
+    SELECT partkey, value FROM val
+    WHERE value > (SELECT SUM(value) * 0.002 FROM val)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape; adapted — no
+    ``partsupp``, so per-part "stock value" is shipped revenue from the
+    selected nations' suppliers).  The shape under test: a grouped
+    aggregate filtered by an UNCORRELATED scalar fraction of its own
+    global total.
+
+    Plan: one shuffle builds ``val``; the global threshold is a one-row
+    aggregate of the (already partkey-sized) result, broadcast back as a
+    cross join — the fact table is scanned once, never twice."""
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supp = load_table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nat = load_table(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"]).where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "value"
+            )
+        )
+        # partkey-sized; cached so the threshold branch does not re-scan the
+        # fact table (both consumers read the materialized aggregate)
+        .cache()
+    )
+    threshold = val.agg((F.sum("value") * F.lit(0.002)).alias("thr"))
+    return (
+        val.join(F.broadcast(threshold), F.col("value") > F.col("thr"))
+        .select("partkey", "value")
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority audit (TPC-H Q12 shape; adapted — no
+    ``l_shipmode``/``l_commitdate``/``l_receiptdate``, so "late" =
+    shipped ≥60 days after order date and the shipmode grouping becomes
+    ship year).  The shape: fact-fact equi-join with a residual
+    inter-column theta predicate, then the classic two-sided CASE
+    counting aggregate — one shuffle for the join keyed on orderkey, one
+    map-side-combinable count."""
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship count (TPC-H Q16 shape; adapted — no
+    ``partsupp``, supplier "complaints" become negative account balance).
+    The shape: NOT IN exclusion subquery (a broadcast left-anti join over
+    the tiny bad-supplier set — supplier keys are never NULL here, so
+    NOT IN ≡ anti join), a selective IN-list pushed to the part scan, and
+    COUNT(DISTINCT) over the surviving pairs."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    part = load_table(
+        spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]
+    ).where(F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    bad = load_table(
+        spark, sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]
+    ).where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_share_suppliers",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, SUM(qty) AS total FROM per GROUP BY 1)
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT per.l_suppkey FROM per JOIN tot ON per.l_partkey = tot.l_partkey
+      WHERE per.qty > 0.5 * tot.total)
+    """,
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-share suppliers (TPC-H Q20 shape; adapted — no
+    ``partsupp``/``availqty``, so "excess stock" becomes: supplier shipped
+    more than half of some part's total shipped quantity).  The shape:
+    nested IN semi-joins over a derived per-(part,supplier) aggregate.
+
+    Plan: ``per`` is one partkey+suppkey shuffle; ``tot`` re-aggregates
+    the already-small ``per`` (no second fact scan); the qualifying
+    supplier set is distinct-projected and semi-joined into supplier."""
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"]
+    )
+    supp = load_table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    # (part, supplier)-sized; cached — tot and dominant both consume it,
+    # and without materialization each consumer re-scans lineitem
+    per = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty")).cache()
+    tot = per.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    dominant = (
+        per.join(tot, on="l_partkey")
+        .where(F.col("qty") > 0.5 * F.col("total"))
+        .select("l_suppkey")
+    )
+    return supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY 1, 2)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM li l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    WHERE EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.last_ship > l1.last_ship)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape; adapted — no
+    receipt/commit dates, so "kept waiting" = last to ship in a
+    multi-supplier finalized order).  The canonical EXISTS + NOT EXISTS
+    pair, decorrelated by hand into ONE window-free aggregate join: per
+    order, count suppliers and take the max last-ship — a supplier
+    qualifies iff the order has ≥2 suppliers and its last_ship equals the
+    order max (NOT EXISTS excludes only strictly-later shippers, so
+    suppliers tied at the max all qualify, exactly like the correlated
+    SQL).
+    """
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    supp = load_table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]
+    ).where(F.col("o_orderstatus") == "F")
+    # (order, supplier)-sized; cached — order_stats and the qualifying join
+    # both consume it (one lineitem scan, not two)
+    per = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .cache()
+    )
+    order_stats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.max("last_ship").alias("max_ship"),
+    )
+    return (
+        per.join(order_stats, on="l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("last_ship") == F.col("max_ship")))
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey, "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -86,6 +86,11 @@ def _family(name: str) -> str:
     return name.split("_", 1)[0]
 
 
+# Pulled to the front of their family queue (after the family's first
+# registrant): queries the r1 VERDICT names as must-have driver rows.
+_FAMILY_PRIORITY = ["stream_foreachbatch_sink", "dedup_minhash_lsh", "sim_lsh_topk"]
+
+
 def _interleaved(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Round-robin the registry across operator families.
 
@@ -95,11 +100,18 @@ def _interleaved(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     prefix carries ≥2 per family — so no family can end a round with zero
     driver rows (VERDICT r1, "What's missing" #1).  Within a family the
     registration order is preserved (modules register their most
-    representative query first).
+    representative query first), except ``_FAMILY_PRIORITY`` names, which
+    slot in right after their family's lead query.
     """
     queues: dict[str, list[QuerySpec]] = {}
     for name, spec in reg.items():
         queues.setdefault(_family(name), []).append(spec)
+    for prio in reversed(_FAMILY_PRIORITY):
+        q = queues.get(_family(prio), [])
+        for i, spec in enumerate(q):
+            if spec.name == prio and i > 1:
+                q.insert(1, q.pop(i))
+                break
     fam_order = [f for f in _FAMILY_ORDER if f in queues]
     fam_order += [f for f in queues if f not in fam_order]
     out: dict[str, QuerySpec] = {}
