@@ -193,3 +193,168 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n").cast("double") / _CTX, 4).alias("fill_ratio"),
         )
     )
+
+
+# Mixture sampling: per-source weights (odd-indexed sources upweighted 3×) and
+# a global keep budget of 40% of corpus tokens.  Rates derive from the data,
+# selection is a deterministic per-doc hash threshold — no rand() anywhere.
+_MIX_BUDGET_FRAC = 0.4
+_MIX_MOD = 1_000_000
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, len({DUCK_TOKENS_SQL}) AS n FROM documents),
+    st AS (
+      SELECT source, SUM(n) AS src_tokens,
+             CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 1 THEN 3.0 ELSE 1.0 END AS w
+      FROM tok GROUP BY source),
+    tot AS (
+      SELECT SUM(src_tokens) * {_MIX_BUDGET_FRAC} AS budget, SUM(w) AS sum_w FROM st),
+    rates AS (
+      SELECT source, src_tokens,
+             LEAST(1.0, (SELECT budget FROM tot) * w / (SELECT sum_w FROM tot)
+                        / src_tokens) AS rate
+      FROM st),
+    kept AS (
+      SELECT t.source, t.n
+      FROM tok t JOIN rates r ON t.source = r.source
+      WHERE CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+            % {_MIX_MOD} < CAST(FLOOR(r.rate * {_MIX_MOD}) AS BIGINT))
+    SELECT r.source,
+           r.src_tokens,
+           ROUND(r.rate, 6)                    AS rate,
+           COALESCE(COUNT(k.n), 0)             AS docs_kept,
+           COALESCE(SUM(k.n), 0)               AS tokens_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    GROUP BY r.source, r.src_tokens, r.rate
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: downsample each source to hit a
+    global token budget ({_MIX_BUDGET_FRAC:.0%} of the corpus) split across
+    sources by quality weight (odd-indexed sources ×3) — the operation
+    that turns N crawled sources into a pretraining mixture with pinned
+    proportions.  Selection is a pure function of ``doc_id`` (md5-prefix
+    threshold, the same cross-dialect hash the dedup family uses), so the
+    sample is reproducible run-over-run and engine-over-engine — never
+    ``rand()``.
+
+    Plan: per-source token totals are a source-sized aggregate (one
+    map-side-combinable shuffle of the fact scan); rates are a ~20-row
+    broadcast joined back; the keep-filter is a narrow row-local hash
+    compare.  One fact scan, one tiny shuffle, no windows — the shape
+    survives any corpus size.  A kept-token histogram per source comes
+    out of the same pass."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    tok = docs.select("doc_id", "source", F.size(tokens()).alias("n"))
+    st = tok.groupBy("source").agg(F.sum("n").alias("src_tokens")).withColumn(
+        "w",
+        F.when(F.substring("source", 4, 10).cast("int") % 2 == 1, F.lit(3.0)).otherwise(
+            F.lit(1.0)
+        ),
+    )
+    tot = st.agg(
+        (F.sum("src_tokens") * F.lit(_MIX_BUDGET_FRAC)).alias("budget"),
+        F.sum("w").alias("sum_w"),
+    )
+    rates = (
+        st.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.col("budget") * F.col("w") / F.col("sum_w") / F.col("src_tokens"),
+            ),
+        )
+        .select("source", "src_tokens", "rate")
+    )
+    thr = F.floor(F.col("rate") * _MIX_MOD).cast("bigint")
+    keep = F.expr(
+        f"cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) "
+        f"% {_MIX_MOD}"
+    )
+    kept = (
+        tok.join(F.broadcast(rates), on="source")
+        .where(keep < thr)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs_kept"), F.sum("n").alias("tokens_kept"))
+    )
+    return (
+        rates.join(kept, on="source", how="left")
+        .select(
+            "source",
+            "src_tokens",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+    )
+
+
+_VOCAB_K = 16  # top-K global vocabulary (test corpus has 31 distinct tokens)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang, tok, COUNT(*) AS cnt
+      FROM (SELECT lang, unnest({DUCK_TOKENS_SQL}) AS tok FROM documents)
+      GROUP BY 1, 2),
+    v AS (
+      SELECT tok FROM (SELECT tok, SUM(cnt) AS tot FROM lt GROUP BY tok)
+      ORDER BY tot DESC, tok LIMIT {_VOCAB_K})
+    SELECT lang,
+           SUM(cnt) AS n_tokens,
+           SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN cnt ELSE 0 END) AS in_vocab,
+           ROUND(1.0 - SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN cnt ELSE 0 END)::DOUBLE
+                 / SUM(cnt), 4) AS oov_rate
+    FROM lt GROUP BY lang
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate audit: fix the top-{_VOCAB_K} global
+    vocabulary (count desc, token asc — fully deterministic under ties)
+    and measure, per language, what fraction of token OCCURRENCES fall
+    outside it — the go/no-go check before committing a tokenizer's vocab
+    to a multilingual corpus.
+
+    Plan: ONE fact scan builds the (lang, token) count table (vocab ×
+    languages rows — tiny), cached; the global ranking, the top-K cut
+    (``orderBy().limit()`` = TakeOrderedAndProject, no global sort
+    shuffle), and the per-lang rollup all reuse it.  The vocab set joins
+    back as a broadcast."""
+    docs = load_table(spark, sf_dir, "documents", columns=["lang", "text"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    lt = (
+        docs.select("lang", F.explode(tokens()).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()  # vocab×lang-sized; consumed by the ranking AND the rollup
+    )
+    v = (
+        lt.groupBy("tok")
+        .agg(F.sum("cnt").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("tok"))
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("_in_v"))
+    )
+    return (
+        lt.join(F.broadcast(v), on="tok", how="left")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_v") == 1, F.col("cnt")).otherwise(0)).alias("in_vocab"),
+            F.round(
+                1.0
+                - F.sum(F.when(F.col("_in_v") == 1, F.col("cnt")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("cnt"),
+                4,
+            ).alias("oov_rate"),
+        )
+    )
