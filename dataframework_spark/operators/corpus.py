@@ -242,12 +242,13 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample is reproducible run-over-run and engine-over-engine — never
     ``rand()``.
 
-    Plan: per-source token totals are a source-sized aggregate (one
-    map-side-combinable shuffle of the fact scan); rates are a ~20-row
-    broadcast joined back; the keep-filter is a narrow row-local hash
-    compare.  One fact scan, one tiny shuffle, no windows — the shape
-    survives any corpus size.  A kept-token histogram per source comes
-    out of the same pass."""
+    Plan: two fact scans by design — pass 1 reduces the corpus to a
+    source-sized token-total aggregate (map-side combinable, ~20 rows
+    out), pass 2 applies the derived rates as a narrow row-local hash
+    compare with the ~20-row rate table broadcast.  Rates depend on the
+    full totals, so a single-pass form would need the whole corpus
+    cached; two cold scans is the shape that survives 100 TB.  No
+    windows, no wide shuffles of document rows anywhere."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
     tok = docs.select("doc_id", "source", F.size(tokens()).alias("n"))
     st = tok.groupBy("source").agg(F.sum("n").alias("src_tokens")).withColumn(
