@@ -51,10 +51,23 @@ def global_order_stats(
     Costs ONE range shuffle of ``df`` plus one partition-count-sized
     aggregate; every added column matches the unpartitioned-window answer
     exactly.
+
+    The ranged input feeds two consumers (the partition summary and the
+    offset join), so it is cached: without materialization each consumer
+    re-derives the whole upstream lineage whenever Catalyst cannot prove
+    the two exchange subtrees identical — chained calls (e.g. three RFM
+    quartiles) then recompute the base aggregate 2^depth times.  Callers
+    feed entity-level aggregates (customers, vocab, partition summaries),
+    so the cached copy is bounded by contract — this helper is for ranking
+    AGGREGATES globally, not raw fact tables.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     p = num_partitions or parallelism
-    d = df.repartitionByRange(p, *order_cols).withColumn("_pid", F.spark_partition_id())
+    d = (
+        df.repartitionByRange(p, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
 
     aggs = [F.count(F.lit(1)).alias("_cnt")]
     if value_col is not None:
