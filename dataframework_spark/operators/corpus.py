@@ -359,3 +359,83 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_merge_expr(a: str, b: str) -> str:
+    """Spark SQL fold: greedy left-to-right non-overlapping merge of the
+    adjacent symbol pair (a, b) inside the ``syms`` array — pure JVM
+    higher-order expression, no UDF.  After a merge the combined symbol
+    differs from ``a``, so the fold cannot re-merge across a fresh merge
+    (exactly BPE's in-round greedy semantics)."""
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    return (
+        "aggregate(syms, cast(array() as array<string>), (res, x) -> "
+        f"case when size(res) > 0 and element_at(res, -1) = '{qa}' and x = '{qb}' "
+        f"then concat(slice(res, 1, size(res) - 1), array('{qa}{qb}')) "
+        "else concat(res, array(x)) end)"
+    )
+
+
+@register("text_bpe_merges", oracle=None)  # iterative; golden-tested vs pure python
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) as a distributed
+    pipeline: learn the first {_BPE_ROUNDS} merge rules from corpus word
+    frequencies.  No reference counterpart; this is the tokenizer-fitting
+    step a pretraining pipeline runs before token counting/packing.
+
+    Scale design — the part that matters at 100 TB: the ONLY corpus-scale
+    work is the word-frequency aggregate (one map-side-combinable
+    shuffle).  The merge loop then operates on the VOCABULARY table
+    (words × counts — bounded by language, not by corpus size): each
+    round counts adjacent symbol pairs weighted by word frequency (a
+    vocab-sized explode), picks the argmax pair with a deterministic
+    (count DESC, pair ASC) tie-break via a bounded 1-row collect, and
+    rewrites symbol arrays with a pure higher-order fold expression
+    (:func:`_bpe_merge_expr` — no UDFs).  ``localCheckpoint`` per round
+    truncates the growing lineage, the same pattern as
+    ``graph_pagerank_nations`` and ``dedup_clusters``.
+
+    Output: one row per learned merge — (round, left, right, merged,
+    pair_count).  Engine-iterative ⇒ rows-only driver check;
+    ``test_bpe_merges_match_reference_impl`` pins the merge sequence
+    against a pure-Python reference BPE at sf0.01."""
+    docs = load_table(spark, sf_dir, "documents", columns=["text"])
+    vocab = (
+        docs.select(F.explode(tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.expr("transform(split(w, ''), c -> c)"))
+        .localCheckpoint()
+    )
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "case when size(syms) < 2 then array() else "
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) as l, element_at(syms, i + 1) as r)) end"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()  # bounded: exactly one argmax row per round
+        )
+        if not pairs:
+            break
+        best = pairs[0]
+        merges.append((rnd, best.l, best.r, best.l + best.r, int(best.cnt)))
+        vocab = vocab.withColumn(
+            "syms", F.expr(_bpe_merge_expr(best.l, best.r))
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )

@@ -306,3 +306,52 @@ def test_hll_rollup_accuracy(spark, sf_dir):
     assert set(est) == set(exact) and len(est) > 0
     for et, n in exact.items():
         assert abs(est[et] - n) / n < 0.05, (et, est[et], n)
+
+
+def test_bpe_merges_match_reference_impl(spark, sf_dir):
+    # golden check: the distributed BPE learner must reproduce the merge
+    # sequence of a straightforward single-machine BPE (Sennrich 2016)
+    # over the same word-frequency table.
+    import duckdb
+
+    from dataframework_spark.operators.corpus import _BPE_ROUNDS, text_bpe_merges
+
+    con = duckdb.connect()
+    freqs = con.sql(
+        rf"""
+        SELECT tok, COUNT(*) AS f
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM '{sf_dir}/documents.parquet')
+        GROUP BY 1
+        """
+    ).fetchall()
+    vocab = {tuple(w): f for w, f in freqs}
+
+    expected = []
+    for _ in range(_BPE_ROUNDS):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((l, r, l + r, c))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+
+    got = [
+        (row.left, row.right, row.merged, row.pair_count)
+        for row in text_bpe_merges(spark, sf_dir).orderBy("round").collect()
+    ]
+    assert got == expected and len(got) == _BPE_ROUNDS
