@@ -249,3 +249,47 @@ def test_pagerank_iterations_broadcast(spark, sf_dir):
     df = graph_pagerank_nations(spark, sf_dir, checkpoint=False)
     p = plan_string(df)
     assert p.count("BroadcastHashJoin") >= 5, p
+
+
+def test_q16_anti_join_broadcasts_exclusion(spark, sf_dir):
+    # the NOT IN exclusion must run as a broadcast anti join (tiny bad-
+    # supplier set), never a shuffled one; part IN-list pushes to its scan.
+    from dataframework_spark.operators.tpch_shapes import q16_supplier_diversity
+
+    df = q16_supplier_diversity(spark, sf_dir)
+    p = plan_string(df)
+    assert "BroadcastHashJoin LeftAnti BuildRight" in p.replace("  ", " "), p
+    pf = " ".join(pushed_filters(df))
+    assert "p_size" in pf, pf
+
+
+def test_q21_single_fact_scan_via_cache(spark, sf_dir):
+    # per-(order,supplier) aggregate feeds two consumers; the cached copy
+    # must appear as InMemoryRelation so lineitem is scanned exactly once.
+    from dataframework_spark.operators.tpch_shapes import q21_waiting_suppliers
+
+    df = q21_waiting_suppliers(spark, sf_dir)
+    p = plan_string(df)
+    assert "InMemoryRelation" in p, p
+    assert p.count("Scan parquet") - p.count("InMemoryTableScan") <= 3, p
+
+
+def test_vocab_coverage_topk_no_global_sort(spark, sf_dir):
+    # the top-K vocabulary cut must be TakeOrderedAndProject (heap-based,
+    # no full-sort exchange of the vocab table).
+    from dataframework_spark.operators.corpus import text_vocab_coverage
+
+    df = text_vocab_coverage(spark, sf_dir)
+    p = plan_string(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_mixture_sample_no_windows_no_wide_doc_shuffle(spark, sf_dir):
+    # mixture sampling must stay window-free: source-sized aggregate,
+    # broadcast rates, narrow hash filter.
+    from dataframework_spark.operators.corpus import corpus_mixture_sample
+
+    df = corpus_mixture_sample(spark, sf_dir)
+    p = plan_string(df)
+    assert "Window" not in p, p
+    assert "BroadcastHashJoin" in p, p
