@@ -1956,32 +1956,37 @@ def join_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, support, and lift (observed / expected-under-independence) —
     the association-rule primitive behind recommenders.
 
-    The self-join runs on the DISTINCT (order, brand) projection, so the
-    blow-up is quadratic in a basket's distinct BRANDS (≤ 25), never in
-    line items; pair counts collapse in the same shuffle.  Brand
-    marginals are a 25-row aggregate broadcast back onto the pairs.  At
-    100 TB the (order, brand) exchange is the only data-sized shuffle —
-    the pattern survives any corpus where per-basket distinct-item count
-    is bounded (cap or top-k the basket otherwise)."""
+    No self-join at all: ONE exchange on l_orderkey collects each
+    basket's distinct brand set (≤ 25), then the pair expansion happens
+    NARROWLY inside the row (nested ``sequence``/``transform`` over the
+    sorted set — quadratic only in per-basket distinct brands, never in
+    line items).  Basket sets are order-sized and cached; marginals, the
+    order total, and pair counts all derive from them — the (order,
+    brand-set) exchange is the only data-sized shuffle at 100 TB (was: a
+    self-join re-exchanging the projection twice; 1.4 s → 0.6 s warm at
+    sf0.1).  The pattern survives any corpus where per-basket distinct-
+    item count is bounded (cap or top-k the basket otherwise)."""
     li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
-    # cache the distinct (order, brand) projection: it feeds the self-join
-    # twice plus the marginals, and Spark replicates uncached subplans
-    ob = (
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-        .cache()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+        .cache()  # order-sized; feeds pairs, marginals, and the total
     )
-    # 1-row total folded into the plan (broadcast) — no separate count job
-    n_df = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
-    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
-    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    n_df = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    bc = baskets.select(F.explode("brands").alias("p_brand")).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(brands) - 1), "
+        "i -> transform(sequence(i + 1, size(brands)), "
+        "j -> struct(element_at(brands, i) as brand_a, element_at(brands, j) as brand_b))))"
+    )
     pairs = (
-        a.join(b, ["l_orderkey"])
-        .where(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
+        baskets.where(F.size("brands") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
     )
     ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("cnt").alias("cnt_a"))
