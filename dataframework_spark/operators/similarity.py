@@ -391,3 +391,103 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("an").alias("n_hits"),
         F.round(F.count("an") / F.lit(float(_TOPK)), 4).alias("recall"),
     )
+
+
+_PQ_M = 8       # subspaces
+_PQ_SUBDIM = _DIM // _PQ_M
+_PQ_K = 16      # codewords per subspace
+
+
+@register(
+    "sim_pq_codebook",
+    oracle=f"""
+    WITH cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+             CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings
+      QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_PQ_K}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dist AS (
+      SELECT v.vec_id, g.m, cb.k,
+             list_aggregate(list_transform(generate_series(1, {_PQ_SUBDIM}),
+               i -> (v.e[g.m * {_PQ_SUBDIM} + i] - cb.c[g.m * {_PQ_SUBDIM} + i])
+                  * (v.e[g.m * {_PQ_SUBDIM} + i] - cb.c[g.m * {_PQ_SUBDIM} + i])),
+               'sum') AS d2
+      FROM v, generate_series(0, {_PQ_M - 1}) g(m), cb),
+    best AS (
+      SELECT vec_id, m, k, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+      FROM dist)
+    SELECT m AS subspace, k AS code,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(d2), 4) AS avg_sq_err
+    FROM best WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def sim_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each {_DIM}-dim
+    vector into {_PQ_M} subspaces of {_PQ_SUBDIM} dims, assign each
+    subvector to its nearest of {_PQ_K} codewords, and report the code
+    histogram + mean squared quantization error per (subspace, code) —
+    the compression layer under IVF-PQ ANN indexes (vector → {_PQ_M}
+    bytes).
+
+    The codebook is a DETERMINISTIC sample — the {_PQ_K} vectors with
+    smallest md5(vec_id) (k-means init without the engine-specific
+    iterations), which is what makes the whole operator oracle-checkable:
+    both engines compute subvector distances with the same left-to-right
+    fold, so argmin codes match bitwise, ties break on codeword id.
+
+    Scale shape: the codebook is {_PQ_K} rows collected into ONE
+    broadcast array; assignment is a narrow per-row expression (no
+    explode of the corpus until the (subspace, code) rollup, whose key
+    space is {_PQ_M}×{_PQ_K}); nothing shuffles but the final tiny
+    aggregate.  Training a real k-means codebook plugs into the same
+    plan (swap the sample for `sim_ivf_kmeans`-style Spark ML centers,
+    rows-only check)."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    h = F.md5(F.col("vec_id").cast("string"))
+    cb16 = (
+        emb.select(h.alias("h"), "vec_id", as_double("embedding").alias("c"))
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+    )
+    # one row: codewords sorted by (h, vec_id) → index k = array position
+    cbarr = cb16.agg(
+        F.expr("transform(array_sort(collect_list(struct(h, vec_id, c))), s -> s.c)").alias(
+            "cb"
+        )
+    )
+    sub_d2 = (
+        f"transform(sequence(0, {_PQ_M - 1}), m -> "
+        f"transform(cb, c -> aggregate(zip_with("
+        f"slice(e, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+        f"slice(c, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+        f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)))"
+    )
+    coded = (
+        emb.select("vec_id", as_double("embedding").alias("e"))
+        .crossJoin(F.broadcast(cbarr))
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform({sub_d2}, (ds, m) -> struct("
+                    "m as subspace, "
+                    "cast(array_position(ds, array_min(ds)) - 1 as bigint) as code, "
+                    "array_min(ds) as d2))"
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        coded.groupBy(
+            F.col("s.subspace").cast("bigint").alias("subspace"),
+            F.col("s.code").alias("code"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("s.d2"), 4).alias("avg_sq_err"),
+        )
+    )

@@ -917,3 +917,73 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(ts) AS s, MAX(ts) AS e
+      FROM events GROUP BY 1, 2)
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           COUNT(*) AS n_overlap_days,
+           ROUND(SUM(epoch_us(LEAST(a.e, b.e)) - epoch_us(GREATEST(a.s, b.s)))
+                 / 60000000.0, 2) AS total_overlap_min
+    FROM iv a JOIN iv b
+      ON a.day = b.day
+     AND a.user_id < b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1, 2
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed interval-overlap join: per (user, day) activity
+    interval [first event, last event], find all user pairs whose
+    intervals intersect and total their concurrent minutes — the
+    concurrency/co-presence join (Flink interval join, spatial binning).
+
+    The scale shape: the equi key is the TIME BUCKET (day) — the classic
+    interval-join binning that turns an unbounded theta join into a
+    bucket-local one; the precise overlap test is a cheap residual.
+    Intervals here cannot span buckets by construction (per-day min/max);
+    spanning intervals would explode to each touched bucket and dedup by
+    interval id — same plan, one extra narrow explode.  Overlap
+    durations use integer microseconds on both engines (``unix_micros``
+    / ``epoch_us``), so the aggregate is exact before the final rounded
+    division — no float-order noise in the hash.
+
+    One shuffle builds intervals, one bucket-keyed exchange joins them;
+    per-bucket pair count is quadratic in concurrent users per bucket
+    (bound it with a finer bucket at higher user density)."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+    iv = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .cache()  # (user, day)-sized; both join sides read it
+    )
+    a = iv.select(
+        F.col("user_id").alias("user_a"), "day",
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("user_b"), F.col("day").alias("day_b"),
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+    )
+    ov_us = F.unix_micros(F.least("e_a", "e_b")) - F.unix_micros(
+        F.greatest("s_a", "s_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("day") == F.col("day_b"))
+            & (F.col("user_a") < F.col("user_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a")),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap_days"),
+            F.round(F.sum(ov_us) / 60000000.0, 2).alias("total_overlap_min"),
+        )
+    )
