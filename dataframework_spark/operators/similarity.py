@@ -491,3 +491,142 @@ def sim_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("s.d2"), 4).alias("avg_sq_err"),
         )
     )
+
+
+@register(
+    "sim_pq_recall",
+    oracle=f"""
+    WITH cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k,
+             CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings
+      QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_PQ_K}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dist AS (
+      SELECT v.vec_id, g.m, cb.k,
+             list_aggregate(list_transform(generate_series(1, {_PQ_SUBDIM}),
+               i -> (v.e[g.m * {_PQ_SUBDIM} + i] - cb.c[g.m * {_PQ_SUBDIM} + i])
+                  * (v.e[g.m * {_PQ_SUBDIM} + i] - cb.c[g.m * {_PQ_SUBDIM} + i])),
+               'sum') AS d2
+      FROM v, generate_series(0, {_PQ_M - 1}) g(m), cb),
+    best AS (
+      SELECT vec_id, m, k, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+      FROM dist),
+    codes AS (SELECT vec_id, m, k FROM best WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {_N_QUERIES}),
+    adc AS (
+      SELECT q.query_id, codes.vec_id,
+             ROUND(SUM(list_aggregate(list_transform(generate_series(1, {_PQ_SUBDIM}),
+               i -> (q.qe[codes.m * {_PQ_SUBDIM} + i] - cb.c[codes.m * {_PQ_SUBDIM} + i])
+                  * (q.qe[codes.m * {_PQ_SUBDIM} + i] - cb.c[codes.m * {_PQ_SUBDIM} + i])),
+               'sum')), 6) AS d
+      FROM q, codes JOIN cb ON cb.k = codes.k
+      GROUP BY 1, 2),
+    adc_top AS (
+      SELECT query_id, vec_id FROM adc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, vec_id) <= {_TOPK}),
+    exact AS (
+      SELECT q.query_id, v.vec_id,
+             ROUND(list_aggregate(list_transform(generate_series(1, {_DIM}),
+               i -> (q.qe[i] - v.e[i]) * (q.qe[i] - v.e[i])), 'sum'), 6) AS d
+      FROM q, v),
+    exact_top AS (
+      SELECT query_id, vec_id FROM exact
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, vec_id) <= {_TOPK})
+    SELECT e.query_id,
+           COUNT(a.vec_id) AS n_hits,
+           ROUND(COUNT(a.vec_id) / {_TOPK}.0, 4) AS recall
+    FROM exact_top e
+    LEFT JOIN adc_top a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY 1
+    """,
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOPK} of PQ asymmetric-distance search (ADC — Jégou et al.
+    2011 §III) against the exact L2 top-{_TOPK}: the accept/reject metric
+    for a PQ compression level before serving it.
+
+    ADC never reconstructs vectors: each corpus vector contributes only
+    its {_PQ_M} codes; a query's distance is the sum of query-to-codeword
+    subspace distances.  At 100 TB the corpus side of this scan carries
+    {_PQ_M} BYTES per vector (plus the broadcast codebook) — that is the
+    entire point of PQ, and the recall this query reports is the price.
+
+    Distances round to 6 dp on both engines before ranking (repo-wide
+    tie discipline; ranks then break on vec_id), so the top-k sets and
+    the recall hash match exactly.  Plan: one narrow encode pass over
+    the corpus (broadcast codebook), one broadcast of the {_N_QUERIES}
+    queries, per-query heaps via partitioned rank — the corpus never
+    shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    h = F.md5(F.col("vec_id").cast("string"))
+    cbarr = (
+        emb.select(h.alias("h"), "vec_id", as_double("embedding").alias("c"))
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(h, vec_id, c))), s -> s.c)"
+            ).alias("cb")
+        )
+    )
+    sub_d2 = (
+        f"transform(sequence(0, {_PQ_M - 1}), m -> "
+        f"transform(cb, c -> aggregate(zip_with("
+        f"slice(e, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+        f"slice(c, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+        f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)))"
+    )
+    # corpus → (vec_id, e, codes[8]); the codebook rides along for ADC
+    coded = (
+        emb.select("vec_id", as_double("embedding").alias("e"))
+        .crossJoin(F.broadcast(cbarr))
+        .withColumn(
+            "codes",
+            F.expr(
+                f"transform({sub_d2}, ds -> cast(array_position(ds, array_min(ds)) - 1 as int))"
+            ),
+        )
+    )
+    queries = (
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe"))
+    )
+    paired = coded.join(F.broadcast(queries))
+    adc_d = F.round(
+        F.expr(
+            f"aggregate(sequence(0, {_PQ_M - 1}), 0D, (acc, m) -> acc + "
+            f"aggregate(zip_with("
+            f"slice(qe, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+            f"slice(element_at(cb, element_at(codes, m + 1) + 1), m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (a2, v) -> a2 + v))"
+        ),
+        6,
+    )
+    exact_d = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"),
+        6,
+    )
+    both = paired.select("query_id", "vec_id", adc_d.alias("d_adc"), exact_d.alias("d_ex"))
+    w_adc = Window.partitionBy("query_id").orderBy("d_adc", "vec_id")
+    w_ex = Window.partitionBy("query_id").orderBy("d_ex", "vec_id")
+    ranked = both.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(w_adc).alias("r_adc"),
+        F.row_number().over(w_ex).alias("r_ex"),
+    )
+    exact_top = ranked.where(F.col("r_ex") <= _TOPK).select("query_id", "vec_id")
+    adc_top = ranked.where(F.col("r_adc") <= _TOPK).select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("an")
+    )
+    j = exact_top.join(
+        adc_top,
+        (F.col("query_id") == F.col("aq")) & (F.col("vec_id") == F.col("an")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("an").alias("n_hits"),
+        F.round(F.count("an") / F.lit(float(_TOPK)), 4).alias("recall"),
+    )
