@@ -95,3 +95,33 @@ def test_mat_to_long_df(spark, ref_mat):
     # feature values survive the trip: class 0, sample 0 = column 0 of cell 0
     r0 = next(r for r in rows if r.label == 0 and r.sample_id == 0)
     np.testing.assert_allclose(r0.features, x_cells[0, 0][:-1, 0])
+
+
+def test_roundtrip_property_random_shapes(tmp_path):
+    # property: any dict of float64 matrices and 1×N cells of matrices
+    # survives write_mat → read_mat bit-exactly (compressed and not).
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    mat_strategy = arrays(
+        np.float64,
+        st.tuples(st.integers(1, 5), st.integers(1, 6)),
+        elements=st.floats(-1e6, 1e6, allow_nan=False),
+    )
+
+    @given(mats=st.lists(mat_strategy, min_size=1, max_size=4), compress=st.booleans())
+    @settings(max_examples=25, deadline=None)
+    def check(mats, compress):
+        cells = np.empty((1, len(mats)), dtype=object)
+        for i, m in enumerate(mats):
+            cells[0, i] = m
+        path = str(tmp_path / "prop.mat")
+        write_mat(path, {"plain": mats[0], "cells": cells}, compress=compress)
+        data = read_mat(path)
+        np.testing.assert_array_equal(data["plain"], mats[0])
+        assert data["cells"].shape == (1, len(mats))
+        for i, m in enumerate(mats):
+            np.testing.assert_array_equal(data["cells"][0, i], m)
+
+    check()
