@@ -695,3 +695,80 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hits") * 1.0 / F.col("n_candidates"), 4).alias("precision"),
         F.round(F.col("n_hits") * 1.0 / F.col("n_truth"), 4).alias("recall"),
     )
+
+
+_CONTAIN_T = 0.85  # containment threshold (quote / near-superset detection)
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {duck_shingles_sql('toks')} AS sh FROM t),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    pair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b,
+           ROUND(p.inter::DOUBLE / sa.n, 4) AS containment
+    FROM pair p
+    JOIN sz sa ON sa.doc_id = p.doc_a
+    WHERE p.inter::DOUBLE / sa.n >= {_CONTAIN_T}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL near-dup detection: ordered pairs (a → b) where
+    ``|A∩B| / |A| ≥ {_CONTAIN_T}`` on 3-gram shingles — containment
+    (Broder's resemblance's asymmetric sibling).  This is the
+    quote/excerpt/near-superset detector: a short document embedded in a
+    longer one scores high containment but LOW Jaccard, so Jaccard dedup
+    misses it.
+
+    Scale shape (asymmetric prefix filter): the probe side A can miss at
+    most ``floor((1-t)·|A|)`` shingles, so it must share one of its
+    ``floor((1-t)·|A|) + 1`` RAREST shingles with B — only those rows
+    probe the index.  There is no size band (B may be arbitrarily
+    larger), so instead the index side is SEMI-JOINED down to shingles
+    that occur in at least one probe prefix — rare by construction, which
+    keeps hot shingles out of the candidate exchange entirely.  Verify is
+    an exact ``array_intersect`` over the full sets, so the pruning is
+    lossless and the brute-force oracle matches exactly."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    s = docs.withColumn("toks", tokens()).select(
+        "doc_id", F.expr(shingles_sql("toks")).alias("sh")
+    )
+    s = s.withColumn("n", F.size("sh")).cache()
+    inv = s.select("doc_id", "n", F.explode("sh").alias("shingle"))
+    df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        inv.join(df_counts, "shingle")
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= F.floor(F.lit(1.0 - _CONTAIN_T) * F.col("n")) + 1)
+        .select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    ).cache()  # probe side AND the index pruner reuse it
+    # index side pruned to shingles that appear in some probe prefix —
+    # hot shingles never reach the candidate exchange
+    idx = inv.select(F.col("doc_id").alias("doc_b"), "shingle").join(
+        prefix.select("shingle").distinct(), "shingle", "left_semi"
+    )
+    cand = (
+        prefix.join(idx, "shingle")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    ver = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    cont = F.col("inter") / F.col("n_a")
+    return ver.where(cont >= _CONTAIN_T).select(
+        "doc_a", "doc_b", F.round(cont, 4).alias("containment")
+    )

@@ -2448,3 +2448,95 @@ def window_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.max("n").alias("n_customers"),
     )
+
+
+@register(
+    "window_rfm_approx",
+    # DuckDB computes the same EXACT quantiles (quantile_cont ≡ Spark
+    # percentile) and a literal TRUE; the hash therefore verifies that
+    # SPARK's t-digest sketch landed within tolerance of the exact
+    # thresholds on identical data — the agg_approx_distinct pattern.
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey,
+             DATE_DIFF('day', DATE '1970-01-01', MAX(o_orderdate)) AS recency_day,
+             COUNT(*)::DOUBLE AS n_orders,
+             SUM(o_totalprice) AS spend
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_custkey),
+    m AS (
+      SELECT 'recency' AS metric, quantile_cont(recency_day::DOUBLE, 0.25) AS p25,
+             quantile_cont(recency_day::DOUBLE, 0.5) AS p50,
+             quantile_cont(recency_day::DOUBLE, 0.75) AS p75 FROM per_cust
+      UNION ALL
+      SELECT 'frequency', quantile_cont(n_orders, 0.25), quantile_cont(n_orders, 0.5),
+             quantile_cont(n_orders, 0.75) FROM per_cust
+      UNION ALL
+      SELECT 'monetary', quantile_cont(spend, 0.25), quantile_cont(spend, 0.5),
+             quantile_cont(spend, 0.75) FROM per_cust)
+    SELECT metric, ROUND(p25, 2) AS p25, ROUND(p50, 2) AS p50, ROUND(p75, 2) AS p75,
+           TRUE AS approx_within_tol
+    FROM m
+    """,
+)
+def window_rfm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``window_rfm_segments``: quartile THRESHOLDS per
+    RFM metric from ``approx_percentile`` (t-digest — bounded memory,
+    mergeable across partitions, no global sort at all), verified against
+    the exact interpolated quantiles in the same pass.
+
+    ``window_rfm_segments`` computes exact equal-count quartiles with
+    three range shuffles; at extreme scale the cheaper deployment is:
+    sketch the three thresholds (this aggregate), broadcast the 9 numbers,
+    and assign quartiles with a narrow CASE — zero shuffles of the
+    customer table.  The registered output hashes the EXACT thresholds
+    (cross-engine: ``percentile`` ≡ ``quantile_cont``) plus a boolean
+    asserting every approx threshold landed within 5% of the metric's
+    exact interquartile range — the driver-scoreable form of a
+    sketch-based operator."""
+    orders = load_table(
+        spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey"])
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("double")
+            .alias("recency_day"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.sum("o_totalprice").alias("spend"),
+        )
+    )
+    rows = []
+    for metric, col in (
+        ("recency", "recency_day"),
+        ("frequency", "n_orders"),
+        ("monetary", "spend"),
+    ):
+        agged = per_cust.agg(
+            F.expr(f"percentile({col}, array(0.25D, 0.5D, 0.75D))").alias("ex"),
+            F.expr(f"approx_percentile({col}, array(0.25D, 0.5D, 0.75D), 10000)").alias(
+                "ap"
+            ),
+        )
+        iqr = F.greatest(F.col("ex")[2] - F.col("ex")[0], F.lit(1e-9))
+        ok = (
+            (F.abs(F.col("ap")[0] - F.col("ex")[0]) / iqr < 0.05)
+            & (F.abs(F.col("ap")[1] - F.col("ex")[1]) / iqr < 0.05)
+            & (F.abs(F.col("ap")[2] - F.col("ex")[2]) / iqr < 0.05)
+        )
+        rows.append(
+            agged.select(
+                F.lit(metric).alias("metric"),
+                F.round(F.col("ex")[0], 2).alias("p25"),
+                F.round(F.col("ex")[1], 2).alias("p50"),
+                F.round(F.col("ex")[2], 2).alias("p75"),
+                ok.alias("approx_within_tol"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
