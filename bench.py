@@ -78,6 +78,11 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Per-query lifecycle: drop this query's cached intermediates so a
+        # 200-query BENCH_ALL run doesn't accumulate every query's cache in
+        # one JVM (observed heap OOM).  Untimed — cache population IS timed
+        # inside the query above; only the cleanup is free.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -47,6 +47,12 @@ def get_spark(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
     conf = {
+        # local[N] runs executors inside the driver JVM; the 1 GiB default
+        # heap OOMs once a long session accumulates caches/broadcasts
+        # (observed on the 197-query full-registry bench).  Applies only
+        # when THIS process launches the JVM — a driver-provided session
+        # keeps its own setting.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         # Adaptive execution: coalesce post-shuffle partitions, convert
         # sort-merge joins to broadcast at runtime, split skewed partitions.
         "spark.sql.adaptive.enabled": "true",

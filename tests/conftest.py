@@ -37,3 +37,17 @@ def duck():
 @pytest.fixture(scope="session")
 def sf_dir():
     return ORACLE_SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _clear_spark_cache(request):
+    """Per-test cache lifecycle: ~200 registered queries cache bounded
+    intermediates; letting every query's cache accumulate in the one
+    session JVM eventually OOMs the heap (observed on the full-registry
+    bench).  Cleanup only — population cost stays inside each test."""
+    yield
+    if "spark" in request.fixturenames:
+        try:
+            request.getfixturevalue("spark").catalog.clearCache()
+        except Exception:
+            pass
