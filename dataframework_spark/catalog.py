@@ -52,20 +52,40 @@ def load_table(
     load-then-drop.
     """
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), which Spark's reader refuses by
-        # default. Set the legacy conf on the *caller's* session (the
-        # driver hands us a vanilla one), scan nanos as int64, and
-        # truncate to microseconds (integer div — nanos exceed double
-        # precision) exactly as DuckDB coerces ns → µs.
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _load_events(spark, table_path(sf_dir, name))
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     if columns:
         df = df.select(*columns)
+    return df
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load the events table, normalizing ``ts`` to TIMESTAMP.
+
+    The driver has shipped ``ts`` both as parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader only accepts as raw int64 via the legacy
+    conf) and as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).  Branch on
+    the dtype Spark actually reads rather than assuming either encoding,
+    so a testdata regeneration flips a branch instead of breaking every
+    event-time query.  The engine guarantee is plain TIMESTAMP: NTZ is
+    rejected by ``withWatermark`` / ``unix_micros``, and with the session
+    timezone pinned to UTC (``session.py``) the NTZ → TIMESTAMP cast
+    preserves wall-clock values exactly.  The nanos path truncates
+    ns → µs with integer div (nanos exceed double precision), matching
+    DuckDB's coercion.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    # Harmless for micros files; required to even read nanos files.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -78,10 +78,10 @@ def get_spark(
         # is validated.
         # Quieter local runs.
         "spark.ui.showConsoleProgress": "false",
-        # Some inputs (events.ts) carry parquet TIMESTAMP(NANOS), which the
-        # vectorized reader refuses; read as raw nanos and convert in the
-        # catalog layer (ns → µs truncation, matching DuckDB's coercion).
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # NOTE: spark.sql.legacy.parquet.nanosAsLong is set just-in-time by
+        # catalog._load_events / streaming._events_stream, which branch on
+        # the ts dtype actually read — the testdata has shipped both
+        # TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds.
     }
     if extra_conf:
         conf.update(extra_conf)

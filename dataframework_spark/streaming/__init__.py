@@ -40,8 +40,16 @@ _sink_counter = itertools.count()
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts arrives as int64
-    nanoseconds — same legacy-reader handling as the batch catalog)."""
+    """File-source stream over the events parquet.
+
+    ``ts`` may arrive as parquet TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ)
+    or TIMESTAMP(NANOS) (readable only as raw int64 via the legacy conf) —
+    branch on the dtype actually read and normalize to plain TIMESTAMP
+    (watermarks reject NTZ; session tz is UTC so the cast is wall-clock
+    exact), same as the batch catalog (``catalog._load_events``).
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
@@ -52,7 +60,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", os.path.basename(path))
         .parquet(os.path.dirname(path))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_table(stream_df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
