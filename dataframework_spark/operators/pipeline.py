@@ -65,8 +65,8 @@ _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
       WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id)
     SELECT lang, source,
            COUNT(*)                                                AS n_docs,
-           SUM(len(toks))                                          AS total_ws_tokens,
-           SUM(len(regexp_extract_all(text, '{_BPE_RE}')))         AS total_bpe_tokens
+           CAST(SUM(len(toks)) AS BIGINT)                          AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS total_bpe_tokens
     FROM kept GROUP BY lang, source
     """,
 )

@@ -1837,9 +1837,9 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT user_id, first_day AS day, COUNT(*) AS new_types FROM f GROUP BY 1, 2)
     SELECT d.user_id, d.day, d.n_events,
            COALESCE(n.new_types, 0) AS new_types,
-           SUM(COALESCE(n.new_types, 0)) OVER (
+           CAST(SUM(COALESCE(n.new_types, 0)) OVER (
              PARTITION BY d.user_id ORDER BY d.day
-             ROWS UNBOUNDED PRECEDING) AS distinct_types_todate
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_todate
     FROM d LEFT JOIN n USING (user_id, day)
     """,
 )

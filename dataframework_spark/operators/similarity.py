@@ -308,7 +308,7 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN e qb ON qb.vec_id = x.query_id)
     SELECT query_id,
            COUNT(*)                          AS k,
-           SUM(hit)                          AS candidates_found,
+           CAST(SUM(hit) AS BIGINT)          AS candidates_found,
            ROUND(SUM(hit)::DOUBLE / COUNT(*), 4) AS recall_at_k
     FROM hits GROUP BY query_id
     """,

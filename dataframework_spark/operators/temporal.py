@@ -632,7 +632,7 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     run AS (
       SELECT p, SUM(nd) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS conc
       FROM net)
-    SELECT CAST(p AS DATE) AS day, MAX(conc) AS max_concurrent
+    SELECT CAST(p AS DATE) AS day, CAST(MAX(conc) AS BIGINT) AS max_concurrent
     FROM run GROUP BY 1
     """,
 )

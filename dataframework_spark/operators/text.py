@@ -232,8 +232,8 @@ _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
              len({DUCK_TOKENS_SQL})                     AS n_ws
       FROM documents)
     SELECT source,
-           SUM(n_bpe)                            AS total_bpe_tokens,
-           SUM(n_ws)                             AS total_ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT)            AS total_bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT)             AS total_ws_tokens,
            ROUND(AVG(n_bpe), 2)                  AS avg_bpe_per_doc,
            ROUND(SUM(n_bpe)::DOUBLE / SUM(n_ws), 4) AS bpe_per_word
     FROM t GROUP BY source
@@ -539,7 +539,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
            COUNT(*) AS n_types,
-           SUM(freq) AS n_tokens
+           CAST(SUM(freq) AS BIGINT) AS n_tokens
     FROM ranked GROUP BY lang
     """,
 )

@@ -208,15 +208,47 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_seeded_fraction", oracle=None)  # RNG is engine-specific
+_SEEDED_FRAC = 0.2
+_SEEDED_SEED = 42
+_SEEDED_MOD = 1_000_000
+
+
+@register(
+    "sample_seeded_fraction",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_sampled
+    FROM embeddings
+    WHERE CAST('0x' || substr(md5('{_SEEDED_SEED}:' || CAST(vec_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % {_SEEDED_MOD} < {int(_SEEDED_FRAC * _SEEDED_MOD)}
+    GROUP BY label
+    """,
+)
 def sample_seeded_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli ``df.sample`` with a fixed seed: reproducible within
-    Spark (same seed + same partitioning ⇒ same rows), but the RNG stream
-    is engine-specific, so the driver does a rows-only check.  Stratified
-    variant: ``sampleBy`` with per-label fractions."""
+    """Seeded stratified Bernoulli sample, reported as per-stratum counts.
+
+    Spark's ``df.sample``/``sampleBy`` seeded RNG is engine-specific
+    (XORShift over partition-indexed streams), so a result built on it can
+    never be hash-checked against another engine — r1/r2 graded this query
+    rows-only.  The production-portable form replaces the RNG with a
+    seeded hash threshold: keep a row iff
+    ``md5(seed || key) mod M < frac·M`` — the same Bernoulli(frac)
+    marginal per stratum, but a pure function of (seed, key), so the
+    sample is identical run-over-run, engine-over-engine, and under any
+    repartitioning (none of which hold for ``sampleBy``).  That
+    reproducibility is what a 100 TB training-data pipeline actually
+    wants from a seed; the hash compare is a row-local scan predicate
+    with no shuffle beyond the tiny per-label count."""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "label"])
-    strat = emb.sampleBy("label", fractions={i: 0.2 for i in range(10)}, seed=42)
-    return strat.groupBy("label").agg(F.count(F.lit(1)).alias("n_sampled"))
+    keep = F.expr(
+        f"cast(conv(substring(md5(concat('{_SEEDED_SEED}:', cast(vec_id as string))), 1, 15),"
+        f" 16, 10) as bigint) % {_SEEDED_MOD}"
+    )
+    return (
+        emb.where(keep < int(_SEEDED_FRAC * _SEEDED_MOD))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
 
 
 @register(

@@ -86,32 +86,77 @@ def _family(name: str) -> str:
     return name.split("_", 1)[0]
 
 
-# Pulled to the front of their family queue (after the family's first
-# registrant): queries the r1 VERDICT names as must-have driver rows.
-_FAMILY_PRIORITY = ["stream_foreachbatch_sink", "dedup_minhash_lsh", "sim_lsh_topk"]
+def _driver_history() -> tuple[set[str], set[str]]:
+    """(needs_regrade, rows_only, ever_sampled) from ``CORRECTNESS_r*.json``.
+
+    The driver grades only a ~50-query prefix per round, so prefix order
+    is the sampling policy.  Reading the driver's own verdict files makes
+    the policy self-updating: a query that erred or hash-failed last
+    round must stay in the prefix to prove its fix; a query that has
+    never had a driver row should get one before any already-green query
+    is re-graded.  Missing/unparsable files degrade to empty sets (e.g.
+    fresh checkouts), leaving plain registration order.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled: set[str] = set()
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        if isinstance(data, dict):
+            sampled |= set(data)
+            latest.update(data)  # later rounds overwrite earlier verdicts
+    regrade = {
+        name
+        for name, row in latest.items()
+        if isinstance(row, dict)
+        and (row.get("err") not in (None, "no_oracle") or row.get("hash_match") is False)
+    }
+    rows_only = {
+        name
+        for name, row in latest.items()
+        if isinstance(row, dict) and row.get("err") == "no_oracle"
+    }
+    return regrade, rows_only, sampled
 
 
 def _interleaved(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    """Round-robin the registry across operator families.
+    """Round-robin the registry across operator families, verdict-aware.
 
     The driver harness may grade only a prefix of ``queries()`` per round
-    (r1 graded 50 of 183).  Interleaving guarantees ANY prefix of length
-    ≥ |families| carries one verdict per SURVEY.md §2 family, and a 50-query
-    prefix carries ≥2 per family — so no family can end a round with zero
-    driver rows (VERDICT r1, "What's missing" #1).  Within a family the
-    registration order is preserved (modules register their most
-    representative query first), except ``_FAMILY_PRIORITY`` names, which
-    slot in right after their family's lead query.
+    (r1/r2 graded 50 of ~190).  Interleaving guarantees ANY prefix of
+    length ≥ |families| carries one verdict per SURVEY.md §2 family, and a
+    50-query prefix carries ≥2 per family — so no family can end a round
+    with zero driver rows (VERDICT r1, "What's missing" #1).  Within a
+    family, queues are ordered by what maximizes new driver information
+    (VERDICT r2, "Next round" #7): first queries whose latest driver
+    verdict was an error or hash mismatch (their fixes need re-grading),
+    then queries never driver-sampled, then already-green queries rotated
+    to the back.  Ties keep registration order (modules register their
+    most representative query first).
     """
+    regrade, rows_only, sampled = _driver_history()
+
+    def _cls(spec: QuerySpec) -> int:
+        if spec.name in regrade:
+            return 0
+        if spec.name in rows_only and spec.oracle is not None:
+            return 0  # oracle added since the last rows-only verdict
+        if spec.name not in sampled:
+            return 1
+        return 2
+
     queues: dict[str, list[QuerySpec]] = {}
     for name, spec in reg.items():
         queues.setdefault(_family(name), []).append(spec)
-    for prio in reversed(_FAMILY_PRIORITY):
-        q = queues.get(_family(prio), [])
-        for i, spec in enumerate(q):
-            if spec.name == prio and i > 1:
-                q.insert(1, q.pop(i))
-                break
+    for q in queues.values():
+        q.sort(key=_cls)  # stable: registration order within each class
     fam_order = [f for f in _FAMILY_ORDER if f in queues]
     fam_order += [f for f in queues if f not in fam_order]
     out: dict[str, QuerySpec] = {}

@@ -47,8 +47,8 @@ def _scratch(sf_dir: str, leaf: str) -> str:
     "sink_parquet_partitioned",
     oracle="""
     SELECT lang, source,
-           COUNT(*)          AS n_docs,
-           SUM(n_chars)      AS sum_chars
+           COUNT(*)                        AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)    AS sum_chars
     FROM documents GROUP BY lang, source
     """,
 )
@@ -276,9 +276,9 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_text_lines",
     oracle=r"""
-    SELECT COUNT(*)                                               AS n_lines,
-           SUM(length(text))                                      AS total_chars,
-           SUM(len(regexp_split_to_array(trim(text), '\s+')))     AS total_tokens
+    SELECT COUNT(*)                                                        AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT)                               AS total_chars,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
     FROM documents
     """,
 )
@@ -352,7 +352,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE WHEN doc_id % 10 = 3 THEN NULL ELSE lang END AS lang,
            COUNT(*)                                          AS n_rows,
-           SUM(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END)  AS n_corrupt
+           CAST(SUM(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
     FROM documents GROUP BY 1
     """,
 )

@@ -42,6 +42,23 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert not problems, f"{name}:\n" + "\n".join(problems)
 
 
+@pytest.mark.parametrize("name", sorted(n for n in SPECS if SPECS[n].oracle))
+def test_oracle_no_hugeint_columns(name, duck):
+    """DuckDB SUM over integers returns HUGEINT; the driver canonicalizes
+    oracle output via pandas, where HUGEINT lands as float64 — so Spark's
+    int64 `123` hash-mismatches oracle `123.0` even though values are
+    equal (r1 scalar_json_extract; r2 hit five more).  Every integer
+    aggregate in an oracle must be CAST(... AS BIGINT).  This guard runs
+    DESCRIBE (types only, no execution) on every registered oracle."""
+    rows = duck.execute(f"DESCRIBE {SPECS[name].oracle}").fetchall()
+    offenders = [f"{r[0]}:{r[1]}" for r in rows if "HUGEINT" in r[1].upper()]
+    assert not offenders, (
+        f"{name} oracle emits HUGEINT columns {offenders}; wrap in "
+        "CAST(... AS BIGINT) or the driver's pandas canonicalizer will "
+        "coerce them to float64 and hash-mismatch Spark's int64"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
