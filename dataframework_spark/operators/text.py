@@ -568,3 +568,190 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_types"),
         F.sum("freq").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (emails, phones, IPv4)
+# ---------------------------------------------------------------------------
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB):
+# plain character classes and bounded repetition only — no lookaround, no
+# \b (unneeded because the synthetic injection is space-delimited).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+# Deterministic synthetic PII, CCNet/Dolma-style test harness: the corpus
+# is PII-free word salad, so the query plants known PII as a pure function
+# of doc_id (same trick as source_corrupt_json's synthesized corruption)
+# and then must find and remove exactly what was planted.
+_PII_INJECT_SPARK = (
+    "concat(text,"
+    " case when doc_id % 5 = 1 then ' contact alice@example.com' else '' end,"
+    " case when doc_id % 7 = 2 then ' call 555-123-4567' else '' end,"
+    " case when doc_id % 11 = 3 then ' from 192.168.1.99' else '' end)"
+)
+_PII_INJECT_DUCK = (
+    "text"
+    " || CASE WHEN doc_id % 5 = 1 THEN ' contact alice@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 2 THEN ' call 555-123-4567' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 3 THEN ' from 192.168.1.99' ELSE '' END"
+)
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH inj AS (
+      SELECT source, {_PII_INJECT_DUCK} AS txt FROM documents),
+    m AS (
+      SELECT source, txt,
+             len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS e,
+             len(regexp_extract_all(txt, '{_PII_PHONE}')) AS p,
+             len(regexp_extract_all(txt, '{_PII_IP}'))    AS ip,
+             regexp_replace(regexp_replace(regexp_replace(txt,
+               '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IP}', '[IP]', 'g') AS red
+      FROM inj)
+    SELECT source,
+           COUNT(*)                                                   AS n_docs,
+           CAST(SUM(CASE WHEN e + p + ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(e) AS BIGINT)                                     AS n_emails,
+           CAST(SUM(p) AS BIGINT)                                     AS n_phones,
+           CAST(SUM(ip) AS BIGINT)                                    AS n_ips,
+           CAST(SUM(length(txt) - length(red)) AS BIGINT)             AS chars_redacted
+    FROM m GROUP BY source
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction rollup per source — the compliance pass
+    every web-scale training corpus runs before anything else (emails,
+    phone numbers, IPv4 addresses → typed placeholder tokens).
+
+    The corpus is synthetic word salad with no real PII, so the query
+    first PLANTS deterministic PII as a pure function of ``doc_id`` and
+    then must detect and strip exactly what it planted — the oracle
+    recomputes both halves independently, so a false negative (pattern
+    missed), a false positive (over-match), or a redaction that mangles
+    adjacent text all flip the value hash.
+
+    Plan/scale: injection, three ``regexp_count``s, and the chained
+    ``regexp_replace`` are narrow per-row expressions inside whole-stage
+    codegen — zero shuffles until the ~20-row per-source rollup (classic
+    partial-agg).  At 100 TB this runs scan-bound, exactly like the
+    quality-score pass; regex cost is linear in text bytes.  Redaction
+    placeholders are shorter than every match, so ``chars_redacted`` is
+    strictly positive for affected docs (pinned by the hash)."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    txt = F.expr(_PII_INJECT_SPARK)
+    m = docs.select(
+        "source",
+        txt.alias("txt"),
+        F.regexp_count(txt, F.lit(_PII_EMAIL)).alias("e"),
+        F.regexp_count(txt, F.lit(_PII_PHONE)).alias("p"),
+        F.regexp_count(txt, F.lit(_PII_IP)).alias("ip"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(txt, _PII_EMAIL, "[EMAIL]"),
+                _PII_PHONE,
+                "[PHONE]",
+            ),
+            _PII_IP,
+            "[IP]",
+        ).alias("red"),
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(((F.col("e") + F.col("p") + F.col("ip")) > 0).cast("bigint")).alias(
+            "docs_with_pii"
+        ),
+        F.sum("e").cast("bigint").alias("n_emails"),
+        F.sum("p").cast("bigint").alias("n_phones"),
+        F.sum("ip").cast("bigint").alias("n_ips"),
+        F.sum(F.length("txt") - F.length("red")).cast("bigint").alias("chars_redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram analysis (corpus-frequent shingles per document)
+# ---------------------------------------------------------------------------
+
+_BOILER_N = 3  # shingle width
+_BOILER_MIN_DOCS = 4  # a shingle in ≥ this many distinct docs is boilerplate
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, unnest(
+        case when len(toks) < {_BOILER_N} then []
+             else list_distinct(list_transform(
+               generate_series(1, len(toks) - {_BOILER_N - 1}),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) end
+      ) AS shingle FROM t),
+    boiler AS (
+      SELECT shingle FROM s GROUP BY shingle
+      HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler
+      FROM s LEFT JOIN boiler b ON s.shingle = b.shingle
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_shingles, n_boiler,
+           ROUND(n_boiler::DOUBLE / n_shingles, 4) AS boiler_frac
+    FROM per_doc WHERE n_shingles > 0
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate exposure per document: the fraction of a document's
+    distinct {_BOILER_N}-gram shingles that are corpus-frequent (appear in
+    ≥ {_BOILER_MIN_DOCS} distinct documents) — the Dolma/CCNet-style
+    signal for navigation chrome, license headers, and template text that
+    repeats across pages and should be down-weighted or stripped before
+    pretraining.
+
+    Plan/scale: shingling is a narrow codegen'd array expression (shared
+    with the MinHash/Jaccard family); the corpus then reduces to ONE
+    inverted-index shuffle keyed by shingle.  The boilerplate set is
+    derived by ``COUNT(DISTINCT doc_id) >= k`` on that index and joined
+    back BY SHINGLE (shuffle join, not broadcast — the boilerplate set is
+    data-dependent and unbounded, the classic broadcast-OOM trap), then
+    one per-doc count.  No windows, no driver-side state; at 100 TB the
+    heavy keys are exactly the boilerplate shingles themselves, which AQE
+    skew-splits."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    from dataframework_spark.functions.arrays import shingles_sql
+
+    s = docs.select(
+        "doc_id",
+        F.explode(F.expr(shingles_sql("split(trim(text), '\\\\s+')", _BOILER_N))).alias(
+            "shingle"
+        ),
+    )
+    boiler = (
+        s.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _BOILER_MIN_DOCS)
+        .select("shingle", F.lit(1).alias("_is_boiler"))
+    )
+    per_doc = (
+        s.join(boiler, on="shingle", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("_is_boiler", F.lit(0))).cast("bigint").alias("n_boiler"),
+        )
+    )
+    return per_doc.where(F.col("n_shingles") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        F.round(F.col("n_boiler").cast("double") / F.col("n_shingles"), 4).alias(
+            "boiler_frac"
+        ),
+    )
