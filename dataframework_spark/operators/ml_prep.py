@@ -447,7 +447,10 @@ def ml_extend_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ml_param_grid",
     oracle="""
-    SELECT l.lmd AS lmd, g.gamma AS gamma, k.kernel AS kernel
+    -- literals cast to DOUBLE: bare decimals infer DECIMAL(4,3), which
+    -- pandas canonicalization may coerce differently than Spark's double
+    SELECT CAST(l.lmd AS DOUBLE) AS lmd, CAST(g.gamma AS DOUBLE) AS gamma,
+           k.kernel AS kernel
     FROM (VALUES (0.001), (0.01), (0.1), (1.0)) l(lmd)
     CROSS JOIN (VALUES (0.5), (1.0), (2.0)) g(gamma)
     CROSS JOIN (VALUES ('linear'), ('rbf')) k(kernel)

@@ -43,19 +43,25 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 
 
 @pytest.mark.parametrize("name", sorted(n for n in SPECS if SPECS[n].oracle))
-def test_oracle_no_hugeint_columns(name, duck):
-    """DuckDB SUM over integers returns HUGEINT; the driver canonicalizes
-    oracle output via pandas, where HUGEINT lands as float64 — so Spark's
-    int64 `123` hash-mismatches oracle `123.0` even though values are
-    equal (r1 scalar_json_extract; r2 hit five more).  Every integer
-    aggregate in an oracle must be CAST(... AS BIGINT).  This guard runs
-    DESCRIBE (types only, no execution) on every registered oracle."""
+def test_oracle_no_fragile_numeric_types(name, duck):
+    """DuckDB SUM over integers returns HUGEINT and bare decimal literals
+    infer DECIMAL(p,s); the driver canonicalizes oracle output via pandas,
+    where those land as float64/object — so Spark's int64 `123`
+    hash-mismatches oracle `123.0` even though values are equal (r1
+    scalar_json_extract; r2 hit five more).  Every numeric oracle output
+    must be BIGINT or DOUBLE: CAST integer aggregates AS BIGINT, decimal
+    literals AS DOUBLE.  This guard runs DESCRIBE (types only, no
+    execution) on every registered oracle."""
     rows = duck.execute(f"DESCRIBE {SPECS[name].oracle}").fetchall()
-    offenders = [f"{r[0]}:{r[1]}" for r in rows if "HUGEINT" in r[1].upper()]
+    offenders = [
+        f"{r[0]}:{r[1]}"
+        for r in rows
+        if "HUGEINT" in r[1].upper() or r[1].upper().startswith("DECIMAL")
+    ]
     assert not offenders, (
-        f"{name} oracle emits HUGEINT columns {offenders}; wrap in "
-        "CAST(... AS BIGINT) or the driver's pandas canonicalizer will "
-        "coerce them to float64 and hash-mismatch Spark's int64"
+        f"{name} oracle emits fragile numeric columns {offenders}; CAST "
+        "to BIGINT/DOUBLE or the driver's pandas canonicalizer will "
+        "coerce them and hash-mismatch Spark's types"
     )
 
 
