@@ -386,10 +386,10 @@ def synth_bmp(doc_id: int) -> bytes:
     return hdr + img
 
 
-def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float, int, int]:
-    """Parse a BITMAPINFOHEADER 24bpp BMP and extract (width, height,
-    mean_r, mean_g, mean_b, corner_tl_r, n_bytes) — the row-padding /
-    bottom-up / BGR handling is exactly what a naive parser gets wrong."""
+def _bmp_pixels(payload: bytes):
+    """Parse a BITMAPINFOHEADER 24bpp BMP into a top-down RGB uint8 array
+    of shape (h, w, 3) — the row-padding / bottom-up / BGR handling is
+    exactly what a naive parser gets wrong."""
     import struct
 
     import numpy as np
@@ -402,9 +402,35 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float, int, int]
         raise ValueError(f"unsupported BMP: bpp={bpp} h={h}")
     rowsz = (w * 3 + 3) // 4 * 4
     rows = np.frombuffer(payload, dtype=np.uint8, count=rowsz * h, offset=offset)
-    px = rows.reshape(h, rowsz)[:, : w * 3].reshape(h, w, 3)[::-1]  # top-down, BGR
-    mean_b, mean_g, mean_r = (round(float(px[:, :, i].mean()), 4) for i in range(3))
-    return w, h, mean_r, mean_g, mean_b, int(px[0, 0, 2]), len(payload)
+    bgr = rows.reshape(h, rowsz)[:, : w * 3].reshape(h, w, 3)[::-1]  # top-down
+    return bgr[:, :, ::-1]  # RGB
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float, int, int]:
+    """Decode a 24bpp BMP and extract (width, height, mean_r, mean_g,
+    mean_b, corner_tl_r, n_bytes)."""
+    px = _bmp_pixels(payload)
+    h, w = px.shape[:2]
+    mean_r, mean_g, mean_b = (round(float(px[:, :, i].mean()), 4) for i in range(3))
+    return w, h, mean_r, mean_g, mean_b, int(px[0, 0, 0]), len(payload)
+
+
+def resize_bmp_2x(payload: bytes) -> tuple[int, int, float, float, float, float]:
+    """Decode a 24bpp BMP and 2× box-downsample it (mean of each 2×2
+    block; trailing odd row/column dropped) — returns (out_w, out_h,
+    mean_r, mean_g, mean_b, checksum) of the RESIZED image.  All block
+    means are exact dyadic rationals (sums of 4 uint8 / 4), so the
+    aggregate values are bit-identical regardless of summation order."""
+    import numpy as np
+
+    px = _bmp_pixels(payload).astype(np.float64)
+    h, w = px.shape[:2]
+    ow, oh = w // 2, h // 2
+    if ow == 0 or oh == 0:
+        raise ValueError(f"image too small to downsample: {w}x{h}")
+    blocks = px[: oh * 2, : ow * 2].reshape(oh, 2, ow, 2, 3).mean(axis=(1, 3))
+    means = [round(float(blocks[:, :, c].mean()), 4) for c in range(3)]
+    return ow, oh, means[0], means[1], means[2], round(float(blocks.sum()), 4)
 
 
 @register(
@@ -452,6 +478,64 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "width", "height", "mean_r", "mean_g", "mean_b",
                     "corner_tl_r", "n_bytes",
                 ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)
+
+
+@register(
+    "mm_bmp_resize",
+    oracle="""
+    WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h
+               FROM documents),
+    px AS (
+      SELECT doc_id, w // 2 AS ow, h // 2 AS oh, i, j, c,
+             (((doc_id + 3*(2*j)   + 7*(2*i)   + 11*c) % 256)
+            + ((doc_id + 3*(2*j+1) + 7*(2*i)   + 11*c) % 256)
+            + ((doc_id + 3*(2*j)   + 7*(2*i+1) + 11*c) % 256)
+            + ((doc_id + 3*(2*j+1) + 7*(2*i+1) + 11*c) % 256)) / 4.0 AS v
+      FROM p, UNNEST(range(h // 2)) AS t1(i), UNNEST(range(w // 2)) AS t2(j),
+           UNNEST(range(3)) AS t3(c))
+    SELECT doc_id,
+           CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+           ROUND(AVG(v) FILTER (c = 0), 4) AS mean_r,
+           ROUND(AVG(v) FILTER (c = 1), 4) AS mean_g,
+           ROUND(AVG(v) FILTER (c = 2), 4) AS mean_b,
+           ROUND(SUM(v), 4) AS checksum
+    FROM px GROUP BY doc_id, ow, oh
+    """,
+)
+def mm_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → RESIZE stage: parse each synthesized 24bpp BMP and 2×
+    box-downsample it in numpy (mean of each 2×2 block, odd edges
+    dropped), emitting the resized dimensions, per-channel means, and a
+    full-image checksum of the resized pixels.
+
+    The oracle recomputes every resized pixel from the closed-form pixel
+    formula — so a wrong block grid, an off-by-one on odd edges, or any
+    parser slip upstream flips the hash.  Block means are exact dyadic
+    rationals (4×uint8 / 4), making the aggregates bit-identical across
+    engines and summation orders.  This is the brief's image-resize
+    pipeline stage with the real byte-level decode in front of it; same
+    Arrow mapInPandas scale shape as every decode stage (the resize adds
+    O(pixels) per task, no extra shuffle)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id bigint, out_w int, out_h int, mean_r double, mean_g double, "
+        "mean_b double, checksum double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [resize_bmp_2x(synth_bmp(int(d))) for d in pdf["doc_id"]]
+            out = pd.DataFrame(
+                feats,
+                columns=["out_w", "out_h", "mean_r", "mean_g", "mean_b", "checksum"],
             )
             out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
             yield out
