@@ -10,8 +10,9 @@ The key semantic upgrades (documented in SURVEY.md §1.4/§7):
 * databases are parquet tables, not ``.mat`` files — columnar scans with
   projection/filter pushdown replace whole-file ``scipy.io.loadmat``;
 * class labels are an explicit column, not the array index;
-* permutation replications are seeded ``xxhash64`` orderings, not stored
-  ``r`` matrices — replication ``no`` folds into the seed;
+* permutation replications are seeded md5-prefix hash orderings
+  (portable across engines), not stored ``r`` matrices — replication
+  ``no`` folds into the seed;
 * everything below is LAZY until an action; ``pp.train = ...`` re-plans
   for free (the reference recomputes index arrays eagerly,
   ``preprocess.py:244-267``).
