@@ -610,8 +610,11 @@ def ml_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(range(len(embedding)))  AS i,
              unnest(embedding)::DOUBLE      AS v
       FROM embeddings)
+    -- the trailing + 0.0 collapses IEEE negative zero: a covariance that
+    -- rounds to zero came out -0.0 in DuckDB and 0.0 in Spark, which a
+    -- string/byte-level canonicalizer hashes differently
     SELECT a.i AS dim_i, b.i AS dim_j,
-           ROUND(COVAR_POP(a.v, b.v), 6) AS cov
+           ROUND(COVAR_POP(a.v, b.v), 6) + 0.0 AS cov
     FROM f a JOIN f b ON a.vec_id = b.vec_id AND b.i >= a.i
     GROUP BY 1, 2
     """,
@@ -647,7 +650,7 @@ def ml_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.dim_i", "p.dim_j", "p.x", "p.y")
     return pairs.groupBy("dim_i", "dim_j").agg(
-        F.round(F.covar_pop("x", "y"), 6).alias("cov")
+        (F.round(F.covar_pop("x", "y"), 6) + F.lit(0.0)).alias("cov")
     )
 
 

@@ -45,6 +45,15 @@ def normalized_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def _negzero_cells(rows: list[tuple]) -> int:
+    return sum(
+        1
+        for row in rows
+        for v in row
+        if isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0
+    )
+
+
 def compare(spark_df, duck_con, sql: str, max_diff_report: int = 5) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     problems: list[str] = []
@@ -53,6 +62,18 @@ def compare(spark_df, duck_con, sql: str, max_diff_report: int = 5) -> list[str]
     res = duck_con.execute(sql)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
+
+    # Policy: NEITHER side may emit IEEE -0.0.  The normalization below
+    # hides the sign, but the driver's canonicalizer may not (string/byte
+    # hashing sees '-0.0' ≠ '0.0') — ml_feature_covariance hit exactly
+    # this skew.  Queries must collapse it (append `+ 0.0` after ROUND).
+    for side, rows in (("spark", s_rows), ("oracle", d_rows)):
+        nz = _negzero_cells(rows)
+        if nz:
+            problems.append(
+                f"{side} emits {nz} IEEE -0.0 cell(s); append '+ 0.0' after "
+                "the final ROUND so both engines print plain 0.0"
+            )
 
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}")
