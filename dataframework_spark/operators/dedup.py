@@ -270,7 +270,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, band in enumerate(_band_cols()):
         piece = sig.select("doc_id", F.expr(band).alias("bk"), F.lit(i).alias("band"))
         bands = piece if bands is None else bands.unionByName(piece)
-    a, b = bands.alias("a"), bands.alias("b")
+    # The band table is CORPUS-sized (docs × bands rows), so the candidate
+    # self-join must never broadcast: Catalyst's size estimate of the
+    # cached upstream can land under the auto-broadcast threshold and OOM
+    # the driver building the exchange (reproduced at a 100× replica by
+    # tools/scale_probe.py).  The merge hint pins a sort-merge join on the
+    # (band, bk) keys — the shape that survives any corpus size, with AQE
+    # skew-splitting hot buckets.
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
     cand = (
         a.join(
             b,
@@ -281,8 +288,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Verification joins: both sides are data-sized (candidate pairs scale
+    # with corpus x dup rate; shingle sets carry the documents' n-grams),
+    # so they must stay shuffle joins as well - same rationale as the
+    # banding join above (AQE would otherwise broadcast-convert cand).
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).hint("merge")
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint("merge")
     ver = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
