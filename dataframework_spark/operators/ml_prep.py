@@ -1261,7 +1261,7 @@ _KNUTH = 2654435761
     oracle=f"""
     WITH b AS (SELECT unnest(range({_BOOT_B})) AS b),
     s AS (SELECT b.b, o_totalprice FROM orders, b
-          WHERE ((o_orderkey * {_KNUTH} + b.b * 40503) % 4294967296) % 2 = 0),
+          WHERE (((o_orderkey % 2147483648) * {_KNUTH} + b.b * 40503) % 4294967296) % 2 = 0),
     m AS (SELECT b, AVG(o_totalprice) AS mb FROM s GROUP BY 1)
     SELECT COUNT(*) AS n_resamples,
            round(AVG(mb), 2) AS boot_mean,
@@ -1293,7 +1293,7 @@ def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
         )
         .where(
-            ((F.col("o_orderkey") * _KNUTH + F.col("b") * 40503) % 4294967296) % 2 == 0
+            (((F.col("o_orderkey") % 2147483648) * _KNUTH + F.col("b") * 40503) % 4294967296) % 2 == 0
         )
     )
     m = s.groupBy("b").agg(F.avg("o_totalprice").alias("mb"))

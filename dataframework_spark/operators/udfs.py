@@ -301,7 +301,7 @@ def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_hash_per_group",
     oracle="""
     WITH h AS (
-      SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS hkey
+      SELECT doc_id, lang, ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hkey
       FROM documents),
     r AS (
       SELECT doc_id, lang, hkey,
@@ -325,7 +325,7 @@ def sample_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ``groupBy(lang).agg(min_by-heap)`` variant bounds state further."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang"])
     h = docs.select(
-        "doc_id", "lang", F.expr("(doc_id * 2654435761) % 4294967296").alias("hkey")
+        "doc_id", "lang", F.expr("((doc_id % 2147483648) * 2654435761) % 4294967296").alias("hkey")
     )
     w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
     return (
@@ -340,7 +340,7 @@ def sample_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT doc_id, lang, n_chars,
-             (((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0 AS uni
+             ((((doc_id % 2147483648) * 2654435761) % 4294967296) + 0.5) / 4294967296.0 AS uni
       FROM documents),
     k AS (
       SELECT doc_id, lang, n_chars,
@@ -369,7 +369,7 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln/div float path cannot reorder near-ties across engines; doc_id
     breaks exact ties."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
-    uni = (F.expr("(doc_id * 2654435761) % 4294967296") + 0.5) / 4294967296.0
+    uni = (F.expr("((doc_id % 2147483648) * 2654435761) % 4294967296") + 0.5) / 4294967296.0
     k = docs.select(
         "doc_id", "lang", "n_chars", F.round(-F.log(uni) / F.col("n_chars"), 10).alias("ekey")
     )

@@ -53,13 +53,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
-    # the file stream source wants a directory: stream sf_dir, glob-filtered
-    # down to the events table's file
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(path))
-        .parquet(os.path.dirname(path))
-    )
+    if os.path.isdir(path):
+        # production-shaped table: a DIRECTORY of part files — stream it
+        # directly.  (Glob-filtering the parent dir instead trips Spark's
+        # partition discovery on sibling table dirs:
+        # CONFLICTING_DIRECTORY_STRUCTURES, found by the 10× scale sweep.)
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        # driver testdata shape: one bare file per table — the file stream
+        # source wants a directory, so stream sf_dir glob-filtered down to
+        # the events file
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(path))
+            .parquet(os.path.dirname(path))
+        )
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
