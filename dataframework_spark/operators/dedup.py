@@ -270,30 +270,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, band in enumerate(_band_cols()):
         piece = sig.select("doc_id", F.expr(band).alias("bk"), F.lit(i).alias("band"))
         bands = piece if bands is None else bands.unionByName(piece)
-    # The band table is CORPUS-sized (docs × bands rows), so the candidate
-    # self-join must never broadcast: Catalyst's size estimate of the
-    # cached upstream can land under the auto-broadcast threshold and OOM
-    # the driver building the exchange (reproduced at a 100× replica by
-    # tools/scale_probe.py).  The merge hint pins a sort-merge join on the
-    # (band, bk) keys — the shape that survives any corpus size, with AQE
-    # skew-splitting hot buckets.
-    a, b = bands.alias("a"), bands.hint("merge").alias("b")
+    # Candidate generation is NOT a self-join: the band table is
+    # CORPUS-sized, and a self-join invites Catalyst to broadcast a side
+    # whose columnar size estimate (~tens of MB) hides a 10× JVM build
+    # cost — reproduced as a driver OOM at a 100× replica by
+    # tools/scale_probe.py.  Instead group each (band, bucket) and expand
+    # doc-id pairs NARROWLY inside the bucket (same pattern as
+    # join_basket_affinity): one exchange, no join, nothing to broadcast.
+    # Bucket pair expansion is quadratic in bucket size — but a mega
+    # bucket is a genuine duplicate cluster, whose pairs every candidate
+    # scheme must emit anyway.
+    buckets = bands.groupBy("band", "bk").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(ids) - 1), "
+        "i -> transform(sequence(i + 1, size(ids)), "
+        "j -> struct(element_at(ids, i) as doc_a, element_at(ids, j) as doc_b))))"
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # Verification joins: both sides are data-sized (candidate pairs scale
-    # with corpus x dup rate; shingle sets carry the documents' n-grams),
-    # so they must stay shuffle joins as well - same rationale as the
-    # banding join above (AQE would otherwise broadcast-convert cand).
-    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).hint("merge")
-    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint("merge")
+    # Verification joins are pinned to shuffled-hash: measured against
+    # the alternatives at sf0.1 AND a 100x replica, letting Catalyst
+    # choose here broadcasts the shingle-set side from a stale small
+    # estimate (5.0-6.6 s at sf0.1, driver OOM at 100x), while
+    # shuffle_hash holds 2.7-3.4 s locally and completes at 100x.  The
+    # shingle sets are the data-sized side at any real scale.
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).hint("shuffle_hash")
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint("shuffle_hash")
     ver = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
