@@ -2076,29 +2076,60 @@ def window_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("agg_hll_rollup", oracle=None)  # estimates are engine-specific → rows-only
+@register(
+    "agg_hll_rollup",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             COUNT(DISTINCT CAST(ts AS DATE))  AS n_days,
+             COUNT(DISTINCT user_id)           AS exact_users,
+             approx_count_distinct(user_id)    AS est
+      FROM events GROUP BY event_type)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(exact_users AS BIGINT) AS exact_users,
+           ABS(est - exact_users) <= 0.05 * exact_users AS sketch_within_5pct
+    FROM x
+    """,
+)
 def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous-aggregate shape: per (event_type, day)
     HyperLogLog sketches of distinct users, then the MERGE path —
     ``hll_union_agg`` rolls daily sketches up to event_type totals
     without touching raw events again.  This is THE pattern that makes
-    distinct-count rollups incremental at 100 TB: day partitions
-    sketch independently (re-aggregation reads sketch bytes, not data),
-    and any coarser grain (week / month / all-time) is a union of
-    stored sketches.  Estimates are engine-specific, so the driver runs
-    the rows-only check; ``test_hll_rollup_accuracy`` pins the estimate
-    to within 5% of exact."""
+    distinct-count rollups incremental at 100 TB: day partitions sketch
+    independently (re-aggregation reads sketch bytes, not data), and any
+    coarser grain (week / month / all-time) is a union of stored sketches.
+
+    Hash strategy (upgraded from rows-only in r3): the raw estimate is
+    engine-specific, so the query emits the EXACT rollup plus a boolean
+    asserting its own sketch landed within 5% of exact — each engine
+    checks its own sketch, and both sides' booleans must agree (HLL++
+    relative error ≈1.6% at default precision, and small cardinalities
+    are exact in sparse mode, so ``true`` is deterministic at any SF).
+    The sketch-merge path stays fully exercised; only the published
+    number is the exact one.  The exact twin is a separate
+    ``count_distinct`` aggregate over the same scan — NOT a collected
+    user set, which would rebuild exactly the unbounded per-group state
+    the sketch exists to avoid — joined back on the ~|event_types|-row
+    rollup."""
     ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "event_type"])
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sketch")
     )
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
-        )
-        .select("event_type", "n_days", "est_users")
+    sk = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(F.broadcast(sk), "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (F.abs(F.col("est") - F.col("exact_users")) <= 0.05 * F.col("exact_users")).alias(
+            "sketch_within_5pct"
+        ),
     )
 
 
