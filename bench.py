@@ -78,7 +78,11 @@ def main() -> None:
     # whole suite BENCH_REPS times and report the per-query MEDIAN, plus
     # the observed min/max spread so any remaining variance is visible in
     # the published number instead of hiding behind a lucky run.
-    reps = int(os.environ.get("BENCH_REPS") or (1 if os.environ.get("BENCH_ALL") else 3))
+    reps_raw = os.environ.get("BENCH_REPS") or ("1" if os.environ.get("BENCH_ALL") else "3")
+    try:
+        reps = max(1, int(reps_raw))  # <1 would make median([]) raise IndexError
+    except ValueError as exc:
+        raise SystemExit(f"BENCH_REPS must be an integer, got {reps_raw!r}") from exc
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(reps):
         for name in names:

@@ -379,7 +379,55 @@ def _bpe_merge_expr(a: str, b: str) -> str:
     )
 
 
-@register("text_bpe_merges", oracle=None)  # iterative; golden-tested vs pure python
+def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Static DuckDB twin of the distributed BPE learner: the merge loop
+    unrolled into a chained CTE pipeline — each round's argmax pair is a
+    1-row ``MATERIALIZED`` CTE (forced once-eval; without it the chain
+    re-inlines exponentially) whose columns the next vocab rewrite
+    captures inside a ``list_reduce`` lambda.  The greedy left-to-right
+    non-overlapping merge is encoded as a string fold over ``chr(31)``
+    (unit separator — cannot occur inside whitespace-split tokens): merge
+    only when the accumulator's LAST full symbol equals the left half,
+    which reproduces :func:`_bpe_merge_expr`'s no-re-merge guard exactly.
+    Verified against the pure-Python Sennrich reference at sf0.01
+    (``test_bpe_merges_match_reference_impl``)."""
+    ctes = [
+        r"""vocab0 AS MATERIALIZED (
+      SELECT str_split(tok, '') AS syms, COUNT(*)::BIGINT AS freq
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+      GROUP BY tok)"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""pairs{k} AS (
+      SELECT syms[i + 1] AS l, syms[i + 2] AS r, SUM(freq) AS cnt
+      FROM (SELECT freq, syms, unnest(range(len(syms) - 1)) AS i FROM vocab{k - 1})
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""best{k} AS MATERIALIZED (
+      SELECT {k} AS round, l AS bl, r AS br, cnt FROM pairs{k}
+      ORDER BY cnt DESC, l, r LIMIT 1)"""
+        )
+        if k < rounds:
+            ctes.append(
+                f"""vocab{k} AS MATERIALIZED (
+      SELECT CASE WHEN len(syms) < 2 THEN syms ELSE
+        str_split(list_reduce(syms, (acc, x) ->
+          CASE WHEN (acc = bl OR ends_with(acc, chr(31) || bl)) AND x = br
+               THEN acc[1:len(acc) - len(bl)] || bl || br
+               ELSE acc || chr(31) || x END), chr(31)) END AS syms, freq
+      FROM vocab{k - 1} CROSS JOIN best{k})"""
+            )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST(round AS INT) AS round, bl AS left, br AS right, "
+        f"bl || br AS merged, CAST(cnt AS BIGINT) AS pair_count FROM best{k}"
+        for k in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+@register("text_bpe_merges", oracle=_bpe_oracle_sql())
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (Sennrich et al. 2016) as a distributed
     pipeline: learn the first {_BPE_ROUNDS} merge rules from corpus word
@@ -399,9 +447,13 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graph_pagerank_nations`` and ``dedup_clusters``.
 
     Output: one row per learned merge — (round, left, right, merged,
-    pair_count).  Engine-iterative ⇒ rows-only driver check;
-    ``test_bpe_merges_match_reference_impl`` pins the merge sequence
-    against a pure-Python reference BPE at sf0.01."""
+    pair_count).  Upgraded rows-only → FULL value-hash in r4: the merge
+    sequence is a deterministic function of the word-frequency table
+    (exact integer counts, ``(count DESC, pair ASC)`` tie-break), so the
+    oracle unrolls the same loop into static DuckDB SQL
+    (:func:`_bpe_oracle_sql`) — both engines must learn the identical
+    merge table.  ``test_bpe_merges_match_reference_impl`` additionally
+    pins both against a pure-Python reference BPE at sf0.01."""
     docs = load_table(spark, sf_dir, "documents", columns=["text"])
     vocab = (
         docs.select(F.explode(tokens()).alias("w"))

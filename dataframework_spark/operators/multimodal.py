@@ -291,6 +291,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float, int]:
     while pos + 8 <= len(payload):
         cc = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if pos + 8 + size > len(payload):
+            # A declared chunk size past EOF means a truncated/overstated
+            # container — reject rather than silently decode partial bytes.
+            raise ValueError(f"chunk {cc!r} overruns payload: {size} bytes at {pos}")
         body = payload[pos + 8 : pos + 8 + size]
         if cc == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
@@ -302,6 +306,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float, int]:
     audio_fmt, channels, sr, _byte_rate, _block, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"unsupported encoding: fmt={audio_fmt} bits={bits}")
+    if len(data) % 2:
+        raise ValueError(f"PCM16 data chunk has odd length {len(data)}")
     s = np.frombuffer(data, dtype="<i2").astype(np.int32)
     if channels > 1:
         s = s.reshape(-1, channels).mean(axis=1)

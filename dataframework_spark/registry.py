@@ -86,8 +86,9 @@ def _family(name: str) -> str:
     return name.split("_", 1)[0]
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """(needs_regrade, rows_only, ever_sampled) from ``CORRECTNESS_r*.json``.
+def _driver_history() -> tuple[set[str], set[str], set[str]]:
+    """Return (needs_regrade, rows_only, ever_sampled) sets read from
+    ``CORRECTNESS_r*.json``.
 
     The driver grades only a ~50-query prefix per round, so prefix order
     is the sampling policy.  Reading the driver's own verdict files makes

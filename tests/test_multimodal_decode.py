@@ -46,6 +46,34 @@ def test_wav_rejects_compressed_encoding():
         decode_wav(bytes(payload))
 
 
+def test_wav_rejects_truncated_payload():
+    # chop the tail off: the data chunk's declared size now overruns EOF
+    raw = synth_wav(2)
+    with pytest.raises(ValueError, match="overruns"):
+        decode_wav(raw[:-10])
+
+
+def test_wav_rejects_overstated_chunk_size():
+    payload = bytearray(synth_wav(2))
+    # data chunk size field lives right after the 'data' fourcc at 36:40
+    assert bytes(payload[36:40]) == b"data"
+    size = struct.unpack("<I", payload[40:44])[0]
+    payload[40:44] = struct.pack("<I", size + 64)  # claims more than exists
+    with pytest.raises(ValueError, match="overruns"):
+        decode_wav(bytes(payload))
+
+
+def test_wav_rejects_odd_pcm16_data_length():
+    raw = bytearray(synth_wav(2))
+    assert bytes(raw[36:40]) == b"data"
+    size = struct.unpack("<I", raw[40:44])[0]
+    # shrink the declared data size by one byte: still inside the payload,
+    # but no longer a whole number of 16-bit samples
+    raw[40:44] = struct.pack("<I", size - 1)
+    with pytest.raises(ValueError, match="odd length"):
+        decode_wav(bytes(raw))
+
+
 def test_wav_chunk_walk_skips_unknown_chunks():
     # insert a LIST chunk (odd size → exercises word alignment) between
     # fmt and data; a parser that assumes fixed offsets breaks here
