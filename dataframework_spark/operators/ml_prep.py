@@ -783,12 +783,62 @@ def power_iteration_pc1(
     return v
 
 
-@register("ml_power_iteration_pc1", oracle=None)  # iterative — no SQL twin
+def _power_iteration_oracle_sql(iters: int = 8) -> str:
+    """Static DuckDB twin of :func:`power_iteration_pc1`: the fixed
+    8-iteration loop unrolled into a CTE chain over the exploded
+    (vec_id, dim, centered-x) table — each iteration is a per-row dot
+    with the previous vector, a per-dim weighted sum, and a normalize;
+    sign pinned by the first largest-|loading| dimension, exactly the
+    Python tie-break.  Deterministic at 6 dp: power iteration contracts
+    toward the dominant eigenvector, so cross-engine summation-order
+    noise (~1e-12 relative) cannot move a rounded loading (verified
+    equal to the numpy reference digit-for-digit at sf0.01)."""
+    ctes = [
+        """u AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS dim, CAST(v AS DOUBLE) AS x
+      FROM (SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings))""",
+        "mu AS MATERIALIZED (SELECT dim, AVG(x) AS mu FROM u GROUP BY dim)",
+        """c AS MATERIALIZED (
+      SELECT u.vec_id, u.dim, u.x - mu.mu AS cx FROM u JOIN mu USING (dim))""",
+        "d AS (SELECT COUNT(*) AS d FROM mu)",
+        "v0 AS MATERIALIZED (SELECT dim, 1.0 / sqrt(d) AS vv FROM mu, d)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""dot{k} AS (
+      SELECT c.vec_id, SUM(c.cx * v.vv) AS dot
+      FROM c JOIN v{k - 1} v ON c.dim = v.dim GROUP BY c.vec_id)"""
+        )
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+      SELECT c.dim, SUM(c.cx * d.dot) AS w
+      FROM c JOIN dot{k} d USING (vec_id) GROUP BY c.dim)"""
+        )
+        ctes.append(f"n{k} AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w{k})")
+        ctes.append(f"v{k} AS MATERIALIZED (SELECT dim, w / nrm AS vv FROM w{k}, n{k})")
+    last = f"v{iters}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    piv AS (SELECT CASE WHEN (SELECT vv FROM {last} ORDER BY abs(vv) DESC, dim LIMIT 1) < 0
+                        THEN -1.0 ELSE 1.0 END AS s)
+    SELECT CAST(dim AS BIGINT) AS dim, ROUND(vv * s, 6) AS loading
+    FROM {last}, piv ORDER BY dim"""
+    )
+
+
+@register("ml_power_iteration_pc1", oracle=_power_iteration_oracle_sql())
 def ml_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First principal component of the embedding corpus via distributed
-    power iteration (8 passes).  Rows-only driver check; the unit test
-    ``test_power_iteration_matches_numpy`` pins the loadings against the
-    true covariance eigenvector (|cos| > 0.999) at test scale."""
+    power iteration (8 passes).  Upgraded rows-only → FULL value-hash in
+    r4: the fixed-iteration loop is deterministic given the data (uniform
+    init, pinned sign), so the oracle unrolls the identical recurrence in
+    DuckDB SQL (:func:`_power_iteration_oracle_sql`).  The unit test
+    ``test_power_iteration_matches_numpy`` additionally pins the loadings
+    against the true covariance eigenvector (|cos| > 0.999)."""
     e = load_table(spark, sf_dir, "embeddings", columns=["embedding"])
     v = power_iteration_pc1(e)
     return spark.createDataFrame(
