@@ -919,6 +919,95 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class BucketDensityExceeded(RuntimeError):
+    """An interval-overlap bucket holds more intervals than the caller's
+    ``max_per_bucket`` cap — the pair expansion for that bucket alone
+    would emit ~n²/2 rows, which is the documented way this operator
+    melts a cluster on a skewed tenant (SCALE.md: 270 s at the 10×
+    replica purely from output growth)."""
+
+
+def overdense_buckets(
+    iv: DataFrame, bucket: str, max_per_bucket: int
+) -> DataFrame:
+    """Buckets whose interval count exceeds the cap, with their counts —
+    a bucket-sized aggregate (one exchange over |buckets| rows), cheap to
+    inspect before or after a guarded run."""
+    return (
+        iv.groupBy(bucket)
+        .agg(F.count(F.lit(1)).alias("n_intervals"))
+        .where(F.col("n_intervals") > max_per_bucket)
+    )
+
+
+def interval_overlap_pairs(
+    iv: DataFrame,
+    bucket: str = "day",
+    ident: str = "user_id",
+    start: str = "s",
+    end: str = "e",
+    max_per_bucket: int | None = None,
+    on_exceed: str = "error",
+) -> DataFrame:
+    """Bucket-local interval-overlap pair join with an optional density
+    guard (the knob VERDICT r3 #6 asked for).
+
+    The join itself is linear in its OUTPUT: per bucket the pair count is
+    ~n²/2 for n co-active intervals, so one pathological bucket (a bot
+    account, a replayed tenant) dominates the whole job.  The guard runs
+    a bucket-sized aggregate first (one exchange over |buckets| rows —
+    negligible next to the pair expansion it protects):
+
+    * ``max_per_bucket=None`` (default) — exact semantics, no guard;
+    * ``on_exceed="error"`` — raise :class:`BucketDensityExceeded` naming
+      the densest offending bucket BEFORE the quadratic stage runs (the
+      pre-check is a bounded one-row driver action);
+    * ``on_exceed="prune"`` — drop over-dense buckets and continue; call
+      :func:`overdense_buckets` with the same cap to enumerate exactly
+      what was dropped (no silent truncation).
+    """
+    if max_per_bucket is not None:
+        if on_exceed == "error":
+            worst = (
+                overdense_buckets(iv, bucket, max_per_bucket)
+                .orderBy(F.desc("n_intervals"))
+                .first()
+            )
+            if worst is not None:
+                raise BucketDensityExceeded(
+                    f"bucket {worst[bucket]!r} holds {worst['n_intervals']} "
+                    f"intervals (cap {max_per_bucket}): ~"
+                    f"{worst['n_intervals'] ** 2 // 2} pairs from one bucket. "
+                    "Raise the cap, use a finer bucket, or pass "
+                    "on_exceed='prune'."
+                )
+        elif on_exceed == "prune":
+            ok = (
+                iv.groupBy(bucket)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") <= max_per_bucket)
+                .drop("_n")
+            )
+            iv = iv.join(ok, bucket)
+        else:
+            raise ValueError(f"on_exceed must be 'error' or 'prune', got {on_exceed!r}")
+    a = iv.select(
+        F.col(ident).alias("id_a"), F.col(bucket).alias("_bkt"),
+        F.col(start).alias("s_a"), F.col(end).alias("e_a"),
+    )
+    b = iv.select(
+        F.col(ident).alias("id_b"), F.col(bucket).alias("_bkt_b"),
+        F.col(start).alias("s_b"), F.col(end).alias("e_b"),
+    )
+    return a.join(
+        b,
+        (F.col("_bkt") == F.col("_bkt_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("s_a") <= F.col("e_b"))
+        & (F.col("s_b") <= F.col("e_a")),
+    ).drop("_bkt_b")
+
+
 @register(
     "join_interval_overlap",
     oracle="""
@@ -954,36 +1043,29 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — no float-order noise in the hash.
 
     One shuffle builds intervals, one bucket-keyed exchange joins them;
-    per-bucket pair count is quadratic in concurrent users per bucket
-    (bound it with a finer bucket at higher user density)."""
+    per-bucket pair count is quadratic in concurrent users per bucket.
+    The registered query runs unguarded (exact semantics, the oracle's
+    twin); production callers go through :func:`interval_overlap_pairs`,
+    whose ``max_per_bucket`` density cap refuses or prunes pathological
+    buckets BEFORE the pair expansion — the guard VERDICT r3 #6 asked
+    for (270 s at the 10× replica was pure output growth)."""
     ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts"])
     iv = (
         ev.groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
         .cache()  # (user, day)-sized; both join sides read it
     )
-    a = iv.select(
-        F.col("user_id").alias("user_a"), "day",
-        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
-    )
-    b = iv.select(
-        F.col("user_id").alias("user_b"), F.col("day").alias("day_b"),
-        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
-    )
+    pairs = interval_overlap_pairs(iv, bucket="day", ident="user_id")
     ov_us = F.unix_micros(F.least("e_a", "e_b")) - F.unix_micros(
         F.greatest("s_a", "s_b")
     )
     return (
-        a.join(
-            b,
-            (F.col("day") == F.col("day_b"))
-            & (F.col("user_a") < F.col("user_b"))
-            & (F.col("s_a") <= F.col("e_b"))
-            & (F.col("s_b") <= F.col("e_a")),
+        pairs.select(
+            F.col("id_a").alias("user_a"), F.col("id_b").alias("user_b"), ov_us.alias("ov")
         )
         .groupBy("user_a", "user_b")
         .agg(
             F.count(F.lit(1)).alias("n_overlap_days"),
-            F.round(F.sum(ov_us) / 60000000.0, 2).alias("total_overlap_min"),
+            F.round(F.sum("ov") / 60000000.0, 2).alias("total_overlap_min"),
         )
     )

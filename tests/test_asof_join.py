@@ -117,3 +117,58 @@ def test_asof_matches_pandas_merge_asof(spark):
             assert got is None, (r.k, r.ts, got, want)
         else:
             assert got == want, (r.k, r.ts, got, want)
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_pairs density guard (VERDICT r3 #6)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    # day "d1" holds 4 co-active users (6 pairs), day "d2" holds 2 (1 pair)
+    rows = [(u, "d1", _ts(9), _ts(17)) for u in range(4)]
+    rows += [(10, "d2", _ts(9), _ts(12)), (11, "d2", _ts(10), _ts(11))]
+    return spark.createDataFrame(rows, "user_id int, day string, s timestamp, e timestamp")
+
+
+def test_interval_overlap_unguarded_pair_count(intervals):
+    from dataframework_spark.operators.temporal import interval_overlap_pairs
+
+    assert interval_overlap_pairs(intervals).count() == 6 + 1
+
+
+def test_interval_overlap_guard_errors_before_expansion(intervals):
+    from dataframework_spark.operators.temporal import (
+        BucketDensityExceeded,
+        interval_overlap_pairs,
+    )
+
+    with pytest.raises(BucketDensityExceeded, match="d1.*holds 4"):
+        interval_overlap_pairs(intervals, max_per_bucket=3)
+
+
+def test_interval_overlap_guard_prunes_only_dense_bucket(intervals):
+    from dataframework_spark.operators.temporal import interval_overlap_pairs
+
+    pruned = interval_overlap_pairs(intervals, max_per_bucket=3, on_exceed="prune")
+    rows = pruned.collect()
+    assert len(rows) == 1 and rows[0]["id_a"] == 10 and rows[0]["id_b"] == 11
+
+
+def test_interval_overlap_overdense_report_names_dropped_bucket(intervals):
+    from dataframework_spark.operators.temporal import overdense_buckets
+
+    dropped = overdense_buckets(intervals, "day", 3).collect()
+    assert [(r["day"], r["n_intervals"]) for r in dropped] == [("d1", 4)]
+
+
+def test_interval_overlap_guard_cap_met_is_exact(intervals):
+    from dataframework_spark.operators.temporal import interval_overlap_pairs
+
+    # cap above the densest bucket: guard must not change the result
+    assert interval_overlap_pairs(intervals, max_per_bucket=4).count() == 7
+    assert (
+        interval_overlap_pairs(intervals, max_per_bucket=4, on_exceed="prune").count()
+        == 7
+    )
