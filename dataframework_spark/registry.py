@@ -131,16 +131,26 @@ def _interleaved(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Round-robin the registry across operator families, verdict-aware.
 
     The driver harness may grade only a prefix of ``queries()`` per round
-    (r1/r2 graded 50 of ~190).  Interleaving guarantees ANY prefix of
-    length ≥ |families| carries one verdict per SURVEY.md §2 family, and a
-    50-query prefix carries ≥2 per family — so no family can end a round
-    with zero driver rows (VERDICT r1, "What's missing" #1).  Within a
-    family, queues are ordered by what maximizes new driver information
-    (VERDICT r2, "Next round" #7): first queries whose latest driver
-    verdict was an error or hash mismatch (their fixes need re-grading),
-    then queries never driver-sampled, then already-green queries rotated
-    to the back.  Ties keep registration order (modules register their
-    most representative query first).
+    (r1-r3 graded 50 of ~200).  Ordering is CLASS-MAJOR, then family
+    round-robin within each class (changed in r4):
+
+    0. queries whose latest driver verdict was an error or hash mismatch,
+       plus rows-only queries that have since gained an oracle — their
+       fixes need re-grading first;
+    1. queries never driver-sampled — every one of these gets a first
+       verdict before ANY already-green query is re-graded (the stated
+       policy since r3; the old per-family-depth cycling violated it
+       globally — r4's 50-prefix would have spent 23 slots re-grading
+       greens while 71 never-sampled queries waited beyond the prefix);
+    2. already-green queries, rotated to the back for eventual re-grade.
+
+    Within a class, families cycle round-robin (one query per family per
+    depth), so no single family can hog the prefix; within a family, ties
+    keep registration order (modules register their most representative
+    query first).  Family coverage of a 50-prefix now tracks where the
+    INFORMATION is: once a family is fully green it stops consuming
+    prefix slots until the backlog of never-graded queries is burned
+    down.
     """
     regrade, rows_only, sampled = _driver_history()
 
@@ -153,21 +163,23 @@ def _interleaved(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
             return 1
         return 2
 
-    queues: dict[str, list[QuerySpec]] = {}
-    for name, spec in reg.items():
-        queues.setdefault(_family(name), []).append(spec)
-    for q in queues.values():
-        q.sort(key=_cls)  # stable: registration order within each class
-    fam_order = [f for f in _FAMILY_ORDER if f in queues]
-    fam_order += [f for f in queues if f not in fam_order]
+    fam_order = [f for f in _FAMILY_ORDER]
     out: dict[str, QuerySpec] = {}
-    depth = 0
-    while len(out) < len(reg):
-        for f in fam_order:
-            q = queues[f]
-            if depth < len(q):
-                out[q[depth].name] = q[depth]
-        depth += 1
+    for cls in (0, 1, 2):
+        queues: dict[str, list[QuerySpec]] = {}
+        for name, spec in reg.items():
+            if _cls(spec) == cls:
+                queues.setdefault(_family(name), []).append(spec)
+        order = [f for f in fam_order if f in queues]
+        order += [f for f in queues if f not in order]
+        depth = 0
+        while any(depth < len(queues[f]) for f in order):
+            for f in order:
+                if depth < len(queues[f]):
+                    spec = queues[f][depth]
+                    out[spec.name] = spec
+            depth += 1
+    assert len(out) == len(reg)
     return out
 
 

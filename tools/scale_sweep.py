@@ -1,0 +1,139 @@
+"""Full-registry scale sweep with an ENUMERATED exclusion list.
+
+VERDICT r3 #2: the r3 100× sweep reported "174/174 pass, everything
+except the documented super-linear tiers" but never wrote down WHICH
+queries were excluded — a reader couldn't distinguish
+"excluded because quadratic-by-design" from "excluded because it
+failed".  This tool is the no-silent-caps fix: every registered query is
+either SWEPT (timed, pass/fail recorded) or EXCLUDED with a one-line
+reason printed into the artifact, and the accounting must sum to the
+registry size or the run aborts.
+
+Exclusions are NOT correctness waivers — every excluded query still
+passes its value-hash oracle at sf0.01 in-repo.  They are cost-model
+documentation: the replica turns each document into an M-way near-
+duplicate, so operators whose OUTPUT is the pairwise near-dup structure
+grow ~M² rows by construction (their scale-path siblings — MinHash-LSH
+banding, blocked fuzzy match — ARE swept).
+
+Usage:  python tools/scale_sweep.py [M]        (default M=10)
+Writes SCALESWEEP{M}x JSON to stdout (one line).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dataframework_spark.registry import all_queries
+from dataframework_spark.session import get_spark
+from tools.scale_probe import BASE, build_replica
+
+# Every entry must name a registered query; reasons are part of the
+# published artifact.  Keep this list SHORT — the default is to sweep.
+EXCLUSIONS: dict[str, str] = {
+    "dedup_ngram_jaccard": (
+        "exact pairwise-Jaccard eval tier: the replica makes every doc an "
+        "M-way near-dup, so in-block candidate pairs grow ~M^2 by "
+        "construction (scale path = dedup_minhash_lsh, which IS swept)"
+    ),
+    "dedup_ngram_containment": (
+        "exact pairwise-containment eval tier: same ~M^2 in-block pair "
+        "growth on the replica"
+    ),
+    "dedup_lsh_eval": (
+        "LSH tuning evaluator: joins LSH candidates against the exact "
+        "pairwise-Jaccard truth set (the eval tier it exists to price)"
+    ),
+    "dedup_embedding_cosine": (
+        "all-pairs cosine inside LSH blocks: replica-dense blocks emit "
+        "~M^2 near-dup pairs per original doc (output-driven, not a plan "
+        "bug; blocked/banded siblings are swept)"
+    ),
+    "dedup_simhash": (
+        "near-dup pair emitter (simhash band buckets): every doc is an "
+        "M-way dup on the replica, so the OUTPUT is ~M^2 pairs"
+    ),
+    "dedup_clusters": (
+        "iterative connected components over the near-dup pair graph: "
+        "replica inflates edges ~M^2 and component diameter with M"
+    ),
+    "pipeline_semantic_dedup": (
+        "capstone composing the embedding near-dup pair stage (see "
+        "dedup_embedding_cosine)"
+    ),
+    "join_interval_overlap": (
+        "output-quadratic in co-active-user density by replica "
+        "construction (270 s at 10x, measured r3); production callers use "
+        "interval_overlap_pairs(max_per_bucket=...) — the r4 density guard"
+    ),
+}
+
+
+def main() -> None:
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        f"scale{m}x",
+    )
+    spark = get_spark(app_name=f"scale-sweep-{m}x", cpus=os.cpu_count() or 8)
+    build_replica(spark, m, out_dir)
+    specs = all_queries()
+    unknown = set(EXCLUSIONS) - set(specs)
+    if unknown:
+        raise SystemExit(f"EXCLUSIONS names unregistered queries: {sorted(unknown)}")
+    # Python-worker + codegen warmup so the first swept query isn't taxed
+    spark.range(64).toDF("x").mapInPandas(lambda it: it, "x bigint").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    fails: dict[str, str] = {}
+    for name, spec in specs.items():
+        if name in EXCLUSIONS:
+            continue
+        t0 = time.perf_counter()
+        try:
+            spec.fn(spark, out_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 2)
+        except Exception:
+            fails[name] = traceback.format_exc(limit=3).splitlines()[-1][:300]
+        finally:
+            spark.catalog.clearCache()
+        done = len(times) + len(fails)
+        print(
+            f"# [{done}/{len(specs) - len(EXCLUSIONS)}] {name}: "
+            f"{times.get(name, 'FAIL')}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    n_total = len(specs)
+    assert len(times) + len(fails) + len(EXCLUSIONS) == n_total, "accounting hole"
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:15])
+    print(
+        json.dumps(
+            {
+                "m": m,
+                "n_total_registered": n_total,
+                "n_swept_ok": len(times),
+                "n_failed": len(fails),
+                "n_excluded": len(EXCLUSIONS),
+                "fails": fails,
+                "excluded": EXCLUSIONS,
+                "slowest": slowest,
+                "times": times,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
