@@ -895,8 +895,10 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _TOPK)
         .select("query_id", "qcid", "vec_id")
     )
+    # both sides are k×|queries| rows; the windows upstream erase size
+    # estimates, so pin the broadcast rather than let Catalyst SMJ them
     j = exact_top.join(
-        adc_top,
+        F.broadcast(adc_top),
         (F.col("query_id") == F.col("aq")) & (F.col("vec_id") == F.col("an")),
         "left",
     )

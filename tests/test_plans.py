@@ -320,3 +320,20 @@ def test_boilerplate_single_scan_no_join(spark, sf_dir):
     assert "Join" not in simple, simple
     assert simple.count("FileScan") == 1, simple
     assert exchange_count(df) == 2, simple
+
+
+def test_ivfpq_corpus_never_shuffles_wide(spark, sf_dir):
+    """The IVF-PQ composite's corpus side must only ever meet
+    broadcast-sized tables (centroid array, codebook, query set): every
+    join in the plan is a broadcast join, and the only exchanges are the
+    per-query window ranks over already-tiny scored rows."""
+    from dataframework_spark.operators.similarity import sim_ivfpq_recall
+    from dataframework_spark.plans.explain import count_occurrences
+
+    df = sim_ivfpq_recall(spark, sf_dir)
+    p = plan_string(df)
+    assert "SortMergeJoin" not in p, p
+    assert "ShuffledHashJoin" not in p, p
+    assert count_occurrences(df, "BroadcastNestedLoopJoin") + count_occurrences(
+        df, "BroadcastHashJoin"
+    ) >= 3, p
