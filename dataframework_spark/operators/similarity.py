@@ -710,6 +710,75 @@ def _duck_subdist(r: str, c: str, m: str) -> str:
     )
 
 
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Build the IVF-PQ index tables shared by the nprobe variants:
+    returns ``(e, centarr, assigned, coded)`` — the raw corpus, the
+    1-row broadcast centroid array, the per-vector (cell, residual)
+    assignment, and the per-vector {_PQ_M}-byte code rows carrying the
+    broadcast codebook for ADC."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    e = emb.select("vec_id", as_double("embedding").alias("e"))
+    # 1-row broadcast: the 8 coarse centroids as an array of arrays
+    centarr = (
+        e.where(F.col("vec_id") < _N_CENTROIDS)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(vec_id, e))), s -> s.e)"
+            ).alias("cents")
+        )
+    )
+    # zero-shuffle assignment: argmin over an in-expression centroid array
+    # (vs sim_ivf_topk's join+window — no corpus exchange at all here)
+    assigned = (
+        e.crossJoin(F.broadcast(centarr))
+        .withColumn(
+            "cs",
+            F.expr(
+                "transform(cents, c -> round(aggregate(zip_with(e, c, "
+                "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v), 6))"
+            ),
+        )
+        .withColumn(
+            "cid", (F.expr("array_position(cs, array_min(cs))") - 1).cast("int")
+        )
+        .withColumn(
+            "r", F.expr("zip_with(e, element_at(cents, cid + 1), (x, y) -> x - y)")
+        )
+        .select("vec_id", "e", "cs", "cid", "r")
+    )
+    assigned = assigned.localCheckpoint()  # reused by codebook, codes, queries
+    cbarr = (
+        assigned.select(
+            F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "r"
+        )
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(h, vec_id, r))), s -> s.r)"
+            ).alias("cb")
+        )
+    )
+    sub_d2 = (
+        f"transform(sequence(0, {_PQ_M - 1}), m -> "
+        f"transform(cb, c -> aggregate(zip_with("
+        f"slice(r, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+        f"slice(c, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+        f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)))"
+    )
+    coded = (
+        assigned.crossJoin(F.broadcast(cbarr))
+        .withColumn(
+            "codes",
+            F.expr(
+                f"transform({sub_d2}, ds -> cast(array_position(ds, array_min(ds)) - 1 as int))"
+            ),
+        )
+        .select("vec_id", "cid", "codes", "cb")
+    )
+    return e, centarr, assigned, coded
+
+
 @register(
     "sim_ivfpq_recall",
     oracle=f"""
@@ -794,66 +863,7 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PQ_M} bytes of codes + a cell id; ADC needs only the query's
     {_PQ_M}×{_PQ_K} lookup table.  Recall < 1 here is the honest price
     of nprobe=1 + {_PQ_M}-byte compression, measured not asserted."""
-    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    e = emb.select("vec_id", as_double("embedding").alias("e"))
-    # 1-row broadcast: the 8 coarse centroids as an array of arrays
-    centarr = (
-        e.where(F.col("vec_id") < _N_CENTROIDS)
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(vec_id, e))), s -> s.e)"
-            ).alias("cents")
-        )
-    )
-    # zero-shuffle assignment: argmax over an in-expression centroid array
-    # (vs sim_ivf_topk's join+window — no corpus exchange at all here)
-    assigned = (
-        e.crossJoin(F.broadcast(centarr))
-        .withColumn(
-            "cs",
-            F.expr(
-                "transform(cents, c -> round(aggregate(zip_with(e, c, "
-                "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v), 6))"
-            ),
-        )
-        .withColumn(
-            "cid", (F.expr("array_position(cs, array_min(cs))") - 1).cast("int")
-        )
-        .withColumn(
-            "r", F.expr("zip_with(e, element_at(cents, cid + 1), (x, y) -> x - y)")
-        )
-        .select("vec_id", "e", "cid", "r")
-    )
-    assigned = assigned.localCheckpoint()  # reused by codebook, codes, queries
-    cbarr = (
-        assigned.select(
-            F.md5(F.col("vec_id").cast("string")).alias("h"), "vec_id", "r"
-        )
-        .orderBy("h", "vec_id")
-        .limit(_PQ_K)
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(h, vec_id, r))), s -> s.r)"
-            ).alias("cb")
-        )
-    )
-    sub_d2 = (
-        f"transform(sequence(0, {_PQ_M - 1}), m -> "
-        f"transform(cb, c -> aggregate(zip_with("
-        f"slice(r, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
-        f"slice(c, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
-        f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)))"
-    )
-    coded = (
-        assigned.crossJoin(F.broadcast(cbarr))
-        .withColumn(
-            "codes",
-            F.expr(
-                f"transform({sub_d2}, ds -> cast(array_position(ds, array_min(ds)) - 1 as int))"
-            ),
-        )
-        .select("vec_id", "cid", "codes", "cb")
-    )
+    e, centarr, assigned, coded = _ivfpq_index(spark, sf_dir)
     q = assigned.where(
         (F.col("vec_id") >= _IVFPQ_Q0) & (F.col("vec_id") < _IVFPQ_Q0 + _N_QUERIES)
     ).select(
@@ -904,6 +914,183 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("query_id").agg(
         F.first("qcid").cast("bigint").alias("cell"),
+        F.count("an").alias("n_hits"),
+        F.round(F.count("an") / F.lit(float(_TOPK)), 4).alias("recall_at_k"),
+    )
+
+
+@register(
+    "sim_ivfpq_nprobe2",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT list(e ORDER BY vec_id) AS cents FROM v WHERE vec_id < {_N_CENTROIDS}),
+    assigned AS (
+      SELECT vec_id, e, cs, list_position(cs, list_min(cs)) - 1 AS cid
+      FROM (SELECT v.vec_id, v.e,
+                   list_transform(cents, c -> ROUND(list_aggregate(
+                     list_transform(generate_series(1, {_DIM}),
+                                    i -> (e[i] - c[i]) * (e[i] - c[i])), 'sum'), 6)) AS cs
+            FROM v, cent)),
+    res AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(generate_series(1, {_DIM}),
+                            i -> a.e[i] - cents[a.cid + 1][i]) AS r
+      FROM assigned a, cent),
+    cb AS (
+      SELECT list(r ORDER BY h, vec_id) AS cbs
+      FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, r FROM res
+            ORDER BY h, vec_id LIMIT {_PQ_K})),
+    coded AS (
+      SELECT vec_id, cid,
+             list_transform(generate_series(0, {_PQ_M - 1}), m ->
+               list_position(
+                 list_transform(cbs, c -> {_duck_subdist('r', 'c', 'm')}),
+                 list_min(list_transform(cbs, c -> {_duck_subdist('r', 'c', 'm')}))) - 1
+             ) AS codes
+      FROM res, cb),
+    qbase AS (
+      SELECT a.vec_id AS query_id, a.e AS qe, a.cid AS cell1,
+             list_position(cs2, list_min(cs2)) - 1 AS cell2
+      FROM (SELECT a.*,
+                   list_transform(generate_series(1, {_N_CENTROIDS}),
+                     i -> CASE WHEN i - 1 = a.cid THEN 'infinity'::DOUBLE
+                          ELSE a.cs[i] END) AS cs2
+            FROM assigned a) a
+      WHERE a.vec_id >= {_IVFPQ_Q0} AND a.vec_id < {_IVFPQ_Q0 + _N_QUERIES}),
+    q AS (
+      SELECT query_id, qe, cell1, cell2, cell1 AS pcell,
+             list_transform(generate_series(1, {_DIM}),
+                            i -> qe[i] - cents[cell1 + 1][i]) AS pr
+      FROM qbase, cent
+      UNION ALL
+      SELECT query_id, qe, cell1, cell2, cell2 AS pcell,
+             list_transform(generate_series(1, {_DIM}),
+                            i -> qe[i] - cents[cell2 + 1][i]) AS pr
+      FROM qbase, cent),
+    adc AS (
+      SELECT q.query_id, c.vec_id,
+             ROUND(list_aggregate(list_transform(generate_series(0, {_PQ_M - 1}), m ->
+               {_duck_subdist('q.pr', 'cbs[c.codes[m + 1] + 1]', 'm')}), 'sum'), 6) AS d
+      FROM q JOIN coded c ON c.cid = q.pcell AND c.vec_id <> q.query_id, cb),
+    adc_top AS (
+      SELECT query_id, vec_id FROM adc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, vec_id) <= {_TOPK}),
+    exact AS (
+      SELECT b.query_id, v.vec_id,
+             ROUND(list_aggregate(list_transform(generate_series(1, {_DIM}),
+               i -> (b.qe[i] - v.e[i]) * (b.qe[i] - v.e[i])), 'sum'), 6) AS d
+      FROM qbase b JOIN v ON v.vec_id <> b.query_id),
+    exact_top AS (
+      SELECT query_id, vec_id FROM exact
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, vec_id) <= {_TOPK})
+    SELECT e.query_id,
+           (SELECT CAST(cell1 AS VARCHAR) || '|' || CAST(cell2 AS VARCHAR)
+            FROM qbase b WHERE b.query_id = e.query_id) AS probe_cells,
+           COUNT(a.vec_id) AS n_hits,
+           ROUND(COUNT(a.vec_id) / {_TOPK}.0, 4) AS recall_at_k
+    FROM exact_top e
+    LEFT JOIN adc_top a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY 1
+    """,
+)
+def sim_ivfpq_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_ivfpq_recall`` with nprobe=2 — the tuning knob an IVF-PQ
+    deployment actually turns: each query also scans its SECOND-nearest
+    cell, with the query residual re-encoded against that cell's centroid
+    (per Jégou §V, codes in a cell are residuals w.r.t. THAT centroid, so
+    the ADC lookup table is per-(query, probe-cell)).  Candidates from
+    both cells rank together; recall@{_TOPK} vs the exact global
+    top-{_TOPK} quantifies what the second probe buys — compare this
+    query's recall to ``sim_ivfpq_recall``'s on the same corpus and the
+    difference IS the nprobe=1→2 point of the tuning curve, each point
+    value-hash-checked cross-engine.
+
+    Scale shape is unchanged: one extra broadcast probe row per query
+    (2×{_N_QUERIES} rows), the corpus still never shuffles, and serving
+    cost grows exactly linearly in probed cells — which is the knob's
+    price."""
+    e, centarr, assigned, coded = _ivfpq_index(spark, sf_dir)
+    inf = "cast('Infinity' as double)"
+    qbase = (
+        assigned.where(
+            (F.col("vec_id") >= _IVFPQ_Q0) & (F.col("vec_id") < _IVFPQ_Q0 + _N_QUERIES)
+        )
+        .crossJoin(F.broadcast(centarr))
+        .withColumn(
+            "cs2",
+            F.expr(f"transform(cs, (v, i) -> if(i = cid, {inf}, v))"),
+        )
+        .withColumn(
+            "cid2", (F.expr("array_position(cs2, array_min(cs2))") - 1).cast("int")
+        )
+        .withColumn(
+            "r2", F.expr("zip_with(e, element_at(cents, cid2 + 1), (x, y) -> x - y)")
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("cid").alias("cell1"),
+            "cid2",
+            F.col("r").alias("r1"),
+            "r2",
+        )
+    )
+    probes = qbase.select(
+        "query_id", "qe", "cell1", "cid2",
+        F.col("cell1").alias("pcell"), F.col("r1").alias("pr"),
+    ).unionByName(
+        qbase.select(
+            "query_id", "qe", "cell1", "cid2",
+            F.col("cid2").alias("pcell"), F.col("r2").alias("pr"),
+        )
+    )
+    adc_d = F.round(
+        F.expr(
+            f"aggregate(sequence(0, {_PQ_M - 1}), 0D, (acc, m) -> acc + "
+            f"aggregate(zip_with("
+            f"slice(pr, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+            f"slice(element_at(cb, element_at(codes, m + 1) + 1), m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (a2, v) -> a2 + v))"
+        ),
+        6,
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    adc_top = (
+        coded.join(
+            F.broadcast(probes),
+            (F.col("cid") == F.col("pcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", adc_d.alias("d"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= _TOPK)
+        .select(F.col("query_id").alias("aq"), F.col("vec_id").alias("an"))
+    )
+    exact_d = F.round(
+        F.expr("aggregate(zip_with(qe, e, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"),
+        6,
+    )
+    w_ex = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    exact_top = (
+        e.join(
+            F.broadcast(qbase.select("query_id", "qe", "cell1", "cid2")),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        .select("query_id", "cell1", "cid2", "vec_id", exact_d.alias("d"))
+        .withColumn("rn", F.row_number().over(w_ex))
+        .where(F.col("rn") <= _TOPK)
+        .select("query_id", "cell1", "cid2", "vec_id")
+    )
+    j = exact_top.join(
+        F.broadcast(adc_top),
+        (F.col("query_id") == F.col("aq")) & (F.col("vec_id") == F.col("an")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.concat_ws(
+            "|",
+            F.first("cell1").cast("string"),
+            F.first("cid2").cast("string"),
+        ).alias("probe_cells"),
         F.count("an").alias("n_hits"),
         F.round(F.count("an") / F.lit(float(_TOPK)), 4).alias("recall_at_k"),
     )
