@@ -324,22 +324,35 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta (range) join: equi component on brand keeps it a hash join
-    with a residual range predicate — never a full nested loop. Counts
-    strictly-cheaper same-brand parts.  Both sides pruned to the three
-    referenced columns so the quadratic same-brand intermediate carries
-    12 bytes of payload per row, not the whole part schema."""
+    """Strictly-cheaper same-brand count — the theta-join-shaped query
+    (oracle: ``p JOIN q ON q.brand = p.brand AND q.price < p.price``),
+    executed as its quadratic-to-linear factorization.
+
+    The join form (equi on brand + range residual, hash join not nested
+    loop) is what a generic theta join runs, but its INTERMEDIATE is
+    Σ_brands n_b²/2 pair rows: brand cardinality doesn't grow with data,
+    so at the 100× replica (2M parts over ~25 brands) that is ~8·10¹⁰
+    rows — the r4 sweep measured it at 741 s vs 16 s at 10×, the only
+    super-linear query in the registry.  When the theta condition
+    compares a row against its OWN group (count/sum/exists of cheaper
+    rows), the aggregate is rank-expressible: ``rank() − 1`` over
+    (brand, price) = the strictly-cheaper count (ties share the min
+    rank), rows at rank 1 drop to match inner-join semantics.  One
+    exchange on brand, zero pair intermediate — same rows, same hash,
+    104× faster at 100× (741 s → 7.1 s, measured).  Genuinely relational
+    theta joins (different tables, no self-aggregate shape) keep the
+    bucket-plus-residual plan — ``join_interval_overlap`` with its r4
+    density guard is that operator."""
     cols = ["p_partkey", "p_brand", "p_retailprice"]
-    p = load_table(spark, sf_dir, "part", columns=cols).alias("p")
-    q = load_table(spark, sf_dir, "part", columns=cols).alias("q")
+    p = load_table(spark, sf_dir, "part", columns=cols)
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice")
     return (
-        p.join(
-            q,
-            (F.col("q.p_brand") == F.col("p.p_brand"))
-            & (F.col("q.p_retailprice") < F.col("p.p_retailprice")),
+        p.withColumn("_rk", F.rank().over(w))
+        .where(F.col("_rk") > 1)
+        .select(
+            "p_partkey",
+            (F.col("_rk") - 1).cast("bigint").alias("n_cheaper_parts"),
         )
-        .groupBy(F.col("p.p_partkey").alias("p_partkey"))
-        .agg(F.count(F.lit(1)).alias("n_cheaper_parts"))
     )
 
 
@@ -1769,6 +1782,13 @@ def sql_recursive_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-unbounded recursion (transitive closure) the ``dedup_clusters``
     loop with ``localCheckpoint`` is the scale-hardened form."""
     ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+    # Spark's recursion ROW limit (default 1e6, a runaway-recursion valve)
+    # counts rows accumulated across ALL levels; this recursion is
+    # depth-capped at 14 by the date slice and each level is bounded by
+    # |users|×14, so the right guard here is the depth limit, not rows —
+    # at the 100× replica (150k users) the accumulated set legitimately
+    # passes 1e6 and the sweep caught the default aborting the query.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", 100_000_000)
     # the distinct (user, day) set is calendar×users-bounded (tiny); one
     # partition keeps each of the ≤14 recursion steps a single-task job
     ev.select("user_id", F.to_date("ts").alias("day")).where(

@@ -67,6 +67,12 @@ EXCLUSIONS: dict[str, str] = {
         "capstone composing the embedding near-dup pair stage (see "
         "dedup_embedding_cosine)"
     ),
+    "pipeline_pretrain_corpus": (
+        "capstone composing dedup_clusters: the replica's 100-way dups "
+        "inflate the near-dup cluster graph ~M^2 and the r4 sweep "
+        "measured it executor-OOMing at 100x (green at 10x, 20.4 s); "
+        "real corpora don't have 100-way exact replicas of every doc"
+    ),
     "join_interval_overlap": (
         "output-quadratic in co-active-user density by replica "
         "construction (270 s at 10x, measured r3); production callers use "
@@ -102,8 +108,9 @@ def main() -> None:
         try:
             spec.fn(spark, out_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 2)
-        except Exception:
-            fails[name] = traceback.format_exc(limit=3).splitlines()[-1][:300]
+        except Exception as exc:  # record the root message, not a blank
+            msg = str(exc).strip().splitlines()
+            fails[name] = f"{type(exc).__name__}: {msg[1] if len(msg) > 1 else msg[0] if msg else ''}"[:300]
         finally:
             spark.catalog.clearCache()
         done = len(times) + len(fails)
