@@ -337,3 +337,15 @@ def test_ivfpq_corpus_never_shuffles_wide(spark, sf_dir):
     assert count_occurrences(df, "BroadcastNestedLoopJoin") + count_occurrences(
         df, "BroadcastHashJoin"
     ) >= 3, p
+
+
+def test_range_theta_factorization_no_pair_join(spark, sf_dir):
+    """The strictly-cheaper count must run as the rank-window
+    factorization: ONE exchange on brand, no self-join — the join form's
+    pair intermediate measured 741 s at the 100× replica."""
+    from dataframework_spark.operators.relational import join_range_theta
+
+    df = join_range_theta(spark, sf_dir)
+    p = plan_string(df)
+    assert "Join" not in p, p
+    assert exchange_count(df) == 1, p
