@@ -113,6 +113,14 @@ def main() -> None:
             fails[name] = f"{type(exc).__name__}: {msg[1] if len(msg) > 1 else msg[0] if msg else ''}"[:300]
         finally:
             spark.catalog.clearCache()
+            done = len(times) + len(fails)
+            if done % 10 == 0:
+                # a ~200-query single-JVM marathon accumulates checkpoint /
+                # broadcast blocks faster than ContextCleaner's reference-
+                # triggered cleanup reclaims them (run 1 died of heap OOM at
+                # query ~140); an explicit GC lets the cleaner catch up.
+                # Untimed — runs after the query's measurement.
+                spark.sparkContext._jvm.System.gc()
         done = len(times) + len(fails)
         print(
             f"# [{done}/{len(specs) - len(EXCLUSIONS)}] {name}: "
