@@ -751,3 +751,94 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boiler_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact block dedup: the document-REWRITE form of boilerplate removal
+# (CCNet/Dolma "dedupe paragraphs" stage; unit = non-overlapping 8-token
+# blocks, the corpus's paragraph analog)
+# ---------------------------------------------------------------------------
+
+_BLK = 8            # tokens per block
+_BLK_MAX_DOCS = 2   # a block in > this many distinct docs is boilerplate
+
+
+@register(
+    "text_paragraph_dedup",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents),
+    s AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(toks[i * {_BLK} + 1 : i * {_BLK} + {_BLK}], ' ') AS block
+      FROM t, unnest(range((len(toks) + {_BLK} - 1) // {_BLK})) AS u(i)
+      WHERE length(array_to_string(toks[i * {_BLK} + 1 : i * {_BLK} + {_BLK}], ' ')) > 0),
+    freq AS (SELECT block, COUNT(DISTINCT doc_id) AS n_docs FROM s GROUP BY 1),
+    kept AS (
+      SELECT s.doc_id, s.idx, s.block
+      FROM s JOIN freq USING (block)
+      WHERE freq.n_docs <= {_BLK_MAX_DOCS})
+    SELECT k.doc_id,
+           CAST(t2.n_total AS BIGINT)                      AS n_blocks,
+           CAST(COUNT(*) AS BIGINT)                        AS n_kept,
+           md5(string_agg(k.block, ' ' ORDER BY k.idx))    AS new_text_md5
+    FROM kept k
+    JOIN (SELECT doc_id, COUNT(*) AS n_total FROM s GROUP BY 1) t2
+      ON t2.doc_id = k.doc_id
+    GROUP BY k.doc_id, t2.n_total
+    """,
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact block dedup as a document REWRITE (the CCNet/Dolma "dedupe
+    paragraphs" stage): the text is cut into non-overlapping {_BLK}-token
+    blocks (the corpus's paragraph analog — the synthetic docs carry no
+    sentence structure, but blocks repeat across near-dup docs); a block
+    occurring in more than {_BLK_MAX_DOCS} distinct documents is
+    boilerplate and is REMOVED, and the survivors are reassembled in
+    original order.  The transform sibling of ``text_boilerplate_ngrams``
+    (which only scores) and ``text_pii_redact`` (which rewrites spans):
+    the value hash covers ``md5(new_text)``, so it proves the rewrite —
+    at sf0.01, 17 blocks cross the threshold and the affected documents'
+    hashes witness the removal.
+
+    Plan: one explode of the corpus into (doc, idx, block); the
+    distinct-doc frequency is a (block → count) aggregate whose key space
+    is the block vocabulary — corpus-bounded, not corpus-sized — joined
+    back on the block key with a pinned ``shuffle_hash`` (the frequency
+    table is NOT broadcast: its size is data-dependent, the broadcast-OOM
+    trap ``dedup_minhash_lsh`` hit at 100×); reassembly is one
+    groupBy(doc) of the kept blocks.  Documents whose every block is
+    boilerplate drop out entirely (inner semantics, both engines) —
+    exactly what the stage is for."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    blocks = (
+        f"transform(sequence(0, cast(ceil(size(toks) / {_BLK}.0) as int) - 1), "
+        f"i -> array_join(slice(toks, i * {_BLK} + 1, {_BLK}), ' '))"
+    )
+    s = (
+        docs.select("doc_id", tokens().alias("toks"))
+        .select("doc_id", F.posexplode(F.expr(blocks)).alias("idx", "block"))
+        .where(F.length("block") > 0)
+    )
+    freq = (
+        s.select("doc_id", "block")
+        .distinct()
+        .groupBy("block")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    kept = s.join(freq.hint("shuffle_hash"), "block").where(
+        F.col("n_docs") <= _BLK_MAX_DOCS
+    )
+    totals = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_blocks"))
+    out = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(idx, block))),"
+                " p -> p.block), ' ')"
+            )
+        ).alias("new_text_md5"),
+    )
+    return out.join(totals, "doc_id").select(
+        "doc_id", "n_blocks", "n_kept", "new_text_md5"
+    )
