@@ -774,18 +774,16 @@ _BLK_MAX_DOCS = 2   # a block in > this many distinct docs is boilerplate
       FROM t, unnest(range((len(toks) + {_BLK} - 1) // {_BLK})) AS u(i)
       WHERE length(array_to_string(toks[i * {_BLK} + 1 : i * {_BLK} + {_BLK}], ' ')) > 0),
     freq AS (SELECT block, COUNT(DISTINCT doc_id) AS n_docs FROM s GROUP BY 1),
-    kept AS (
-      SELECT s.doc_id, s.idx, s.block
-      FROM s JOIN freq USING (block)
-      WHERE freq.n_docs <= {_BLK_MAX_DOCS})
-    SELECT k.doc_id,
-           CAST(t2.n_total AS BIGINT)                      AS n_blocks,
-           CAST(COUNT(*) AS BIGINT)                        AS n_kept,
-           md5(string_agg(k.block, ' ' ORDER BY k.idx))    AS new_text_md5
-    FROM kept k
-    JOIN (SELECT doc_id, COUNT(*) AS n_total FROM s GROUP BY 1) t2
-      ON t2.doc_id = k.doc_id
-    GROUP BY k.doc_id, t2.n_total
+    flagged AS (
+      SELECT s.doc_id, s.idx, s.block, freq.n_docs <= {_BLK_MAX_DOCS} AS keep
+      FROM s JOIN freq USING (block))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                    AS n_blocks,
+           CAST(COUNT(*) FILTER (keep) AS BIGINT)      AS n_kept,
+           md5(string_agg(block, ' ' ORDER BY idx) FILTER (keep)) AS new_text_md5
+    FROM flagged
+    GROUP BY doc_id
+    HAVING COUNT(*) FILTER (keep) > 0
     """,
 )
 def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,10 +804,13 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the block vocabulary — corpus-bounded, not corpus-sized — joined
     back on the block key with a pinned ``shuffle_hash`` (the frequency
     table is NOT broadcast: its size is data-dependent, the broadcast-OOM
-    trap ``dedup_minhash_lsh`` hit at 100×); reassembly is one
-    groupBy(doc) of the kept blocks.  Documents whose every block is
-    boilerplate drop out entirely (inner semantics, both engines) —
-    exactly what the stage is for."""
+    trap ``dedup_minhash_lsh`` hit at 100×).  Blocks are FLAGGED rather
+    than filtered, so totals and the kept-only reassembly come out of ONE
+    groupBy(doc) — the first cut's separate totals join would have
+    broadcast a corpus-sized per-doc table (caught by the plan test
+    before it shipped).  Documents whose every block is boilerplate drop
+    out entirely (HAVING, both engines) — exactly what the stage is
+    for."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     blocks = (
         f"transform(sequence(0, cast(ceil(size(toks) / {_BLK}.0) as int) - 1), "
@@ -826,19 +827,22 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("block")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    kept = s.join(freq.hint("shuffle_hash"), "block").where(
-        F.col("n_docs") <= _BLK_MAX_DOCS
+    flagged = s.join(freq.hint("shuffle_hash"), "block").withColumn(
+        "keep", F.col("n_docs") <= _BLK_MAX_DOCS
     )
-    totals = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_blocks"))
-    out = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(struct(idx, block))),"
-                " p -> p.block), ' ')"
-            )
-        ).alias("new_text_md5"),
-    )
-    return out.join(totals, "doc_id").select(
-        "doc_id", "n_blocks", "n_kept", "new_text_md5"
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "case when keep then struct(idx, block) end)),"
+                    " p -> p.block), ' ')"
+                )
+            ).alias("new_text_md5"),
+        )
+        .where(F.col("n_kept") > 0)
+        .select("doc_id", "n_blocks", "n_kept", "new_text_md5")
     )

@@ -349,3 +349,15 @@ def test_range_theta_factorization_no_pair_join(spark, sf_dir):
     p = plan_string(df)
     assert "Join" not in p, p
     assert exchange_count(df) == 1, p
+
+
+def test_paragraph_dedup_frequency_join_not_broadcast(spark, sf_dir):
+    """The block-frequency table's size is data-dependent (the
+    dedup_minhash_lsh broadcast-OOM trap), so the join back onto the
+    exploded corpus must stay a shuffled hash join."""
+    from dataframework_spark.operators.text import text_paragraph_dedup
+
+    df = text_paragraph_dedup(spark, sf_dir)
+    p = plan_string(df)
+    assert "ShuffledHashJoin" in p, p
+    assert "BroadcastHashJoin" not in p.split("ShuffledHashJoin")[0], p
