@@ -391,9 +391,23 @@ def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
     which reproduces :func:`_bpe_merge_expr`'s no-re-merge guard exactly.
     Verified against the pure-Python Sennrich reference at sf0.01
     (``test_bpe_merges_match_reference_impl``)."""
+    return "WITH " + ",\n    ".join(_bpe_cte_chain(rounds)) + "\n    " + (
+        "\n    UNION ALL ".join(
+            f"SELECT CAST(round AS INT) AS round, bl AS left, br AS right, "
+            f"bl || br AS merged, CAST(cnt AS BIGINT) AS pair_count FROM best{k}"
+            for k in range(1, rounds + 1)
+        )
+    )
+
+
+def _bpe_cte_chain(rounds: int, thru_final: bool = False) -> list[str]:
+    """The unrolled BPE CTE chain shared by the train oracle
+    (:func:`_bpe_oracle_sql`) and the encode oracle
+    (:func:`_bpe_encode_oracle_sql`, which needs the word column retained
+    and the FINAL rewritten vocab — ``thru_final``)."""
     ctes = [
         r"""vocab0 AS MATERIALIZED (
-      SELECT str_split(tok, '') AS syms, COUNT(*)::BIGINT AS freq
+      SELECT tok AS word, str_split(tok, '') AS syms, COUNT(*)::BIGINT AS freq
       FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
       GROUP BY tok)"""
     ]
@@ -409,22 +423,17 @@ def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
       SELECT {k} AS round, l AS bl, r AS br, cnt FROM pairs{k}
       ORDER BY cnt DESC, l, r LIMIT 1)"""
         )
-        if k < rounds:
+        if k < rounds or thru_final:
             ctes.append(
                 f"""vocab{k} AS MATERIALIZED (
-      SELECT CASE WHEN len(syms) < 2 THEN syms ELSE
+      SELECT word, CASE WHEN len(syms) < 2 THEN syms ELSE
         str_split(list_reduce(syms, (acc, x) ->
           CASE WHEN (acc = bl OR ends_with(acc, chr(31) || bl)) AND x = br
                THEN acc[1:len(acc) - len(bl)] || bl || br
                ELSE acc || chr(31) || x END), chr(31)) END AS syms, freq
       FROM vocab{k - 1} CROSS JOIN best{k})"""
             )
-    union = "\n    UNION ALL ".join(
-        f"SELECT CAST(round AS INT) AS round, bl AS left, br AS right, "
-        f"bl || br AS merged, CAST(cnt AS BIGINT) AS pair_count FROM best{k}"
-        for k in range(1, rounds + 1)
-    )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+    return ctes
 
 
 @register("text_bpe_merges", oracle=_bpe_oracle_sql())
@@ -490,4 +499,86 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "round INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def _bpe_encode_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Encode oracle: the same unrolled chain carried through the FINAL
+    vocab rewrite, then each document's whitespace tokens joined to their
+    encoded symbol counts."""
+    ctes = _bpe_cte_chain(rounds, thru_final=True)
+    ctes.append(
+        f"enc AS (SELECT word, len(syms) AS n_sym FROM vocab{rounds})"
+    )
+    ctes.append(
+        r"""dw AS (
+      SELECT doc_id, tok AS word, COUNT(*)::BIGINT AS cnt
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents)
+      WHERE length(tok) > 0
+      GROUP BY 1, 2)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT dw.doc_id,
+           CAST(SUM(dw.cnt) AS BIGINT)                AS n_ws_tokens,
+           CAST(SUM(dw.cnt * enc.n_sym) AS BIGINT)    AS n_bpe_symbols,
+           ROUND(SUM(dw.cnt * enc.n_sym)::DOUBLE
+                 / SUM(dw.cnt * length(dw.word)), 4)  AS syms_per_char
+    FROM dw JOIN enc USING (word)
+    GROUP BY dw.doc_id"""
+    )
+
+
+@register("text_bpe_encode", oracle=_bpe_encode_oracle_sql())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fit → TRANSFORM: apply the merge table
+    ``text_bpe_merges`` learns to the corpus itself, reporting per
+    document the whitespace-token count, the encoded BPE symbol count,
+    and symbols-per-character (the compression a trained tokenizer buys —
+    the number a data pipeline uses to convert storage bytes into a
+    token budget).
+
+    Scale design (the fit side's contract-then-iterate, extended):
+    merges are learned on the vocab table and collected as 8 bounded
+    rows; ENCODING also runs on the vocabulary — each distinct word is
+    encoded once through the 8 pure-fold merge expressions — and the
+    corpus only joins word → symbol-count on the word key (pinned
+    ``shuffle_hash``: the vocab is language-bounded but data-dependent,
+    never broadcast).  Corpus-scale work = tokenize + one join + one
+    rollup; the 8-round fold never touches corpus-sized data.  The
+    DuckDB oracle carries the same unrolled chain through the final
+    vocab rewrite, so fit AND transform are value-hash-checked
+    end-to-end."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    merges = text_bpe_merges(spark, sf_dir).orderBy("round").collect()  # 8 rows
+    vocab = (
+        docs.select(F.explode(tokens()).alias("word"))
+        .where(F.length("word") > 0)
+        .distinct()
+        .withColumn("syms", F.expr("transform(split(word, ''), c -> c)"))
+    )
+    for m in merges:
+        vocab = vocab.withColumn("syms", F.expr(_bpe_merge_expr(m.left, m.right)))
+    enc = vocab.select("word", F.size("syms").alias("n_sym"))
+    dw = (
+        docs.select("doc_id", F.explode(tokens()).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        dw.join(enc.hint("shuffle_hash"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_ws_tokens"),
+            F.sum(F.col("cnt") * F.col("n_sym")).alias("n_bpe_symbols"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_sym"))
+                / F.sum(F.col("cnt") * F.length("word")),
+                4,
+            ).alias("syms_per_char"),
+        )
     )
