@@ -387,3 +387,123 @@ def source_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("_corrupt_record").isNotNull().cast("bigint")).alias("n_corrupt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered layout + data-skipping audit
+# ---------------------------------------------------------------------------
+
+# Morton/Z-order bit-spread of an 8-bit value into even bit positions,
+# written with only *, +, & and | so ONE expression string parses
+# identically in Spark SQL and DuckDB (shift/int-div syntax differs
+# between the dialects; <<k is spelled *2^k, and the three mask rounds
+# are the classic 0x0F0F / 0x3333 / 0x5555 spread).
+def _zspread(col: str) -> str:
+    e1 = f"((({col}) | (({col}) * 16)) & 3855)"
+    e2 = f"((({e1}) | (({e1}) * 4)) & 13107)"
+    return f"((({e2}) | (({e2}) * 2)) & 21845)"
+
+
+def _zorder_sql(idiv) -> dict[str, str]:
+    """Dialect-shared Z-order expressions; ``idiv(a, b)`` renders integer
+    division (``a div b`` in Spark SQL, ``a // b`` in DuckDB)."""
+    rng_p = "(maxp - minp + 1)"
+    rng_s = "(maxs - mins + 1)"
+    p8 = idiv(f"(l_partkey - minp) * 256", rng_p)
+    s8 = idiv(f"(l_suppkey - mins) * 256", rng_s)
+    z = f"({_zspread(p8)} + 2 * {_zspread(s8)})"
+    return {
+        "zbucket": idiv(z, "4096"),  # top 4 of 16 z-bits → 16 files
+        "arrival": "(l_orderkey % 16)",
+        "p_lo": f"(minp + {idiv('2 * ' + rng_p, '8')})",
+        "p_hi": f"(minp + {idiv('3 * ' + rng_p, '8')} - 1)",
+    }
+
+
+_ZD = _zorder_sql(lambda a, b: f"(({a}) // ({b}))")
+_ZORDER_ORACLE = f"""
+WITH b AS (
+  SELECT MIN(l_partkey) AS minp, MAX(l_partkey) AS maxp,
+         MIN(l_suppkey) AS mins, MAX(l_suppkey) AS maxs
+  FROM lineitem),
+r AS (
+  SELECT {_ZD['zbucket']} AS zb, {_ZD['arrival']} AS ab,
+         l_partkey, l_suppkey, {_ZD['p_lo']} AS p_lo, {_ZD['p_hi']} AS p_hi
+  FROM lineitem, b),
+stats AS (
+  SELECT 'zorder' AS layout, zb AS bucket,
+         COUNT(*) AS n_rows,
+         MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax,
+         MIN(p_lo) AS p_lo, MIN(p_hi) AS p_hi
+  FROM r GROUP BY zb
+  UNION ALL
+  SELECT 'arrival', ab, COUNT(*), MIN(l_partkey), MAX(l_partkey),
+         MIN(l_suppkey), MAX(l_suppkey), MIN(p_lo), MIN(p_hi)
+  FROM r GROUP BY ab)
+SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       pmin, pmax, smin, smax,
+       (pmax < p_lo OR pmin > p_hi) AS prunable
+FROM stats
+"""
+
+
+@register("sink_zorder_layout", oracle=_ZORDER_ORACLE)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered write + a data-skipping audit that
+    *measures* why the layout matters: interleave the bits of two
+    independent predicate columns (``l_partkey``, ``l_suppkey``), bucket
+    rows by the top 4 z-bits into 16 files, write the layout partitioned
+    by bucket, read it back, and emit per-file min/max footer stats for
+    BOTH this layout and the naive arrival-order layout (``l_orderkey %
+    16``), plus a ``prunable`` flag for a fixed mid-range partkey probe.
+
+    At 100 TB this is the difference between a full scan and opening a
+    handful of files: min/max pruning only skips files whose key ranges
+    are NARROW, and z-clustering is what narrows ranges on *two* columns
+    at once (a single-column sort narrows only its own column).  On this
+    data the arrival layout prunes 0/16 files for the probe while the
+    z-layout prunes ~12/16 — the audit rows carry that fact through the
+    value hash.  Everything is exact integer arithmetic (the bit-spread
+    uses only *, +, &, |), so the oracle replays it bit-for-bit; the
+    z-stats additionally round-trip through the partitioned parquet
+    write, proving the clustered files really carry those ranges.  The
+    reference has no sinks at all (SURVEY.md §2.1); this is north-star
+    lake-layout capability."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    zd = _zorder_sql(lambda a, b: f"(({a}) div ({b}))")
+    bounds = li.agg(
+        F.min("l_partkey").alias("minp"), F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"), F.max("l_suppkey").alias("maxs"),
+    )
+    r = li.crossJoin(F.broadcast(bounds)).selectExpr(
+        "l_partkey", "l_suppkey",
+        f"{zd['zbucket']} AS zb",
+        f"{zd['arrival']} AS ab",
+        f"{zd['p_lo']} AS p_lo",
+        f"{zd['p_hi']} AS p_hi",
+    )
+    path = _scratch(sf_dir, "lineitem_zorder")
+    (
+        r.select("l_partkey", "l_suppkey", "p_lo", "p_hi", F.col("zb").alias("zbucket"))
+        .repartition("zbucket")  # one shuffle: co-locate each z-file's rows
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+
+    def _stats(df: DataFrame, layout: str, bucket_col: str) -> DataFrame:
+        return df.groupBy(F.col(bucket_col).cast("bigint").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("pmin"), F.max("l_partkey").alias("pmax"),
+            F.min("l_suppkey").alias("smin"), F.max("l_suppkey").alias("smax"),
+            F.min("p_lo").alias("p_lo"), F.min("p_hi").alias("p_hi"),
+        ).select(
+            F.lit(layout).alias("layout"), "bucket", "n_rows",
+            "pmin", "pmax", "smin", "smax",
+            ((F.col("pmax") < F.col("p_lo")) | (F.col("pmin") > F.col("p_hi"))).alias("prunable"),
+        )
+
+    return _stats(back, "zorder", "zbucket").unionAll(_stats(r, "arrival", "ab"))
