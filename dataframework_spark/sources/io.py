@@ -507,3 +507,78 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _stats(back, "zorder", "zbucket").unionAll(_stats(r, "arrival", "ab"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view merge)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_incremental_agg",
+    # The oracle is the ONE-SHOT aggregate over the full table: a hash
+    # match proves the state+delta merge algebra is lossless.
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                        AS n_orders,
+           ROUND(SUM(o_totalprice), 2)     AS sum_price,
+           MIN(o_totalprice)               AS min_price,
+           MAX(o_totalprice)               AS max_price,
+           ROUND(SUM(o_totalprice) / COUNT(*), 2) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: keep a per-group aggregate fresh by
+    merging a DELTA batch into persisted state instead of rescanning
+    history — the pattern that turns a daily 100 TB rescan into a scan of
+    one day's partition.
+
+    Mechanics: orders before 1997-01-01 are the historical state,
+    aggregated once and persisted to parquet; orders from 1997 on are the
+    newly-arrived delta.  The refresh reads the state FILE (not the
+    history), aggregates only the delta, and merges with the standard
+    decomposition — counts and sums add, min/max fold, avg is
+    re-derived as merged_sum/merged_count (never averaged averages).
+    A full outer join on the group key handles groups that exist on only
+    one side.  The oracle aggregates the whole table in one shot, so the
+    value hash proves the merge is exactly lossless — including through
+    the parquet round-trip of the state.  Reference has no sinks/aggs of
+    this kind (SURVEY.md §2.1); north-star lake capability."""
+    cols = ["o_orderpriority", "o_totalprice", "o_orderdate"]
+    orders = load_table(spark, sf_dir, "orders", columns=cols)
+    cut = "1997-01-01"
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    state_path = _scratch(sf_dir, "orders_agg_state")
+    _partial(orders.where(F.col("o_orderdate") < cut)).write.mode("overwrite").parquet(state_path)
+
+    state = spark.read.parquet(state_path)
+    delta = _partial(orders.where(F.col("o_orderdate") >= cut))
+    s = state.select([F.col(c).alias(f"s_{c}") for c in state.columns])
+    d = delta.select([F.col(c).alias(f"d_{c}") for c in delta.columns])
+    merged = s.join(
+        d, s.s_o_orderpriority == d.d_o_orderpriority, "full_outer"
+    ).select(
+        F.coalesce("s_o_orderpriority", "d_o_orderpriority").alias("o_orderpriority"),
+        (F.coalesce("s_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n_orders"),
+        (F.coalesce("s_s", F.lit(0.0)) + F.coalesce("d_s", F.lit(0.0))).alias("sum_raw"),
+        F.least(F.coalesce("s_mn", F.col("d_mn")), F.coalesce("d_mn", F.col("s_mn"))).alias("min_price"),
+        F.greatest(F.coalesce("s_mx", F.col("d_mx")), F.coalesce("d_mx", F.col("s_mx"))).alias("max_price"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round("sum_raw", 2).alias("sum_price"),
+        "min_price",
+        "max_price",
+        F.round(F.col("sum_raw") / F.col("n_orders"), 2).alias("avg_price"),
+    )
