@@ -2591,3 +2591,66 @@ def window_rfm_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Data quality: cross-table referential-integrity audit
+# ---------------------------------------------------------------------------
+
+_RI_CHECKS = [
+    # (constraint label, fact table, fact key, dim table, dim key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+_RI_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{label}' AS constraint_name,
+           (SELECT COUNT(*) FROM {fact}) AS fact_rows,
+           (SELECT COUNT(*) FROM {fact} f
+            WHERE NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{dkey} = f.{fkey}))
+             AS orphan_rows,
+           (SELECT COUNT(*) FROM {fact} f
+            WHERE NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{dkey} = f.{fkey})) = 0
+             AS ok
+    """
+    for label, fact, fkey, dim, dkey in _RI_CHECKS
+)
+
+
+@register("profile_referential_integrity", oracle=_RI_ORACLE)
+def profile_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: for each declared FK edge
+    of the star schema, count fact rows whose key has no match in the
+    referenced table (orphans) and emit an ``ok`` verdict — the DQ gate a
+    lake pipeline runs before publishing a snapshot, where one upstream
+    partition lost in transit silently breaks every downstream join.
+
+    Plan shape per constraint: LEFT ANTI join on the FK (null-aware is
+    unnecessary — TPC-H keys are NOT NULL; a null FK would count as an
+    orphan in both engines since NOT EXISTS can't match it) plus one
+    count of the fact side.  Anti joins shuffle only the KEY column —
+    column pruning keeps the audit's scan cost per edge at one narrow
+    column of the fact, and AQE picks broadcast-anti automatically
+    whenever the referenced side is dimension-sized.  All five verdict
+    rows union into one DataFrame so the whole audit is a single job."""
+    out = None
+    for label, fact, fkey, dim, dkey in _RI_CHECKS:
+        f_df = load_table(spark, sf_dir, fact, columns=[fkey])
+        d_df = load_table(spark, sf_dir, dim, columns=[dkey])
+        orphans = f_df.join(d_df, f_df[fkey] == d_df[dkey], "left_anti")
+        row = (
+            f_df.agg(F.count(F.lit(1)).alias("fact_rows"))
+            .crossJoin(F.broadcast(orphans.agg(F.count(F.lit(1)).alias("orphan_rows"))))
+            .select(
+                F.lit(label).alias("constraint_name"),
+                "fact_rows",
+                "orphan_rows",
+                (F.col("orphan_rows") == 0).alias("ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
