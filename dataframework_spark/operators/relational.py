@@ -2654,3 +2654,62 @@ def profile_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# URL parsing (web-corpus provenance surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_url_parse",
+    # DuckDB has no parse_url; the oracle states the same extraction as
+    # anchored regexes over the identically-synthesized URL string.
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://www.' || source || '.example.com/' || lang ||
+             '/doc-' || CAST(doc_id AS VARCHAR) ||
+             '?ref=r' || CAST(doc_id % 7 AS VARCHAR) || '&utm_source=feed' AS url
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+           regexp_replace(regexp_extract(url, 'https?://([^/]+)', 1), '^www\.', '')
+             AS domain,
+           regexp_extract(url, 'https?://[^/]+([^?]*)', 1) AS path,
+           CAST(LENGTH(regexp_extract(url, 'https?://[^/]+([^?]*)', 1))
+                - LENGTH(REPLACE(regexp_extract(url, 'https?://[^/]+([^?]*)', 1), '/', ''))
+                AS BIGINT) AS path_depth,
+           regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param
+    FROM u
+    """,
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL provenance parsing — host / registered domain / path / path
+    depth / query-param extraction — the per-document fields a web-corpus
+    pipeline groups by for domain-level quality weighting, robots
+    compliance, and URL-based dedup.  URLs are synthesized
+    deterministically from document metadata (the test tables carry no
+    URL column), identically in both engines, so the value hash checks
+    the PARSERS, not the synthesis.
+
+    Uses Spark's JVM-side ``parse_url`` (whole-stage-codegen'd; the same
+    expression an operator at 100 TB should use instead of a Python UDF);
+    the www-strip composes ``regexp_replace`` on top.  All five
+    extractions stay in one narrow projection — no shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/"), F.col("lang"),
+        F.lit("/doc-"), F.col("doc_id").cast("string"),
+        F.lit("?ref=r"), (F.col("doc_id") % 7).cast("string"), F.lit("&utm_source=feed"),
+    )
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    return docs.withColumn("url", url).select(
+        "doc_id",
+        host.alias("host"),
+        F.regexp_replace(host, r"^www\.", "").alias("domain"),
+        path.alias("path"),
+        (F.length(path) - F.length(F.regexp_replace(path, "/", ""))).cast("bigint").alias("path_depth"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
