@@ -547,3 +547,95 @@ def mm_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return docs.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# M8 — perceptual image hashing (dHash) → near-dup image clusters
+# ---------------------------------------------------------------------------
+
+
+def dhash_bmp(payload: bytes) -> str:
+    """Difference hash of a decoded 24bpp BMP: sample a 9×8 grid by
+    nearest-neighbor (x_i = i·w//9, y_j = j·h//8), grayscale each sample
+    as (R+G+B)//3 (exact integer math), and emit one bit per horizontal
+    neighbor pair — '1' when the right sample is strictly brighter.
+    Returns the 64 bits as a '0'/'1' string (row-major), which is
+    engine-portable without 64-bit packing edge cases."""
+    px = _bmp_pixels(payload).astype("int64")
+    h, w = px.shape[:2]
+    xs = [(i * w) // 9 for i in range(9)]
+    ys = [(j * h) // 8 for j in range(8)]
+    g = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+    return "".join(
+        "1" if g[y, xs[i + 1]] > g[y, xs[i]] else "0"
+        for y in (ys[j] for j in range(8))
+        for i in range(8)
+    )
+
+
+@register(
+    "mm_image_dhash",
+    # Oracle replays the sample grid + grayscale + neighbor comparison
+    # from the closed-form pixel synthesis — the Spark side must get the
+    # SAME 64 bits out of genuinely parsed container bytes.
+    oracle="""
+    WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h
+               FROM documents),
+    bits AS (
+      SELECT doc_id, j, i,
+             CASE WHEN
+               (((doc_id + 3 * (((i+1) * w) // 9) + 7 * ((j * h) // 8)) % 256)
+              + ((doc_id + 3 * (((i+1) * w) // 9) + 7 * ((j * h) // 8) + 11) % 256)
+              + ((doc_id + 3 * (((i+1) * w) // 9) + 7 * ((j * h) // 8) + 22) % 256)) // 3
+               >
+               (((doc_id + 3 * ((i * w) // 9) + 7 * ((j * h) // 8)) % 256)
+              + ((doc_id + 3 * ((i * w) // 9) + 7 * ((j * h) // 8) + 11) % 256)
+              + ((doc_id + 3 * ((i * w) // 9) + 7 * ((j * h) // 8) + 22) % 256)) // 3
+             THEN '1' ELSE '0' END AS b
+      FROM p, UNNEST(range(8)) AS t1(j), UNNEST(range(8)) AS t2(i)),
+    hashes AS (
+      SELECT doc_id, string_agg(b, '' ORDER BY j, i) AS dhash
+      FROM bits GROUP BY doc_id)
+    SELECT dhash,
+           COUNT(*) AS n_images,
+           MIN(doc_id) AS rep_doc
+    FROM hashes GROUP BY dhash
+    """,
+)
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection by perceptual hash: REAL-decode each
+    synthesized 24bpp BMP (same parser as ``mm_bmp_decode`` — bottom-up
+    rows, BGR, padding), dHash it (9×8 nearest-neighbor grid, grayscale
+    gradient sign bits), and group identical hashes into near-dup
+    clusters with a representative doc — the image-dedup primitive of a
+    multimodal training pipeline, where byte-level digests miss
+    re-encoded/resized copies but gradient-sign hashes survive them.
+
+    The synthesized gradient images genuinely collide (same gradient
+    direction ⇒ same bits except where a channel wraps mod 256), so the
+    clusters are non-trivial: ~hundreds of images share a handful of
+    hashes.  Scale shape: decode+hash is the standard Arrow mapInPandas
+    per-partition stage (no shuffle), then ONE exchange on the 64-bit
+    hash for the group-by — identical to exact dedup on a digest.  At
+    100 TB the hash column is 8 bytes/image; near-identical images (≤2
+    flipped bits) cluster via the existing MinHash-LSH band trick over
+    hash nibbles if needed (see ``dedup.py``)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dhash": [dhash_bmp(synth_bmp(int(d))) for d in pdf["doc_id"]],
+                }
+            )
+
+    hashes = docs.mapInPandas(run, schema="doc_id bigint, dhash string")
+    return hashes.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("doc_id").alias("rep_doc"),
+    )
