@@ -69,21 +69,36 @@ PROBE = [
 
 
 def build_replica(spark, m: int, out_dir: str) -> None:
+    """Materialize the M× replica.  Tiered: when a smaller replica K×
+    (K | M) is already cached, build M× as M/K offset copies of IT instead
+    of M copies of the base — 1000× becomes a 10-branch union over the
+    cached 100× files rather than a 1000-branch plan.  Copy j's keys get
+    ``+ j·K·OFFSET``: the K× source already occupies [0, K·OFFSET), so
+    strides stay collision-free and max keys (M·OFFSET = 10^13 at 1000×)
+    sit far inside int64."""
     os.makedirs(out_dir, exist_ok=True)
+    scratch = os.path.dirname(out_dir)
+    src_dir, k = BASE, 1
+    for tier in (10, 100):
+        tier_dir = os.path.join(scratch, f"scale{tier}x")
+        if tier < m and m % tier == 0 and all(
+            os.path.exists(os.path.join(tier_dir, f"{t}.parquet")) for t in TABLES
+        ):
+            src_dir, k = tier_dir, tier
     for name in TABLES:
         dst = os.path.join(out_dir, f"{name}.parquet")
         if os.path.exists(dst):
             continue
-        df = load_table(spark, BASE, name)
+        df = load_table(spark, src_dir, name)
         keys = KEY_COLS.get(name)
         if not keys:  # shared dimension: copy through
             df.write.mode("overwrite").parquet(dst)
             continue
         copies = []
-        for i in range(m):
+        for i in range(m // k):
             c = df
-            for k in keys:
-                c = c.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+            for col in keys:
+                c = c.withColumn(col, F.col(col) + F.lit(i * k * OFFSET))
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
@@ -110,12 +125,17 @@ def main() -> None:
     spark = get_spark(app_name="scale-probe", cpus=os.cpu_count() or 8)
     build_replica(spark, m, out_dir)
     specs = all_queries()
+    probe = PROBE
+    if os.environ.get("SPARK_GRAFT_PROBE"):  # comma-separated override
+        probe = [n.strip() for n in os.environ["SPARK_GRAFT_PROBE"].split(",") if n.strip()]
+        unknown = [n for n in probe if n not in specs]
+        assert not unknown, f"unknown probe queries: {unknown}"
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.range(64).toDF("x").mapInPandas(lambda it: it, "x bigint").write.format(
         "noop"
     ).mode("overwrite").save()
     results = {}
-    for name in PROBE:
+    for name in probe:
         t1 = time_query(spark, specs[name].fn, BASE)
         tm = time_query(spark, specs[name].fn, out_dir)
         results[name] = {"t_1x": t1, f"t_{m}x": tm,
