@@ -846,3 +846,105 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_kept") > 0)
         .select("doc_id", "n_blocks", "n_kept", "new_text_md5")
     )
+
+
+@register(
+    "text_backoff_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {{DUCK_TOKENS}} AS toks FROM documents),
+    tr AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+    ucnt AS (SELECT term, COUNT(*) AS c
+             FROM (SELECT unnest(toks) AS term FROM tr) GROUP BY 1),
+    utot AS (SELECT SUM(c)::DOUBLE AS n FROM ucnt),
+    bcnt AS (
+      SELECT pair[1] AS t1, pair[2] AS t2, COUNT(*) AS nb
+      FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> [toks[i], toks[i+1]])) AS pair
+            FROM tr WHERE len(toks) >= 2)
+      GROUP BY 1, 2),
+    bi AS (
+      SELECT doc_id, pair[1] AS t1, pair[2] AS t2
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                                 i -> [toks[i], toks[i+1]])) AS pair
+            FROM t WHERE len(toks) >= 2)),
+    s AS (
+      SELECT bi.doc_id,
+             CASE WHEN bc.nb IS NOT NULL THEN bc.nb::DOUBLE / u1.c
+                  ELSE 0.4 * COALESCE(u2.c, 0.5) / ut.n END AS p,
+             CASE WHEN bc.nb IS NULL THEN 1.0 ELSE 0.0 END AS backed
+      FROM bi
+      LEFT JOIN bcnt bc ON bc.t1 = bi.t1 AND bc.t2 = bi.t2
+      LEFT JOIN ucnt u1 ON u1.term = bi.t1
+      LEFT JOIN ucnt u2 ON u2.term = bi.t2
+      CROSS JOIN utot ut)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(-LN(p)), 4) AS cross_entropy,
+           ROUND(AVG(backed), 4) AS backoff_rate
+    FROM s GROUP BY doc_id
+    """.format(DUCK_TOKENS=DUCK_TOKENS_SQL),
+)
+def text_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram language-model score with Stupid Backoff
+    (Brants et al. 2007): the LM trains on the EVEN half of the corpus
+    (a genuine held-out split — unlike a same-corpus LM, unseen bigrams
+    actually occur) and scores every document; seen bigrams score
+    count(w₁w₂)/count(w₁), unseen ones back off to 0.4·count(w₂)/N with
+    a 0.5 pseudo-count floor for OOV words.  Emits per-doc cross-entropy
+    (the perplexity filter signal, one modeling level above
+    ``text_unigram_perplexity``) plus the backoff rate — a high backoff
+    rate alone flags out-of-domain or garbled text.
+
+    Scale shape: the bigram count table is DATA-DEPENDENT in size
+    (bigram vocab grows with the corpus), so the scoring join on
+    (t1, t2) stays a shuffle join — never broadcast (the
+    ``dedup_minhash_lsh`` lesson); the unigram model is vocabulary-sized
+    and broadcasts.  The corpus is scanned once for training counts and
+    once for scoring; per-doc aggregation is the only other exchange."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    t = docs.select("doc_id", tokens().alias("toks"))
+    t = t.cache()  # read 3×: unigram counts, bigram counts, scoring stream
+    tr = t.where(F.col("doc_id") % 2 == 0)
+    ucnt = (
+        tr.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    utot = ucnt.agg(F.sum("c").cast("double").alias("n"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS t1, element_at(toks, i + 1) AS t2))"
+    )
+    tr_bi = (
+        tr.where(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("pg"))
+        .select("pg.t1", "pg.t2")
+    )
+    bcnt = tr_bi.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("nb"))
+    bi = (
+        t.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("pg"))
+        .select("doc_id", "pg.t1", "pg.t2")
+    )
+    u1 = ucnt.select(F.col("term").alias("t1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("term").alias("t2"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(bcnt, ["t1", "t2"], "left")  # data-dependent size: shuffle join
+        .join(F.broadcast(u1), "t1", "left")
+        .join(F.broadcast(u2), "t2", "left")
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("nb").isNotNull(), F.col("nb").cast("double") / F.col("c1")
+            )
+            .otherwise(0.4 * F.coalesce(F.col("c2").cast("double"), F.lit(0.5)) / F.col("n"))
+            .alias("p"),
+            F.when(F.col("nb").isNull(), F.lit(1.0)).otherwise(F.lit(0.0)).alias("backed"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(-F.log("p")), 4).alias("cross_entropy"),
+        F.round(F.avg("backed"), 4).alias("backoff_rate"),
+    )
