@@ -1094,3 +1094,84 @@ def sim_ivfpq_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("an").alias("n_hits"),
         F.round(F.count("an") / F.lit(float(_TOPK)), 4).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 6 — Matryoshka prefix-dimension ANN (truncated-embedding search)
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16  # prefix dims used for the cheap ranking pass
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH brute AS ({_BRUTE_ORACLE}),
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND({duck_cosine_sql(f'q.embedding[1:{_MRL_DIM}]', f'e.embedding[1:{_MRL_DIM}]')}, 4)
+               AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.vec_id),
+    approx AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+      QUALIFY rank <= {_TOPK})
+    SELECT b.query_id,
+           COUNT(a.neighbor_id) AS n_hits,
+           round(COUNT(a.neighbor_id) / {_TOPK}.0, 4) AS recall
+    FROM brute b LEFT JOIN approx a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY 1
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-embedding ANN (Kusupati et al. 2022): rank
+    the corpus by cosine over only the FIRST {_MRL_DIM} of {_DIM} dims —
+    the cheap pass a Matryoshka-trained embedding enables, cutting both
+    memory bandwidth and FLOPs 4× — and price its recall@{_TOPK} against
+    the exact full-dimension top-{_TOPK} per query, exactly like the
+    LSH/IVF/PQ recall evals above.
+
+    Scale shape identical to ``sim_cosine_topk``: the query set
+    broadcasts, the corpus never shuffles, and the prefix slice is a
+    codegen'd ``slice``/``aggregate`` expression — at 100 TB the prefix
+    pass reads a {_MRL_DIM}-dim column (storable as its own narrow
+    parquet column for 4× less I/O), and survivors re-rank with full
+    vectors.  These test embeddings are NOT Matryoshka-trained, so
+    measured recall (0–0.2 per query here) honestly shows the truncation
+    cost the eval exists to price."""
+    brute = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    e = _corpus(spark, sf_dir).select(
+        "vec_id", F.expr(f"slice(v, 1, {_MRL_DIM})").alias("v")
+    )
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK)
+        .select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    )
+    j = brute.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("an").alias("n_hits"),
+        F.round(F.count("an") / F.lit(float(_TOPK)), 4).alias("recall"),
+    )
