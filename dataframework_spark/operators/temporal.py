@@ -1069,3 +1069,93 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("ov") / 60000000.0, 2).alias("total_overlap_min"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E15 — A/B experiment readout: conversion lift + two-proportion z-test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_test_lift",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT arm, COUNT(*)::DOUBLE AS n, SUM(converted)::DOUBLE AS conv
+      FROM per_user GROUP BY arm),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END)    AS n_a,
+             MAX(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+             MAX(CASE WHEN arm = 1 THEN n END)    AS n_b,
+             MAX(CASE WHEN arm = 1 THEN conv END) AS conv_b
+      FROM arms)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           ROUND(conv_a / n_a, 4) AS rate_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           ROUND(conv_b / n_b, 4) AS rate_b,
+           ROUND(conv_b / n_b / (conv_a / n_a) - 1, 4) AS lift,
+           ROUND((conv_b / n_b - conv_a / n_a)
+                 / SQRT(((conv_a + conv_b) / (n_a + n_b))
+                        * (1 - (conv_a + conv_b) / (n_a + n_b))
+                        * (1 / n_a + 1 / n_b)), 4) AS z_score,
+           ABS((conv_b / n_b - conv_a / n_a)
+               / SQRT(((conv_a + conv_b) / (n_a + n_b))
+                      * (1 - (conv_a + conv_b) / (n_a + n_b))
+                      * (1 / n_a + 1 / n_b))) > 1.96 AS significant
+    FROM w
+    """,
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash into two arms (``user_id % 2``
+    — in production, a salted assignment hash), conversion = the user
+    ever fired a high-value ``purchase`` event (value ≥ 150 — every user
+    fires *some* purchase in this synthetic log, so the threshold is what
+    makes conversion a real ~45% split instead of a degenerate 100%); emit per-arm rates, relative lift,
+    the pooled two-proportion z-statistic, and the 95% significance
+    verdict.  This is the decision query behind every experimentation
+    platform, and it is pure closed-form arithmetic over two counts — no
+    sampling, so both engines agree to the last rounded digit.
+
+    Scale shape: ONE user-keyed exchange collapses the event log to a
+    per-user conversion bit (map-side partial ``max`` does most of the
+    work), then a 2-row arm aggregate and single-row math — at 100 TB
+    the cost is the same per-user rollup every retention/funnel query
+    already pays, and arms/z-math are free.  A multi-variant test is the
+    same plan with ``% k``."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "event_type", "value"])
+    per_user = ev.groupBy("user_id").agg(
+        F.max(((F.col("event_type") == "purchase") & (F.col("value") >= 150)).cast("int")).alias("converted")
+    )
+    arms = (
+        per_user.withColumn("arm", F.col("user_id") % 2)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("converted").cast("double").alias("conv"),
+        )
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    rate_a, rate_b = F.col("conv_a") / F.col("n_a"), F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (rate_b - rate_a) / F.sqrt(
+        pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return w.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.round(rate_a, 4).alias("rate_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(rate_b, 4).alias("rate_b"),
+        F.round(rate_b / rate_a - 1, 4).alias("lift"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
