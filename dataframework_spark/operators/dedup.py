@@ -791,3 +791,107 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ver.where(cont >= _CONTAIN_T).select(
         "doc_a", "doc_b", F.round(cont, 4).alias("containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# D8 — URL canonicalization dedup (web-crawl first pass)
+# ---------------------------------------------------------------------------
+
+# Raw-URL synthesis: deterministic crawl mess so distinct raw URLs
+# genuinely collide after normalization (same page id mod 97 → mixed
+# host case, trailing slash, utm params, fragments vary by doc_id).
+_RAW_URL_DUCK = """
+      (CASE WHEN doc_id % 3 = 0
+            THEN UPPER('https://www.site' || CAST(doc_id % 97 % 5 AS VARCHAR)
+                       || '.example.com')
+            ELSE 'https://www.site' || CAST(doc_id % 97 % 5 AS VARCHAR)
+                 || '.example.com' END)
+      || '/articles/page-' || CAST(doc_id % 97 AS VARCHAR)
+      || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+      || (CASE doc_id % 4 WHEN 1 THEN '?utm_source=feed'
+                          WHEN 2 THEN '?ref=keep'
+                          WHEN 3 THEN '?utm_campaign=x&ref=keep'
+                          ELSE '' END)
+      || (CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END)
+"""
+
+
+@register(
+    "dedup_url_normalize",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents),
+    norm AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), '#.*$', ''),
+                   'utm_[^&]*&', ''),
+                 '[?&]utm_[^&]*$', ''),
+               '/($|\\?)', '\\1') AS canon0
+      FROM raw),
+    canon AS (
+      SELECT doc_id, url,
+             replace(canon0, '://www.', '://') AS canon_url
+      FROM norm)
+    SELECT canon_url,
+           COUNT(*)                 AS n_copies,
+           COUNT(DISTINCT url)      AS n_distinct_raw,
+           MIN(doc_id)              AS keeper_doc_id
+    FROM canon GROUP BY canon_url
+    """,
+)
+def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup pass of every web
+    crawl, run BEFORE any content hashing because it needs no document
+    bytes at all: lowercase, strip fragments, drop ``utm_*`` tracking
+    params (keeping meaningful ones), strip the trailing slash and the
+    ``www.`` prefix, then group by the canonical URL.  Raw URLs are
+    synthesized deterministically with realistic crawl mess (mixed-case
+    hosts, trailing slashes, tracking params, fragments), identically in
+    both engines — so the value hash verifies the NORMALIZER: distinct
+    raw spellings must land on one canonical key (``n_distinct_raw`` > 1
+    inside clusters proves the merge really happened).
+
+    Scale shape: a narrow regex projection then ONE canonical-key
+    exchange — identical cost to ``dedup_exact`` but on ~80-byte keys,
+    which is why crawls run it first: it removes re-crawled spellings
+    before the expensive content pass.  100 TB of URLs is still just a
+    key-shuffle."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    host = F.concat(
+        F.lit("https://www.site"),
+        (F.col("doc_id") % 97 % 5).cast("string"),
+        F.lit(".example.com"),
+    )
+    raw = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.upper(host)).otherwise(host),
+        F.lit("/articles/page-"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 1, F.lit("?utm_source=feed"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?ref=keep"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("?utm_campaign=x&ref=keep"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section2")).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("url")), "#.*$", ""),
+                "utm_[^&]*&", "",
+            ),
+            r"[?&]utm_[^&]*$", "",
+        ),
+        r"/($|\?)", "$1",
+    )
+    return (
+        docs.withColumn("url", raw)
+        .withColumn("canon_url", F.regexp_replace(canon, "://www\\.", "://"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("url").alias("n_distinct_raw"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
