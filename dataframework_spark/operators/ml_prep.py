@@ -1353,3 +1353,82 @@ def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mb") - 2 * F.stddev_samp("mb"), 2).alias("ci_lo"),
         F.round(F.avg("mb") + 2 * F.stddev_samp("mb"), 2).alias("ci_hi"),
     )
+
+
+@register(
+    "ml_calibration_deciles",
+    oracle="""
+    WITH cpos AS (
+      SELECT dim, AVG(v) AS c FROM (
+        SELECT unnest(range(len(embedding))) AS dim, unnest(embedding)::DOUBLE AS v
+        FROM embeddings WHERE label = 0) GROUP BY dim),
+    cent AS (SELECT list(c ORDER BY dim) AS centroid FROM cpos),
+    s AS (
+      SELECT e.vec_id, e.label = 0 AS is_pos,
+             ROUND(list_sum(list_transform(range(len(e.embedding)),
+               i -> e.embedding[i + 1]::DOUBLE * c.centroid[i + 1])), 6) AS score
+      FROM embeddings e CROSS JOIN cent c),
+    r AS (
+      SELECT is_pos, score,
+             ROW_NUMBER() OVER (ORDER BY score, vec_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM s)
+    SELECT CAST((rnk - 1) * 10 // n + 1 AS BIGINT) AS decile,
+           COUNT(*) AS n_rows,
+           ROUND(AVG(score), 4) AS mean_score,
+           ROUND(AVG(CASE WHEN is_pos THEN 1.0 ELSE 0.0 END), 4) AS pos_rate
+    FROM r GROUP BY 1
+    """,
+)
+def ml_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the centroid scorer evaluated by
+    ``ml_auc_rank``: rank all rows by score, cut into 10 exact
+    rank-deciles, and emit per-decile mean score vs empirical positive
+    rate — the calibration diagnostic read next to AUC (a ranker can
+    have high AUC and still be useless as a probability).  A calibrated
+    monotone scorer shows pos_rate rising with mean_score; flat deciles
+    localize WHERE the scorer stops separating.
+
+    Deciles come from the global rank (``(rnk-1)·10 // n + 1``), not
+    NTILE, so remainder distribution is identical-by-construction across
+    engines; ranking reuses :func:`global_order_stats` (range-partitioned
+    parallel sort — no single-partition window), score ties broken by
+    vec_id.  Same scale shape as ``ml_auc_rank``: one broadcast d-vector
+    model, a narrow scoring pass, a distributed sort, a 10-row result."""
+    e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+    pos_flat = e.where(F.col("label") == 0).select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    cent = (
+        pos_flat.groupBy("dim")
+        .agg(F.avg("v").alias("c"))
+        .groupBy()
+        .agg(F.expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").alias("centroid"))
+    )
+    s = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        (F.col("label") == 0).alias("is_pos"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(cast(embedding as array<double>), centroid, "
+                "(x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+            ),
+            6,
+        ).alias("score"),
+    )
+    n = s.agg(F.count(F.lit(1)).alias("n"))
+    r = global_order_stats(s, [F.col("score"), F.col("vec_id")], rn="rnk")
+    return (
+        r.crossJoin(F.broadcast(n))
+        .select(
+            (((F.col("rnk") - 1) * 10 / F.col("n")).cast("bigint") + 1).alias("decile"),
+            "score",
+            "is_pos",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("score"), 4).alias("mean_score"),
+            F.round(F.avg(F.col("is_pos").cast("double")), 4).alias("pos_rate"),
+        )
+    )
