@@ -929,7 +929,10 @@ def text_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     u1 = ucnt.select(F.col("term").alias("t1"), F.col("c").alias("c1"))
     u2 = ucnt.select(F.col("term").alias("t2"), F.col("c").alias("c2"))
     scored = (
-        bi.join(bcnt, ["t1", "t2"], "left")  # data-dependent size: shuffle join
+        # The bigram table's size is data-dependent (grows with corpus
+        # vocabulary²) — pin shuffle_hash so small-SF stats can never bait
+        # Catalyst into a broadcast that OOMs at scale (the minhash lesson).
+        bi.join(bcnt.hint("shuffle_hash"), ["t1", "t2"], "left")
         .join(F.broadcast(u1), "t1", "left")
         .join(F.broadcast(u2), "t2", "left")
         .crossJoin(F.broadcast(utot))

@@ -361,3 +361,55 @@ def test_paragraph_dedup_frequency_join_not_broadcast(spark, sf_dir):
     p = plan_string(df)
     assert "ShuffledHashJoin" in p, p
     assert "BroadcastHashJoin" not in p.split("ShuffledHashJoin")[0], p
+
+
+def test_backoff_lm_bigram_join_not_broadcast(spark, sf_dir):
+    """The bigram count table grows with the corpus (data-dependent size
+    — the dedup_minhash_lsh broadcast-OOM trap), so the (t1, t2) scoring
+    join must NOT be a broadcast join; the vocabulary-sized unigram
+    model MAY broadcast."""
+    from dataframework_spark.operators.text import text_backoff_lm_score
+
+    df = text_backoff_lm_score(spark, sf_dir)
+    p = plan_string(df)
+    assert "ShuffledHashJoin" in p, p  # the pinned (t1, t2) scoring join
+
+
+def test_triangle_count_contracted_joins_broadcast(spark, sf_dir):
+    """Triangle enumeration runs on the CONTRACTED (≤300-row) edge list:
+    every join after the fact-collapsing aggregate must be broadcast —
+    a sort-merge join there would mean Catalyst thinks the edge list is
+    fact-sized, i.e. the contraction didn't happen."""
+    from dataframework_spark.operators.graph import graph_triangle_count
+
+    df = graph_triangle_count(spark, sf_dir)
+    p = plan_string(df)
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_url_normalize_single_exchange(spark, sf_dir):
+    """URL canonicalization is a narrow regex projection + the
+    canonical-key aggregation (the reason crawls run it before content
+    dedup).  The exact COUNT(DISTINCT url) audit column adds one expand
+    exchange on (canon_url, url) before the final canon_url exchange —
+    exactly two; no join, no data-sized sort."""
+    from dataframework_spark.operators.dedup import dedup_url_normalize
+
+    df = dedup_url_normalize(spark, sf_dir)
+    p = plan_string(df)
+    assert exchange_count(df) == 2, p
+    assert "Join" not in p, p
+
+
+def test_referential_integrity_prunes_to_keys(spark, sf_dir):
+    """The FK audit must scan only the key columns (anti joins on one
+    narrow column per edge), never whole fact rows."""
+    from dataframework_spark.operators.relational import (
+        profile_referential_integrity,
+    )
+
+    df = profile_referential_integrity(spark, sf_dir)
+    rs = " ".join(read_schemas(df))
+    assert "l_comment" not in rs and "l_extendedprice" not in rs, rs
+    assert "o_totalprice" not in rs, rs
