@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from dataframework_spark.catalog import load_table
 from dataframework_spark.functions.arrays import DUCK_TOKENS_SQL, TOKENS_SQL, tokens
+from dataframework_spark.functions.ranking import global_order_stats
 from dataframework_spark.registry import register
 
 # Spark SQL: NON-distinct word bigrams of the ``toks`` column (repetition
@@ -582,3 +583,77 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("syms_per_char"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C5 — training-shard layout: token-balanced shard assignment
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@register(
+    "corpus_shard_layout",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({DUCK_TOKENS_SQL}) AS n_tokens FROM documents),
+    o AS (SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS h FROM t),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             SUM(n_tokens) OVER () AS total
+      FROM o)
+    SELECT CAST(cb * {_N_SHARDS} // total AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           ROUND(SUM(n_tokens)::DOUBLE / MAX(total), 4) AS token_share
+    FROM c GROUP BY 1
+    """,
+)
+def corpus_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard layout: deterministically shuffle the corpus
+    (md5(doc_id) order — the epoch-reshuffle every data loader needs,
+    with no ``rand()``) and cut the shuffled sequence into {n} shards at
+    TOKEN-count boundaries, not document counts — so each shard feeds a
+    trainer the same amount of work even when document lengths are
+    skewed.  Emits per-shard doc count, token count, and token share;
+    near-equal shares (±1 doc's tokens) are the verified balance
+    property, and the assignment is reproducible run-to-run because the
+    order key is a content-free hash.
+
+    Scale shape: tokenize once (narrow), then ONE range shuffle for the
+    global running sum (``global_order_stats`` — parallel sort +
+    partition-count-sized prefix offsets, never a single-partition
+    window), then an 8-row aggregate.  Writing the shards afterwards is
+    ``partitionBy(shard)`` on the same pass.  At 100 TB this replaces
+    the driver-side file-list shuffling that breaks exactly when the
+    corpus stops fitting in a manifest."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    t = docs.select(
+        "doc_id",
+        F.size(tokens()).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    c = global_order_stats(
+        t,
+        [F.col("h"), F.col("doc_id")],
+        value_col="n_tokens",
+        cum="cum",
+        value_total="total",
+    )
+    return (
+        c.select(
+            (((F.col("cum") - F.col("n_tokens")) * _N_SHARDS / F.col("total")).cast("bigint")).alias("shard"),
+            "n_tokens",
+            "total",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.sum("n_tokens") / F.max("total"), 4).alias("token_share"),
+        )
+    )
+
+
+corpus_shard_layout.__doc__ = corpus_shard_layout.__doc__.format(n=_N_SHARDS)
