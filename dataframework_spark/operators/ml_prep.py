@@ -1432,3 +1432,90 @@ def ml_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("is_pos").cast("double")), 4).alias("pos_rate"),
         )
     )
+
+
+_PSI_CUT = "1997-01-01"
+_PSI_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@register(
+    "ml_psi_drift",
+    oracle=f"""
+    WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate < DATE '{_PSI_CUT}'),
+    cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= DATE '{_PSI_CUT}'),
+    th AS (SELECT list_transform(quantile_cont(v, {_PSI_QS}), t -> ROUND(t, 2)) AS ths FROM ref),
+    rb AS (SELECT 1 + len(list_filter(th.ths, t -> r.v > t)) AS bin FROM ref r, th),
+    cb AS (SELECT 1 + len(list_filter(th.ths, t -> c.v > t)) AS bin FROM cur c, th),
+    p AS (SELECT bin, COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM rb) AS p FROM rb GROUP BY bin),
+    q AS (SELECT bin, COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM cb) AS q FROM cb GROUP BY bin),
+    terms AS (
+      SELECT p.bin, p.p, COALESCE(q.q, 0) AS q,
+             (p.p - GREATEST(COALESCE(q.q, 0), 1e-6))
+               * LN(p.p / GREATEST(COALESCE(q.q, 0), 1e-6)) AS term
+      FROM p LEFT JOIN q ON q.bin = p.bin)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           ROUND(p, 4) AS ref_share,
+           ROUND(q, 4) AS cur_share,
+           ROUND(term, 6) AS psi_term,
+           ROUND(SUM(term) OVER (), 4) AS psi_total
+    FROM terms
+    """,
+)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the standard production drift monitor
+    between a reference window (orders before {cut}) and the current
+    window: decile-bin the reference distribution (exact interpolated
+    quantiles, rounded to 2 dp so bin edges are bit-identical across
+    engines), share both periods into those bins, and emit per-bin
+    (p−q)·ln(p/q) terms plus the summed PSI.  Rule of thumb read by the
+    monitor: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 retrain — a
+    training-data pipeline runs exactly this before ingesting a new
+    snapshot into a feature store.
+
+    Scale shape: the reference quantile buffer is one exact-percentile
+    aggregate broadcast back as 9 thresholds (the
+    ``ml_quantile_bucketize`` shape); binning is a narrow CASE-free
+    array expression; shares are two 10-row aggregates.  Zero-share
+    current bins get the standard 1e-6 floor so PSI stays finite."""
+    cols = ["o_orderdate", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders", columns=cols)
+    ref = orders.where(F.col("o_orderdate") < _PSI_CUT).select(F.col("o_totalprice").alias("v"))
+    cur = orders.where(F.col("o_orderdate") >= _PSI_CUT).select(F.col("o_totalprice").alias("v"))
+    qs = ", ".join(str(q) for q in _PSI_QS)
+    th = ref.agg(
+        F.expr(f"transform(percentile(v, array({qs})), t -> round(t, 2))").alias("ths")
+    )
+
+    def _binned(df):
+        return df.crossJoin(F.broadcast(th)).selectExpr(
+            "1 + size(filter(ths, t -> v > t)) AS bin"
+        )
+
+    rb = _binned(ref).groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    cb = _binned(cur).groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    rtot = rb.agg(F.sum("n").alias("rt"))
+    ctot = cb.agg(F.sum("n").alias("ct"))
+    p = rb.crossJoin(F.broadcast(rtot)).select("bin", (F.col("n") / F.col("rt")).alias("p"))
+    q = cb.crossJoin(F.broadcast(ctot)).select(F.col("bin").alias("qbin"), (F.col("n") / F.col("ct")).alias("q"))
+    terms = (
+        p.join(F.broadcast(q), p.bin == q.qbin, "left")
+        .select(
+            "bin",
+            "p",
+            F.coalesce("q", F.lit(0.0)).alias("q"),
+        )
+        .withColumn("qf", F.greatest(F.col("q"), F.lit(1e-6)))
+        .withColumn("term", (F.col("p") - F.col("qf")) * F.log(F.col("p") / F.col("qf")))
+    )
+    from pyspark.sql.window import Window as W
+
+    return terms.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.round("p", 4).alias("ref_share"),
+        F.round("q", 4).alias("cur_share"),
+        F.round("term", 6).alias("psi_term"),
+        F.round(F.sum("term").over(W.partitionBy()), 4).alias("psi_total"),  # _GLOBAL_WINDOW_OK: 10-row input
+    )
+
+
+ml_psi_drift.__doc__ = ml_psi_drift.__doc__.format(cut=_PSI_CUT)
