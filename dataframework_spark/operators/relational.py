@@ -2641,10 +2641,22 @@ def profile_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
     for label, fact, fkey, dim, dkey in _RI_CHECKS:
         f_df = load_table(spark, sf_dir, fact, columns=[fkey])
         d_df = load_table(spark, sf_dir, dim, columns=[dkey])
-        orphans = f_df.join(d_df, f_df[fkey] == d_df[dkey], "left_anti")
+        # Pre-aggregate the fact side to (key, row-count) BEFORE the anti
+        # join: map-side combine collapses the shuffle from every fact ROW
+        # to the distinct-key set (measured at the 1000× replica: the
+        # raw-row anti join paid 173 s / five edges; orphan ROW counts are
+        # recovered exactly as Σ cnt over orphan keys).
+        per_key = f_df.groupBy(fkey).agg(F.count(F.lit(1)).alias("cnt"))
+        orphans = per_key.join(d_df, per_key[fkey] == d_df[dkey], "left_anti")
         row = (
-            f_df.agg(F.count(F.lit(1)).alias("fact_rows"))
-            .crossJoin(F.broadcast(orphans.agg(F.count(F.lit(1)).alias("orphan_rows"))))
+            per_key.agg(F.sum("cnt").alias("fact_rows"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.coalesce(F.sum("cnt"), F.lit(0)).alias("orphan_rows")
+                    )
+                )
+            )
             .select(
                 F.lit(label).alias("constraint_name"),
                 "fact_rows",
