@@ -444,7 +444,11 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
     )
     j = brute.join(
-        approx,
+        # both sides are top-k outputs bounded by N_QUERIES x TOPK (40
+        # rows) — but the rank window erases size stats, so Catalyst
+        # falls back to sort-merge unless the broadcast is pinned (the
+        # sim_ivfpq_recall precedent).
+        F.broadcast(approx),
         (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
         "left",
     )
@@ -1167,7 +1171,11 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
     )
     j = brute.join(
-        approx,
+        # both sides are top-k outputs bounded by N_QUERIES x TOPK (40
+        # rows) — but the rank window erases size stats, so Catalyst
+        # falls back to sort-merge unless the broadcast is pinned (the
+        # sim_ivfpq_recall precedent).
+        F.broadcast(approx),
         (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
         "left",
     )
