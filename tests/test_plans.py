@@ -413,3 +413,17 @@ def test_referential_integrity_prunes_to_keys(spark, sf_dir):
     rs = " ".join(read_schemas(df))
     assert "l_comment" not in rs and "l_extendedprice" not in rs, rs
     assert "o_totalprice" not in rs, rs
+
+
+def test_ann_recall_joins_broadcast(spark, sf_dir):
+    """The recall evaluators join two ≤40-row top-k outputs whose size
+    stats are erased by the rank window — the broadcast must stay pinned
+    or Catalyst degrades to sort-merge (plan audit, r4)."""
+    from dataframework_spark.operators.similarity import (
+        sim_matryoshka_recall,
+        sim_recall_eval,
+    )
+
+    for fn in (sim_recall_eval, sim_matryoshka_recall):
+        p = plan_string(fn(spark, sf_dir))
+        assert "SortMergeJoin" not in p, p
