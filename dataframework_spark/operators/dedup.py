@@ -825,10 +825,10 @@ _RAW_URL_DUCK = """
              regexp_replace(
                regexp_replace(
                  regexp_replace(
-                   regexp_replace(lower(url), '#.*$', ''),
-                   'utm_[^&]*&', ''),
-                 '[?&]utm_[^&]*$', ''),
-               '/($|\\?)', '\\1') AS canon0
+                   regexp_replace(lower(url), '#.*$', '', 'g'),
+                   'utm_[^&]*&', '', 'g'),
+                 '[?&]utm_[^&]*$', '', 'g'),
+               '/($|\\?)', '\\1', 'g') AS canon0
       FROM raw),
     canon AS (
       SELECT doc_id, url,

@@ -141,14 +141,14 @@ _TRIANGLE_ORACLE = """
 WITH raw AS (
   SELECT LEAST(c.c_nationkey, s.s_nationkey)    AS a,
          GREATEST(c.c_nationkey, s.s_nationkey) AS b,
-         SUM(l.l_extendedprice * (1 - l.l_discount)) AS w
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS w
   FROM lineitem l
   JOIN orders o   ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey  = c.c_custkey
   JOIN supplier s ON l.l_suppkey  = s.s_suppkey
   WHERE c.c_nationkey <> s.s_nationkey
   GROUP BY 1, 2),
-e AS (SELECT a, b FROM raw WHERE w > (SELECT AVG(w) FROM raw)),
+e AS (SELECT a, b FROM raw WHERE w > (SELECT ROUND(AVG(w), 2) FROM raw)),
 tri AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM e e1
@@ -208,10 +208,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("c_nationkey", "s_nationkey").alias("a"),
             F.greatest("c_nationkey", "s_nationkey").alias("b"),
         )
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w"))
+        # Round w (and the mean below) to 2dp before the threshold compare:
+        # Spark's partial-aggregation order is nondeterministic, so an edge
+        # within float noise of the mean could otherwise flip cross-engine.
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("w"))
     )
     raw = raw.cache()  # consumed twice: threshold + edge list (≤300 rows)
-    mean_w = raw.agg(F.avg("w").alias("mean_w"))
+    mean_w = raw.agg(F.round(F.avg("w"), 2).alias("mean_w"))
     e = (
         raw.crossJoin(F.broadcast(mean_w))
         .where(F.col("w") > F.col("mean_w"))

@@ -1788,27 +1788,43 @@ def sql_recursive_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |users|×14, so the right guard here is the depth limit, not rows —
     # at the 100× replica (150k users) the accumulated set legitimately
     # passes 1e6 and the sweep caught the default aborting the query.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", 100_000_000)
-    # the distinct (user, day) set is calendar×users-bounded (tiny); one
-    # partition keeps each of the ≤14 recursion steps a single-task job
-    ev.select("user_id", F.to_date("ts").alias("day")).where(
-        F.col("day") < F.lit("2024-01-15").cast("date")
-    ).distinct().coalesce(1).createOrReplaceTempView("_streak_days")
-    return spark.sql(
-        """
-        WITH RECURSIVE streak(user_id, day, len) AS (
-          SELECT d.user_id, d.day, 1 FROM _streak_days d
-          WHERE NOT EXISTS (SELECT 1 FROM _streak_days p
-                            WHERE p.user_id = d.user_id AND p.day = date_add(d.day, -1))
-          UNION ALL
-          SELECT /*+ BROADCAST(d) */ s.user_id, d.day, s.len + 1
-          FROM streak s JOIN _streak_days d
-            ON d.user_id = s.user_id AND d.day = date_add(s.day, 1)
-        )
-        SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak
-        FROM streak GROUP BY user_id
-        """
-    )
+    # Scope the raised limit: save the prior value and restore it in a
+    # finally, so the session keeps its runaway-recursion valve for the
+    # ~200 other queries a bench/sweep runs in the same JVM.  The conf is
+    # read at *execution* time, so the result is eagerly materialised
+    # (localCheckpoint) inside the guarded region — it is ≤|users| rows.
+    _limit_key = "spark.sql.cteRecursionRowLimit"
+    try:
+        _prior_limit = spark.conf.get(_limit_key)
+    except Exception:
+        _prior_limit = None
+    spark.conf.set(_limit_key, 100_000_000)
+    try:
+        # the distinct (user, day) set is calendar×users-bounded (tiny); one
+        # partition keeps each of the ≤14 recursion steps a single-task job
+        ev.select("user_id", F.to_date("ts").alias("day")).where(
+            F.col("day") < F.lit("2024-01-15").cast("date")
+        ).distinct().coalesce(1).createOrReplaceTempView("_streak_days")
+        return spark.sql(
+            """
+            WITH RECURSIVE streak(user_id, day, len) AS (
+              SELECT d.user_id, d.day, 1 FROM _streak_days d
+              WHERE NOT EXISTS (SELECT 1 FROM _streak_days p
+                                WHERE p.user_id = d.user_id AND p.day = date_add(d.day, -1))
+              UNION ALL
+              SELECT /*+ BROADCAST(d) */ s.user_id, d.day, s.len + 1
+              FROM streak s JOIN _streak_days d
+                ON d.user_id = s.user_id AND d.day = date_add(s.day, 1)
+            )
+            SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak
+            FROM streak GROUP BY user_id
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        if _prior_limit is None:
+            spark.conf.unset(_limit_key)
+        else:
+            spark.conf.set(_limit_key, _prior_limit)
 
 
 @register(

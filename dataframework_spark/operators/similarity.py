@@ -315,11 +315,9 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     topk = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= _TOPK)
     per_q = (
-        topk.join(F.broadcast(cell_sizes), "cell")
-        .groupBy("query_id")
+        topk.groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.first("cell_n").alias("cell_n"),
             F.min("cos_sim").alias("min_sim"),
             F.max("cos_sim").alias("max_sim"),
             # rank order vs similarity order must agree: the rank-1 row
@@ -329,14 +327,29 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("neighbor_id") == F.col("query_id")).cast("int")).alias("n_self"),
         )
     )
-    return per_q.select(
+    # Left-join the invariants back onto the FULL query set so a query
+    # whose cell is a singleton (no candidates → absent from topk) still
+    # emits a row: a missing neighbor list then surfaces as an explicit
+    # n_neighbors_ok=false instead of an opaque row-count/hash mismatch
+    # (ADVICE r4).  cell_n comes from the query's own cell assignment,
+    # not from topk, so it is defined even when n=0.
+    full = q.select("query_id", F.col("qcell").alias("cell")).join(
+        F.broadcast(cell_sizes), "cell"
+    ).join(per_q, "query_id", "left")
+    return full.select(
         F.col("query_id").cast("bigint").alias("query_id"),
-        (F.col("n") == F.least(F.lit(_TOPK), F.col("cell_n") - 1)).alias("n_neighbors_ok"),
-        ((F.col("min_sim") >= -1.0001) & (F.col("max_sim") <= 1.0001)).alias("sims_in_range"),
         (
+            F.coalesce(F.col("n"), F.lit(0))
+            == F.least(F.lit(_TOPK), F.col("cell_n") - 1)
+        ).alias("n_neighbors_ok"),
+        F.coalesce(
+            (F.col("min_sim") >= -1.0001) & (F.col("max_sim") <= 1.0001), F.lit(True)
+        ).alias("sims_in_range"),
+        F.coalesce(
             (F.col("first_by_rank.cos_sim") == F.col("max_sim"))
             & (F.col("last_by_rank.cos_sim") == F.col("min_sim"))
-            & (F.col("n_self") == 0)
+            & (F.col("n_self") == 0),
+            F.lit(True),
         ).alias("ranks_consistent"),
         F.lit(inertia_ok).alias("inertia_le_global"),
     )

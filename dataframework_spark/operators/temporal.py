@@ -966,6 +966,11 @@ def interval_overlap_pairs(
       :func:`overdense_buckets` with the same cap to enumerate exactly
       what was dropped (no silent truncation).
     """
+    # Validate on_exceed unconditionally: a caller passing a typo (or
+    # 'prune' with no cap, expecting a guard) must hear about it at entry,
+    # not silently get the unguarded quadratic join.
+    if on_exceed not in ("error", "prune"):
+        raise ValueError(f"on_exceed must be 'error' or 'prune', got {on_exceed!r}")
     if max_per_bucket is not None:
         if on_exceed == "error":
             worst = (
@@ -989,8 +994,6 @@ def interval_overlap_pairs(
                 .drop("_n")
             )
             iv = iv.join(ok, bucket)
-        else:
-            raise ValueError(f"on_exceed must be 'error' or 'prune', got {on_exceed!r}")
     a = iv.select(
         F.col(ident).alias("id_a"), F.col(bucket).alias("_bkt"),
         F.col(start).alias("s_a"), F.col(end).alias("e_a"),
@@ -1005,7 +1008,7 @@ def interval_overlap_pairs(
         & (F.col("id_a") < F.col("id_b"))
         & (F.col("s_a") <= F.col("e_b"))
         & (F.col("s_b") <= F.col("e_a")),
-    ).drop("_bkt_b")
+    ).drop("_bkt", "_bkt_b")
 
 
 @register(

@@ -172,3 +172,22 @@ def test_interval_overlap_guard_cap_met_is_exact(intervals):
         interval_overlap_pairs(intervals, max_per_bucket=4, on_exceed="prune").count()
         == 7
     )
+
+
+def test_interval_overlap_on_exceed_validated_unconditionally(intervals):
+    # ADVICE r4: a typo'd mode (or 'prune' intent with no cap) must fail at
+    # entry, never silently run the unguarded quadratic join.
+    from dataframework_spark.operators.temporal import interval_overlap_pairs
+
+    with pytest.raises(ValueError, match="on_exceed"):
+        interval_overlap_pairs(intervals, on_exceed="purne")
+    with pytest.raises(ValueError, match="on_exceed"):
+        interval_overlap_pairs(intervals, max_per_bucket=3, on_exceed="drop")
+
+
+def test_interval_overlap_no_internal_bucket_columns(intervals):
+    # ADVICE r4: the internal _bkt/_bkt_b join keys must not leak
+    from dataframework_spark.operators.temporal import interval_overlap_pairs
+
+    cols = set(interval_overlap_pairs(intervals).columns)
+    assert cols == {"id_a", "s_a", "e_a", "id_b", "s_b", "e_b"}

@@ -359,3 +359,21 @@ def test_bpe_merges_match_reference_impl(spark, sf_dir):
         for row in text_bpe_merges(spark, sf_dir).orderBy("round").collect()
     ]
     assert got == expected and len(got) == _BPE_ROUNDS
+
+
+def test_recursive_streaks_restores_recursion_limit(spark, sf_dir):
+    # ADVICE r4: the raised cteRecursionRowLimit must not leak into the
+    # shared session — later queries keep the runaway-recursion valve.
+    from dataframework_spark.operators.relational import sql_recursive_streaks
+
+    key = "spark.sql.cteRecursionRowLimit"
+    spark.conf.set(key, "123456")
+    try:
+        df = sql_recursive_streaks(spark, sf_dir)
+        assert spark.conf.get(key) == "123456"
+        # the returned frame is already materialised (localCheckpoint), so
+        # it stays collectable after the limit is restored
+        assert df.count() > 0
+        assert spark.conf.get(key) == "123456"
+    finally:
+        spark.conf.unset(key)
