@@ -1196,3 +1196,209 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("an").alias("n_hits"),
         F.round(F.count("an") / F.lit(float(_TOPK)), 4).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 7 — index-persistence lifecycle: build → persist → serve (VERDICT r4 #6)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_index_paths(base: str) -> dict[str, str]:
+    """The three parquet tables an IVF-PQ index persists as."""
+    import os
+
+    return {
+        "centroids": os.path.join(base, "centroids"),
+        "codebook": os.path.join(base, "codebook"),
+        "codes": os.path.join(base, "codes"),
+    }
+
+
+def ivfpq_persist(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """Build the IVF-PQ index (one corpus pass via :func:`_ivfpq_index`)
+    and write it as three parquet tables:
+
+    * ``centroids`` — (cid, c): the 8 coarse centroid vectors;
+    * ``codebook``  — (k, cw): the {_PQ_K} residual codewords;
+    * ``codes``     — (vec_id, codes) **partitioned by cid**: the
+      {_PQ_M}-byte-per-vector serving payload, laid out so nprobe=1
+      serving reads exactly one cell directory — the partition-pruned
+      layout the module docstring promises ("bucketed by cell id at
+      write time").
+
+    This is the index lifecycle a real ANN deployment needs: train/encode
+    once (expensive, corpus-sized), serve many times from the compact
+    persisted form without ever touching the corpus again."""
+    paths = ivfpq_index_paths(base)
+    _, centarr, _, coded = _ivfpq_index(spark, sf_dir)
+    (
+        centarr.select(F.posexplode("cents").alias("cid", "c"))
+        .write.mode("overwrite")
+        .parquet(paths["centroids"])
+    )
+    (
+        coded.select("cb")
+        .limit(1)
+        .select(F.posexplode("cb").alias("k", "cw"))
+        .write.mode("overwrite")
+        .parquet(paths["codebook"])
+    )
+    (
+        coded.select("vec_id", "cid", "codes")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(paths["codes"])
+    )
+
+
+def ivfpq_serve(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
+    """Serve ADC top-{_TOPK} from the PERSISTED index only.
+
+    The corpus is never rescanned: corpus vectors exist solely as their
+    {_PQ_M}-byte code rows in the persisted ``codes`` table.  The only
+    touch of the embeddings table is the {_N_QUERIES}-row query fetch
+    (vec_id range filter, pushed to the parquet scan) — at serve time
+    queries are runtime input, not index state.  Centroids and codebook
+    load as two tiny parquet reads and broadcast; the query's cell
+    assignment and residual are computed against the LOADED centroids
+    with the exact build-time arithmetic (cs rounded 6 dp, argmin with
+    id tie-break), so build and serve rank identically — the oracle
+    rebuilds the index from scratch in DuckDB and must value-hash-match
+    this served output."""
+    paths = ivfpq_index_paths(base)
+    cents_row = spark.read.parquet(paths["centroids"]).agg(
+        F.expr("transform(array_sort(collect_list(struct(cid, c))), s -> s.c)").alias(
+            "cents"
+        )
+    )
+    cb_row = spark.read.parquet(paths["codebook"]).agg(
+        F.expr("transform(array_sort(collect_list(struct(k, cw))), s -> s.cw)").alias(
+            "cb"
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = (
+        emb.where(
+            (F.col("vec_id") >= _IVFPQ_Q0) & (F.col("vec_id") < _IVFPQ_Q0 + _N_QUERIES)
+        )
+        .select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe"))
+        .crossJoin(F.broadcast(cents_row))
+        .withColumn(
+            "cs",
+            F.expr(
+                "transform(cents, c -> round(aggregate(zip_with(qe, c, "
+                "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v), 6))"
+            ),
+        )
+        .withColumn(
+            "qcid", (F.expr("array_position(cs, array_min(cs))") - 1).cast("int")
+        )
+        .withColumn(
+            "qr", F.expr("zip_with(qe, element_at(cents, qcid + 1), (x, y) -> x - y)")
+        )
+        .select("query_id", "qcid", "qr")
+    )
+    codes_pq = spark.read.parquet(paths["codes"])
+    adc_d = F.round(
+        F.expr(
+            f"aggregate(sequence(0, {_PQ_M - 1}), 0D, (acc, m) -> acc + "
+            f"aggregate(zip_with("
+            f"slice(qr, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+            f"slice(element_at(cb, element_at(codes, m + 1) + 1), m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (a2, v) -> a2 + v))"
+        ),
+        6,
+    )
+    scored = (
+        codes_pq.join(
+            F.broadcast(q),
+            (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .crossJoin(F.broadcast(cb_row))
+        .select("query_id", F.col("qcid").alias("cell"), "vec_id", adc_d.alias("d"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK)
+        .select(
+            "query_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("d").alias("dist"),
+        )
+    )
+
+
+@register(
+    "sim_ivfpq_persist_serve",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT list(e ORDER BY vec_id) AS cents FROM v WHERE vec_id < {_N_CENTROIDS}),
+    assigned AS (
+      SELECT vec_id, e, cs, list_position(cs, list_min(cs)) - 1 AS cid
+      FROM (SELECT v.vec_id, v.e,
+                   list_transform(cents, c -> ROUND(list_aggregate(
+                     list_transform(generate_series(1, {_DIM}),
+                                    i -> (e[i] - c[i]) * (e[i] - c[i])), 'sum'), 6)) AS cs
+            FROM v, cent)),
+    res AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(generate_series(1, {_DIM}),
+                            i -> a.e[i] - cents[a.cid + 1][i]) AS r
+      FROM assigned a, cent),
+    cb AS (
+      SELECT list(r ORDER BY h, vec_id) AS cbs
+      FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, r FROM res
+            ORDER BY h, vec_id LIMIT {_PQ_K})),
+    coded AS (
+      SELECT vec_id, cid,
+             list_transform(generate_series(0, {_PQ_M - 1}), m ->
+               list_position(
+                 list_transform(cbs, c -> {_duck_subdist('r', 'c', 'm')}),
+                 list_min(list_transform(cbs, c -> {_duck_subdist('r', 'c', 'm')}))) - 1
+             ) AS codes
+      FROM res, cb),
+    q AS (SELECT vec_id AS query_id, cid AS qcid, r AS qr FROM res
+          WHERE vec_id >= {_IVFPQ_Q0} AND vec_id < {_IVFPQ_Q0 + _N_QUERIES}),
+    adc AS (
+      SELECT q.query_id, q.qcid AS cell, c.vec_id,
+             ROUND(list_aggregate(list_transform(generate_series(0, {_PQ_M - 1}), m ->
+               {_duck_subdist('q.qr', 'cbs[c.codes[m + 1] + 1]', 'm')}), 'sum'), 6) AS d
+      FROM q JOIN coded c ON c.cid = q.qcid AND c.vec_id <> q.query_id, cb)
+    SELECT query_id,
+           CAST(cell AS BIGINT) AS cell,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS BIGINT)
+             AS rank,
+           vec_id AS neighbor_id,
+           d AS dist
+    FROM adc
+    QUALIFY rank <= {_TOPK}
+    """,
+)
+def sim_ivfpq_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ index lifecycle (VERDICT r4 #6): build the index from
+    the corpus, PERSIST it (centroids + codebook + cell-partitioned
+    codes) as parquet, then answer the standard query set from the
+    persisted form alone — and prove build ≡ serve by value hash: the
+    oracle rebuilds the whole index from scratch in DuckDB while the
+    Spark side serves from disk, so any drift between the built and the
+    persisted/reloaded index (lost precision, wrong partition mapping,
+    code truncation) breaks the hash.
+
+    Composes only green components: the index builder is
+    ``sim_ivfpq_recall``'s (`similarity.py` Tier 4), the sink/read-back
+    discipline is ``sources/io.py``'s.  The serve plan never rescans the
+    corpus — corpus vectors exist only as {_PQ_M}-byte code rows; the
+    single embeddings scan is the {_N_QUERIES}-row query fetch with the
+    vec_id range filter pushed down (plan-asserted in
+    ``tests/test_plans.py``).  At 100 TB: the build is the one expensive
+    corpus pass, the persisted index is ~{_PQ_M} bytes/vector, and
+    nprobe=1 serving reads one cell directory of the partitioned codes
+    table."""
+    from dataframework_spark.sources.io import _scratch
+
+    base = _scratch(sf_dir, "ivfpq_index")
+    ivfpq_persist(spark, sf_dir, base)
+    return ivfpq_serve(spark, sf_dir, base)
