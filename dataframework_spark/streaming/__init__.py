@@ -470,6 +470,143 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ST10 — exactly-once foreachBatch MERGE (idempotent, replay-safe)
+# ---------------------------------------------------------------------------
+
+
+def exactly_once_merge_writer(base: str):
+    """Build the idempotent foreachBatch writer for
+    :func:`stream_exactly_once_merge` — exposed so tests can replay
+    batches against it directly.
+
+    The target is a versioned copy-on-write parquet table with a
+    transaction ledger — the same commit protocol a lakehouse table
+    format (Delta/Iceberg) runs under ``MERGE INTO``, built here on
+    primitives so the exactly-once mechanics are visible and testable:
+
+    * ``state_v{n}/totals`` — per-user running totals (parquet);
+    * ``state_v{n}/ledger.json`` — the batch_ids folded into version n;
+    * ``latest.json`` — the commit pointer, atomically replaced
+      (``os.replace``) only AFTER version n+1 is fully written.
+
+    Exactly-once = at-least-once delivery + this idempotent commit:
+
+    * a REPLAYED batch (same batch_id after a sink-side success) is in
+      the committed ledger → skipped, target byte-identical;
+    * a batch whose previous attempt CRASHED mid-write never moved the
+      pointer → its orphan ``state_v{n+1}`` is simply overwritten by the
+      retry, and the ledger check passes because the crashed attempt
+      never committed.
+
+    Per batch the writer ships user-count-sized aggregates (never raw
+    events) and rewrites a user-count-sized state table; at 100 TB the
+    state table is partitioned and only partitions containing the
+    batch's keys rewrite (the ``sink_merge_upsert`` pruning note)."""
+    import json
+    import shutil
+
+    def _latest(bdf_spark) -> tuple[int, set, DataFrame | None]:
+        ptr = os.path.join(base, "latest.json")
+        if not os.path.exists(ptr):
+            return 0, set(), None
+        with open(ptr) as fh:
+            v = json.load(fh)["version"]
+        vdir = os.path.join(base, f"state_v{v}")
+        with open(os.path.join(vdir, "ledger.json")) as fh:
+            applied = set(json.load(fh)["batch_ids"])
+        totals = bdf_spark.read.parquet(os.path.join(vdir, "totals"))
+        return v, applied, totals
+
+    def _write_batch(bdf: DataFrame, batch_id: int) -> None:
+        sp = bdf.sparkSession
+        v, applied, totals = _latest(sp)
+        if batch_id in applied:  # replayed after a committed success
+            return
+        partial = bdf.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+        )
+        if totals is not None:
+            merged = (
+                totals.unionByName(partial)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            )
+        else:
+            merged = partial
+        nxt = os.path.join(base, f"state_v{v + 1}")
+        shutil.rmtree(nxt, ignore_errors=True)  # orphan of a crashed attempt
+        merged.write.mode("overwrite").parquet(os.path.join(nxt, "totals"))
+        with open(os.path.join(nxt, "ledger.json"), "w") as fh:
+            json.dump({"batch_ids": sorted(applied | {batch_id})}, fh)
+        tmp = os.path.join(base, "latest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v + 1}, fh)
+        os.replace(tmp, os.path.join(base, "latest.json"))  # THE commit
+
+    _write_batch.read_latest = _latest  # for tests / the final read
+    return _write_batch
+
+
+@register(
+    "stream_exactly_once_merge",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_exactly_once_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming MERGE (VERDICT r4 #8): a multi-microbatch
+    stream drains through the idempotent versioned-commit writer of
+    :func:`exactly_once_merge_writer`, then the query REPLAYS the first
+    batch — simulating the at-least-once redelivery every recovery path
+    produces — before reading the committed state.
+
+    The oracle is the plain batch per-user total, so a broken
+    idempotency guard (replay double-counting users from batch 0) is a
+    value-hash failure, not just a test comment.  This is the streaming
+    capability ``stream_foreachbatch_sink`` documents but does not
+    demonstrate: there, replay safety is delegated to the target; here
+    the commit protocol (versioned state + batch ledger + atomic pointer
+    flip) provides it on plain parquet."""
+    import shutil
+
+    from dataframework_spark.sources.io import _scratch
+
+    ev = _split_events_stream(spark, sf_dir)
+    base = _scratch(sf_dir, "events_eo_merge")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    writer = exactly_once_merge_writer(base)
+
+    q = ev.writeStream.foreachBatch(writer).trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # Replay batch 0: re-deliver the first time slice under its original
+    # batch_id.  The ledger hit must skip it; the hash proves it did.
+    split_path = _scratch(sf_dir, "events_split")
+    first_file = sorted(
+        f
+        for f in os.listdir(split_path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )[0]
+    replay = spark.read.parquet(os.path.join(split_path, first_file))
+    writer(replay, 0)
+
+    _, applied, totals = writer.read_latest(spark)
+    assert len(applied) == _N_SPLIT_FILES, applied  # 1 file = 1 batch, no extras
+    return totals.select(
+        "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ST9 — sliding (overlapping) windows
 # ---------------------------------------------------------------------------
 
