@@ -727,13 +727,15 @@ def _duck_subdist(r: str, c: str, m: str) -> str:
     )
 
 
-def _ivfpq_index(spark: SparkSession, sf_dir: str):
+def _ivfpq_index(spark: SparkSession, sf_dir: str, predicate=None):
     """Build the IVF-PQ index tables shared by the nprobe variants:
     returns ``(e, centarr, assigned, coded)`` — the raw corpus, the
     1-row broadcast centroid array, the per-vector (cell, residual)
     assignment, and the per-vector {_PQ_M}-byte code rows carrying the
     broadcast codebook for ADC."""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if predicate is not None:  # train/encode on a corpus subset (the
+        emb = emb.where(predicate)  # incremental-append base snapshot)
     e = emb.select("vec_id", as_double("embedding").alias("e"))
     # 1-row broadcast: the 8 coarse centroids as an array of arrays
     centarr = (
@@ -1214,7 +1216,7 @@ def ivfpq_index_paths(base: str) -> dict[str, str]:
     }
 
 
-def ivfpq_persist(spark: SparkSession, sf_dir: str, base: str) -> None:
+def ivfpq_persist(spark: SparkSession, sf_dir: str, base: str, predicate=None) -> None:
     """Build the IVF-PQ index (one corpus pass via :func:`_ivfpq_index`)
     and write it as three parquet tables:
 
@@ -1230,7 +1232,7 @@ def ivfpq_persist(spark: SparkSession, sf_dir: str, base: str) -> None:
     once (expensive, corpus-sized), serve many times from the compact
     persisted form without ever touching the corpus again."""
     paths = ivfpq_index_paths(base)
-    _, centarr, _, coded = _ivfpq_index(spark, sf_dir)
+    _, centarr, _, coded = _ivfpq_index(spark, sf_dir, predicate=predicate)
     (
         centarr.select(F.posexplode("cents").alias("cid", "c"))
         .write.mode("overwrite")
@@ -1401,4 +1403,149 @@ def sim_ivfpq_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _scratch(sf_dir, "ivfpq_index")
     ivfpq_persist(spark, sf_dir, base)
+    return ivfpq_serve(spark, sf_dir, base)
+
+
+def ivfpq_append(spark: SparkSession, sf_dir: str, base: str, predicate) -> None:
+    """Incrementally append a corpus DELTA to a persisted IVF-PQ index
+    with a FROZEN quantizer: new vectors are assigned to the nearest
+    *loaded* centroid and coded against the *loaded* codebook (never
+    retrained — the standard production practice: retraining would
+    invalidate every already-stored code), then their {_PQ_M}-byte code
+    rows append into the existing cell partitions.
+
+    Because code assignment is deterministic given (centroids, codebook),
+    append-then-serve is bit-identical to rebuild-then-serve over the
+    same final corpus — the property the registered query's oracle
+    hash-checks.  At 100 TB this is the ingest path: the daily delta
+    pays one narrow assign+encode pass; the corpus already indexed is
+    never touched."""
+    paths = ivfpq_index_paths(base)
+    cents_row = spark.read.parquet(paths["centroids"]).agg(
+        F.expr("transform(array_sort(collect_list(struct(cid, c))), s -> s.c)").alias(
+            "cents"
+        )
+    )
+    cb_row = spark.read.parquet(paths["codebook"]).agg(
+        F.expr("transform(array_sort(collect_list(struct(k, cw))), s -> s.cw)").alias(
+            "cb"
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sub_d2 = (
+        f"transform(sequence(0, {_PQ_M - 1}), m -> "
+        f"transform(cb, c -> aggregate(zip_with("
+        f"slice(r, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+        f"slice(c, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+        f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)))"
+    )
+    delta_coded = (
+        emb.where(predicate)
+        .select("vec_id", as_double("embedding").alias("e"))
+        .crossJoin(F.broadcast(cents_row))
+        # build-time arithmetic exactly: cs rounded 6 dp, argmin with id
+        # tie-break, residual vs the chosen centroid
+        .withColumn(
+            "cs",
+            F.expr(
+                "transform(cents, c -> round(aggregate(zip_with(e, c, "
+                "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v), 6))"
+            ),
+        )
+        .withColumn(
+            "cid", (F.expr("array_position(cs, array_min(cs))") - 1).cast("int")
+        )
+        .withColumn(
+            "r", F.expr("zip_with(e, element_at(cents, cid + 1), (x, y) -> x - y)")
+        )
+        .crossJoin(F.broadcast(cb_row))
+        .withColumn(
+            "codes",
+            F.expr(
+                f"transform({sub_d2}, ds -> cast(array_position(ds, array_min(ds)) - 1 as int))"
+            ),
+        )
+        .select("vec_id", "cid", "codes")
+    )
+    delta_coded.write.mode("append").partitionBy("cid").parquet(paths["codes"])
+
+
+@register(
+    "sim_ivfpq_incremental_append",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT list(e ORDER BY vec_id) AS cents FROM v WHERE vec_id < {_N_CENTROIDS}),
+    assigned AS (
+      SELECT vec_id, e, cs, list_position(cs, list_min(cs)) - 1 AS cid
+      FROM (SELECT v.vec_id, v.e,
+                   list_transform(cents, c -> ROUND(list_aggregate(
+                     list_transform(generate_series(1, {_DIM}),
+                                    i -> (e[i] - c[i]) * (e[i] - c[i])), 'sum'), 6)) AS cs
+            FROM v, cent)),
+    res AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(generate_series(1, {_DIM}),
+                            i -> a.e[i] - cents[a.cid + 1][i]) AS r
+      FROM assigned a, cent),
+    cb AS (
+      -- codebook trained on the BASE snapshot only (vec_id % 10 <> 9):
+      -- the delta arrives after training and must reuse the frozen
+      -- quantizer, exactly as the Spark append path does
+      SELECT list(r ORDER BY h, vec_id) AS cbs
+      FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, r FROM res
+            WHERE vec_id % 10 <> 9
+            ORDER BY h, vec_id LIMIT {_PQ_K})),
+    coded AS (
+      SELECT vec_id, cid,
+             list_transform(generate_series(0, {_PQ_M - 1}), m ->
+               list_position(
+                 list_transform(cbs, c -> {_duck_subdist('r', 'c', 'm')}),
+                 list_min(list_transform(cbs, c -> {_duck_subdist('r', 'c', 'm')}))) - 1
+             ) AS codes
+      FROM res, cb),
+    q AS (SELECT vec_id AS query_id, cid AS qcid, r AS qr FROM res
+          WHERE vec_id >= {_IVFPQ_Q0} AND vec_id < {_IVFPQ_Q0 + _N_QUERIES}),
+    adc AS (
+      SELECT q.query_id, q.qcid AS cell, c.vec_id,
+             ROUND(list_aggregate(list_transform(generate_series(0, {_PQ_M - 1}), m ->
+               {_duck_subdist('q.qr', 'cbs[c.codes[m + 1] + 1]', 'm')}), 'sum'), 6) AS d
+      FROM q JOIN coded c ON c.cid = q.qcid AND c.vec_id <> q.query_id, cb)
+    SELECT query_id,
+           CAST(cell AS BIGINT) AS cell,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS BIGINT)
+             AS rank,
+           vec_id AS neighbor_id,
+           d AS dist
+    FROM adc
+    QUALIFY rank <= {_TOPK}
+    """,
+)
+def sim_ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index INGEST lifecycle, completing the persist→serve story:
+    build the IVF-PQ index from a base snapshot (vec_id % 10 ≠ 9, ~90%
+    of the corpus), persist it, then :func:`ivfpq_append` the remaining
+    ~10% delta with the frozen quantizer and serve the standard query
+    set over the union.
+
+    The oracle rebuilds the FINAL state from scratch in DuckDB — full
+    corpus coded against the base-trained codebook — so it holds the
+    incremental path to the rebuild-equivalence invariant every
+    incremental index must satisfy: append-then-serve ≡
+    rebuild-then-serve, value-hashed.  A delta row coded against the
+    wrong centroid, a retrained codebook, or an append landing in the
+    wrong cell partition all break the hash.
+
+    Scale: the delta pays one assign+encode pass (broadcast centroids +
+    codebook, zero shuffles); the existing codes are NEVER rewritten —
+    parquet append into cell partitions.  Queries still read one cell
+    directory at nprobe=1."""
+    from dataframework_spark.sources.io import _scratch
+
+    delta_pred = F.col("vec_id") % 10 == 9
+    base = _scratch(sf_dir, "ivfpq_index_incr")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)  # append must start from the
+    ivfpq_persist(spark, sf_dir, base, predicate=~delta_pred)  # base only
+    ivfpq_append(spark, sf_dir, base, delta_pred)
     return ivfpq_serve(spark, sf_dir, base)

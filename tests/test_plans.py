@@ -474,3 +474,42 @@ def test_ivfpq_serve_from_fresh_session_matches(spark, sf_dir):
     fresh = spark.newSession()
     served = {tuple(r) for r in ivfpq_serve(fresh, sf_dir, base).collect()}
     assert built == served and len(built) > 0
+
+
+def test_ivfpq_append_never_rewrites_existing_codes(spark, sf_dir):
+    """Incremental ingest must be append-only: every code file written by
+    the base build survives the delta append byte-identically — the
+    existing index is never rewritten."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from dataframework_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_index_paths,
+        ivfpq_persist,
+    )
+    from dataframework_spark.sources.io import _scratch
+
+    base = _scratch(sf_dir, "ivfpq_index_appendtest")
+    shutil.rmtree(base, ignore_errors=True)
+    delta_pred = F.col("vec_id") % 10 == 9
+    ivfpq_persist(spark, sf_dir, base, predicate=~delta_pred)
+    codes = ivfpq_index_paths(base)["codes"]
+
+    def _files():
+        out = {}
+        for root, _, names in os.walk(codes):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = _files()
+    ivfpq_append(spark, sf_dir, base, delta_pred)
+    after = _files()
+    assert set(before) <= set(after) and len(after) > len(before)
+    for p, mtime in before.items():
+        assert after[p] == mtime, f"existing code file rewritten: {p}"
