@@ -2741,3 +2741,81 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(path) - F.length(F.regexp_replace(path, "/", ""))).cast("bigint").alias("path_depth"),
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J-digest — semi-join reduction via a broadcast key-hash bitmap
+# ---------------------------------------------------------------------------
+
+_DIG_BITS = 65536  # bitmap size (2^16 bits = 1024 longs = 8 KB)
+_DIG_WORDS = _DIG_BITS // 64
+
+
+@register(
+    "join_digest_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*)                      AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS sum_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_acctbal > 8000.0
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_digest_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction with an 8 KB key-hash bitmap: orders joining a
+    SELECTIVE customer subset (acctbal > 8000, ~1 in 8) first drop
+    against a broadcast bitmap of qualifying ``xxhash64(c_custkey)``
+    bits, so only surviving fact rows enter the exact join's exchange.
+
+    Why explicit: Spark's own runtime bloom-filter join pruning
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) is exactly this
+    — but it is deliberately OFF in this engine's session because the
+    optimizer loops on this build (``session.py:72``), and at 100 TB you
+    want the reduction even when the dim subset is far too large to
+    broadcast as keys.  The digest fixes that size asymmetry: it is 1024
+    (word, bits) rows ≈ 8 KB REGARDLESS of dim cardinality — always
+    broadcastable — while the exact join stays ``shuffle_hash`` (the
+    data-dependent-size side is never broadcast, the minhash OOM
+    discipline).  A single-hash bitmap has zero false negatives (same
+    hash, same key → same bit), so the exact join sees every true match;
+    false positives (~|keys|/65536 of non-matching rows) pay one extra
+    shuffle row each and die in the join — the oracle is the PLAIN join,
+    proving the prefilter changes nothing but cost.
+
+    Plan (asserted in ``tests/test_plans.py``): one orders scan →
+    broadcast-join the 1024-row digest on the word index + bit test →
+    shuffle-hash exact join with the filtered dim → group."""
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    qual = cust.where(F.col("c_acctbal") > 8000.0).select("c_custkey")
+    bucket_c = F.pmod(F.xxhash64("c_custkey"), F.lit(_DIG_BITS))
+    digest = (
+        qual.select(
+            (bucket_c / 64).cast("int").alias("word"),
+            (bucket_c % 64).cast("int").alias("bit"),
+        )
+        .select("word", F.expr("shiftleft(1L, bit)").alias("b"))
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    orders = load_table(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"],
+    )
+    bucket_o = F.pmod(F.xxhash64("o_custkey"), F.lit(_DIG_BITS))
+    pre = (
+        orders.withColumn("word", (bucket_o / 64).cast("int"))
+        .withColumn("bit", (bucket_o % 64).cast("int"))
+        .join(F.broadcast(digest), "word")  # inner: wordless rows can't match
+        .where(F.expr("(bits & shiftleft(1L, bit)) != 0"))
+        .drop("word", "bit", "bits")
+    )
+    return (
+        pre.join(qual.hint("shuffle_hash"), pre.o_custkey == qual.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

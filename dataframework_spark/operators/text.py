@@ -1043,3 +1043,87 @@ def text_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(-F.log("p")), 4).alias("cross_entropy"),
         F.round(F.avg("backed"), 4).alias("backoff_rate"),
     )
+
+
+@register(
+    "text_filter_verdicts",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks)                                                   AS n_tokens,
+             ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4)      AS distinct_ratio,
+             ROUND(len(list_filter(toks, t -> t IN {_SW_DUCK}))::DOUBLE
+                   / len(toks), 4)                                       AS stopword_ratio
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           distinct_ratio, stopword_ratio,
+           CASE
+             WHEN n_tokens < 30 THEN 'too_short'
+             WHEN n_tokens > 400 THEN 'too_long'
+             WHEN distinct_ratio < 0.3 THEN 'low_diversity'
+             WHEN stopword_ratio < 0.01 OR stopword_ratio > 0.5
+               THEN 'stopword_ratio'
+             ELSE 'pass'
+           END AS reject_reason,
+           (n_tokens BETWEEN 30 AND 400
+            AND distinct_ratio >= 0.3
+            AND stopword_ratio BETWEEN 0.01 AND 0.5) AS keep
+    FROM m
+    """,
+)
+def text_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document filter DECISION LOG: every document gets its measured
+    signals, a keep/drop verdict, and the FIRST failing rule as an
+    attributed reject reason — the audit trail a production corpus
+    filter materializes next to the filtered output (what was dropped,
+    and why, is the first question every downstream debugging session
+    asks; ``text_quality_score`` publishes only the per-(source, lang)
+    rollup of the same thresholds).
+
+    Rule precedence is fixed (length → diversity → stopword band), so
+    the reason string is deterministic; ratios round to 4 dp before the
+    band compares on BOTH engines (repo tie discipline — a ratio exactly
+    on a threshold must fall the same side cross-engine).
+
+    Scale shape: one scan, zero shuffles, zero joins — every signal is a
+    narrow codegen'd array expression per row; at 100 TB this runs
+    scan-bound and the verdict column partitions the corpus for the
+    write (``keep`` as a partition key gives filtered-corpus reads for
+    free)."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    t = docs.withColumn("toks", tokens())
+    n = F.size("toks")
+    nd = n.cast("double")
+    dr = F.round(F.size(F.array_distinct("toks")) / nd, 4)
+    swr = F.round(
+        F.expr(f"size(filter(toks, t -> array_contains({_SW_ARRAY}, t)))") / nd, 4
+    )
+    m = t.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        dr.alias("distinct_ratio"),
+        swr.alias("stopword_ratio"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 30, F.lit("too_short"))
+        .when(F.col("n_tokens") > 400, F.lit("too_long"))
+        .when(F.col("distinct_ratio") < 0.3, F.lit("low_diversity"))
+        .when(
+            (F.col("stopword_ratio") < 0.01) | (F.col("stopword_ratio") > 0.5),
+            F.lit("stopword_ratio"),
+        )
+        .otherwise(F.lit("pass"))
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "stopword_ratio",
+        reason.alias("reject_reason"),
+        (
+            F.col("n_tokens").between(30, 400)
+            & (F.col("distinct_ratio") >= 0.3)
+            & F.col("stopword_ratio").between(0.01, 0.5)
+        ).alias("keep"),
+    )

@@ -513,3 +513,17 @@ def test_ivfpq_append_never_rewrites_existing_codes(spark, sf_dir):
     assert set(before) <= set(after) and len(after) > len(before)
     for p, mtime in before.items():
         assert after[p] == mtime, f"existing code file rewritten: {p}"
+
+
+def test_digest_prefilter_shapes(spark, sf_dir):
+    """The digest join must broadcast (8 KB regardless of dim size), the
+    exact join must stay shuffle-hash (data-dependent side never
+    broadcast), and orders must scan exactly once — the prefilter reuses
+    the same scan, it does not add one."""
+    from dataframework_spark.operators.relational import join_digest_prefilter
+
+    df = join_digest_prefilter(spark, sf_dir)
+    p = plan_string(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "ShuffledHashJoin" in p, p
+    assert p.count("orders.parquet") == 1, p
