@@ -657,3 +657,80 @@ def corpus_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 corpus_shard_layout.__doc__ = corpus_shard_layout.__doc__.format(n=_N_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding-waste accounting
+# ---------------------------------------------------------------------------
+
+_LB_BUCKET = 32  # lengths round up to multiples of this for bucketing
+_LB_BATCH = 8  # documents per batch within a bucket
+
+
+@register(
+    "corpus_length_batching",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({DUCK_TOKENS_SQL}) AS n FROM documents),
+    b AS (
+      SELECT doc_id, n,
+             CAST(CEIL(n / {_LB_BUCKET}.0) * {_LB_BUCKET} AS BIGINT) AS bucket,
+             (row_number() OVER (PARTITION BY CAST(CEIL(n / {_LB_BUCKET}.0)
+                                               * {_LB_BUCKET} AS BIGINT)
+                                 ORDER BY doc_id) - 1) // {_LB_BATCH} AS batch_id
+      FROM t),
+    per_batch AS (
+      SELECT bucket, batch_id, COUNT(*) AS n_docs,
+             MAX(n) AS max_len, SUM(n) AS real_tokens
+      FROM b GROUP BY bucket, batch_id)
+    SELECT bucket,
+           COUNT(*)                                    AS n_batches,
+           CAST(SUM(n_docs) AS BIGINT)                 AS n_docs,
+           CAST(SUM(real_tokens) AS BIGINT)            AS real_tokens,
+           CAST(SUM(max_len * n_docs) AS BIGINT)       AS padded_tokens,
+           ROUND(1.0 - SUM(real_tokens)::DOUBLE
+                 / SUM(max_len * n_docs), 4)           AS waste_ratio
+    FROM per_batch GROUP BY bucket
+    """,
+)
+def corpus_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching with dynamic padding, and the padding-
+    waste bill: documents round up to {_LB_BUCKET}-token length buckets,
+    fill deterministic {_LB_BATCH}-doc batches in doc_id order within
+    each bucket, and every batch pads to ITS OWN max length — the
+    sequence-bucketing recipe every trainer uses because padding
+    everything to the global max burns most of the FLOPs on pad tokens.
+    The output prices the layout per bucket: real vs padded tokens and
+    the waste ratio (what fraction of the batch tensor is padding).
+
+    Deterministic end to end: bucket is a pure function of length, batch
+    assignment is ``row_number()`` over ``doc_id`` within the bucket —
+    reproducible run-over-run and engine-over-engine, never a hash
+    partitioner's whim.
+
+    Scale shape: one narrow length projection, ONE exchange (the bucket
+    window and both aggregates share the bucket key; ~corpus/{_LB_BUCKET}
+    distinct buckets).  The window ranks within buckets only — no global
+    sort; at 100 TB the same plan emits the (doc → shard, batch) manifest
+    the loader reads."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    t = docs.select("doc_id", F.size(tokens()).alias("n"))
+    bucket = (F.ceil(F.col("n") / float(_LB_BUCKET)) * _LB_BUCKET).cast("bigint")
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    b = t.withColumn("bucket", bucket).withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / _LB_BATCH)
+    )
+    per_batch = b.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n").alias("max_len"),
+        F.sum("n").alias("real_tokens"),
+    )
+    return per_batch.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("real_tokens").cast("bigint").alias("real_tokens"),
+        F.sum(F.col("max_len") * F.col("n_docs")).cast("bigint").alias("padded_tokens"),
+        F.round(
+            1.0 - F.sum("real_tokens") / F.sum(F.col("max_len") * F.col("n_docs")),
+            4,
+        ).alias("waste_ratio"),
+    )

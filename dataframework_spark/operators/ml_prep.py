@@ -1519,3 +1519,78 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ml_psi_drift.__doc__ = ml_psi_drift.__doc__.format(cut=_PSI_CUT)
+
+
+# ---------------------------------------------------------------------------
+# Contrastive-training prep: hard-negative mining
+# ---------------------------------------------------------------------------
+
+_HN_QUERIES = 8  # anchors = vec_id < 8 (the similarity family's convention)
+_HN_K = 5
+
+
+@register(
+    "ml_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {_HN_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             e.vec_id AS negative_id, e.label AS negative_label,
+             ROUND(list_cosine_similarity((q.embedding)::DOUBLE[], (e.embedding)::DOUBLE[]), 4) AS cos_sim
+      FROM q JOIN e ON e.label <> q.label)
+    SELECT anchor_id, anchor_label, negative_id, negative_label, cos_sim,
+           CAST(row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos_sim DESC, negative_id) AS BIGINT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= {_HN_K}
+    """,
+)
+def ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-{_HN_K} most-similar vectors with a DIFFERENT label —
+    the negatives that actually move a contrastive loss (random negatives
+    are trivially separable; the hard ones near the decision boundary
+    carry the gradient signal, per the standard dense-retrieval /
+    SimCLR-family recipe).
+
+    Self-pairs are excluded for free: an anchor shares its own label, and
+    the label-mismatch predicate is the semantically-correct exclusion
+    (same-label near-duplicates are POSITIVES, not negatives — an id-only
+    exclusion would mine them as false negatives).
+
+    Scale shape: identical to ``sim_cosine_topk`` — the anchor set
+    broadcasts, the corpus never shuffles, similarity is a codegen'd
+    ``zip_with``/``aggregate`` expression, top-k via per-anchor rank
+    windows over anchor-count-bounded scored rows.  At billions of
+    vectors the same mining runs over each anchor's ANN candidate set
+    (``sim_ivfpq_*``) instead of the full scan — mine within the cell,
+    exclude by label, rank identically."""
+    from dataframework_spark.functions.arrays import as_double, cosine_sql
+
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    e = emb.select("vec_id", as_double("embedding").alias("v"), "label")
+    q = e.where(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("anchor_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _HN_K)
+    )

@@ -527,3 +527,24 @@ def test_digest_prefilter_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     assert "ShuffledHashJoin" in p, p
     assert p.count("orders.parquet") == 1, p
+
+
+def test_hard_negatives_no_corpus_shuffle(spark, sf_dir):
+    """Hard-negative mining must broadcast the anchor set like the rest
+    of the similarity family — the corpus side never shuffles for the
+    scoring join."""
+    from dataframework_spark.operators.ml_prep import ml_hard_negatives
+
+    p = plan_string(ml_hard_negatives(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_length_batching_single_exchange(spark, sf_dir):
+    """Bucket window, per-batch aggregate, and per-bucket aggregate all
+    share the bucket hash partitioning: exactly one exchange."""
+    from dataframework_spark.operators.corpus import corpus_length_batching
+
+    df = corpus_length_batching(spark, sf_dir)
+    assert exchange_count(df) == 1, plan_string(df, mode="simple")
+    assert "Join" not in plan_string(df), plan_string(df)
