@@ -2819,3 +2819,81 @@ def join_digest_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A-sketch-audit — approx_percentile held to its rank-error contract
+# ---------------------------------------------------------------------------
+
+_QA_QS = (0.25, 0.5, 0.75, 0.95)
+_QA_ACC = 1000  # approx_percentile accuracy: rank error <= n / accuracy
+
+
+@register(
+    "agg_quantile_sketch_audit",
+    oracle=f"""
+    SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound
+    FROM (VALUES {", ".join(f"({q})" for q in _QA_QS)}) AS t(q)
+    ORDER BY q
+    """,
+)
+def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit ``approx_percentile`` against its own rank-error contract:
+    for each target quantile q the estimate's TRUE rank must sit within
+    ``n / {_QA_ACC}`` of ``q·n`` (the Greenwald-Khanna-style guarantee the
+    ``accuracy={_QA_ACC}`` parameter buys).  The sketch itself has no
+    cross-engine twin (engine-specific survey state), so — the
+    ``sim_ivf_kmeans`` / ``agg_hll_rollup`` pattern — the query emits one
+    falsifiable boolean per quantile and the oracle holds both engines to
+    the same verdicts: a sketch drifting outside its contract flips a row
+    to false and breaks the hash.
+
+    Why this op exists: ``agg_percentiles`` is the exact path (full sort
+    of the group), and the key-cardinality cost model (SCALE.md r5)
+    names sketches as the escape hatch at 100 TB — an escape hatch is
+    only trustworthy if its error contract is MEASURED, which is what
+    this audit does.
+
+    Plan: two scans of one column — the sketch aggregate (1 row out) and
+    one combined rank-audit aggregate (``sum(col <= est_q)`` for all
+    quantiles in a single pass, the 1-row estimate table broadcast) —
+    nothing shuffles but two 1-row aggregates."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_extendedprice"])
+    qs_sql = ", ".join(str(q) for q in _QA_QS)
+    est = li.agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array({qs_sql}), {_QA_ACC})"
+        ).alias("est"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    audit = (
+        li.crossJoin(F.broadcast(est))
+        .agg(
+            *[
+                F.sum(
+                    (F.col("l_extendedprice") <= F.expr(f"element_at(est, {i + 1})")).cast(
+                        "long"
+                    )
+                ).alias(f"rank_{i}")
+                for i in range(len(_QA_QS))
+            ],
+            F.first("n").alias("n"),
+        )
+    )
+    rows = audit.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        (
+                            F.abs(F.col(f"rank_{i}") - F.lit(q) * F.col("n"))
+                            <= F.col("n") / _QA_ACC + 1
+                        ).alias("within_bound"),
+                    )
+                    for i, q in enumerate(_QA_QS)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.q", "r.within_bound").orderBy("q")

@@ -1162,3 +1162,67 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_score"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E16 — marketing attribution: last-touch credit for purchases
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_lasttouch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('view', 'click') THEN event_type END AS touch
+      FROM events),
+    attr AS (
+      SELECT event_type, value,
+             last_value(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      FROM e)
+    SELECT COALESCE(last_touch, 'none') AS touch_type,
+           COUNT(*)                     AS n_purchases,
+           ROUND(SUM(value), 2)         AS sum_value
+    FROM attr WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent preceding view/click touch (strictly earlier rows — the
+    purchase row itself is never a touch), purchases with no prior touch
+    land in the honest ``'none'`` bucket instead of vanishing.  The
+    conversion-credit readout every marketing/growth pipeline computes;
+    first-touch and position-weighted variants are the same plan with a
+    different window aggregate.
+
+    Determinism: the touch window orders by ``(ts, event_id)`` so
+    same-timestamp events resolve identically cross-engine (repo tie
+    discipline), and ``last(..., ignorenulls)`` over
+    ``UNBOUNDED PRECEDING .. 1 PRECEDING`` is exact-prefix semantics in
+    both dialects.
+
+    Scale shape: ONE exchange on ``user_id`` (the attribution window),
+    then a 3-row aggregate — the sessionize/funnel family's plan; state
+    per user is one running value, nothing quadratic anywhere."""
+    ev = load_table(
+        spark, sf_dir, "events",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+    touch = F.when(F.col("event_type").isin("view", "click"), F.col("event_type"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = ev.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+    return (
+        attr.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("last_touch"), F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

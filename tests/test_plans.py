@@ -548,3 +548,32 @@ def test_length_batching_single_exchange(spark, sf_dir):
     df = corpus_length_batching(spark, sf_dir)
     assert exchange_count(df) == 1, plan_string(df, mode="simple")
     assert "Join" not in plan_string(df), plan_string(df)
+
+
+def test_quantile_sketch_audit_broadcasts_estimate(spark, sf_dir):
+    """The rank audit joins the 1-row sketch estimate onto the column
+    scan — that side must broadcast (a 1-row nested-loop is free; a
+    shuffle of lineitem to meet it would be fatal at scale), and the
+    only lineitem column read is l_extendedprice."""
+    from dataframework_spark.operators.relational import agg_quantile_sketch_audit
+
+    df = agg_quantile_sketch_audit(spark, sf_dir)
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    rs = " ".join(read_schemas(df))
+    assert "l_extendedprice" in rs and "l_comment" not in rs, rs
+
+
+def test_attribution_single_user_exchange(spark, sf_dir):
+    """Last-touch attribution is one exchange on user_id (the window)
+    plus the final 3-row aggregate — no joins anywhere; the purchase
+    filter must NOT push below the window (it would erase the touches
+    the window reads), so correctness here is the window-then-filter
+    ordering plus a join-free plan."""
+    from dataframework_spark.operators.temporal import events_attribution_lasttouch
+
+    df = events_attribution_lasttouch(spark, sf_dir)
+    p = plan_string(df)
+    assert "Join" not in p, p
+    assert exchange_count(df) <= 2, plan_string(df, mode="simple")
