@@ -1594,3 +1594,134 @@ def ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= _HN_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# T7 — leakage-safe split: near-dup clusters assigned whole, with the
+# leakage bill a naive per-document split would have paid
+# ---------------------------------------------------------------------------
+
+_LS_SEED = 42
+_LS_BUCKETS = 10
+_LS_TRAIN_BUCKETS = 8  # 80/20
+
+
+def _ls_bucket_sql(expr: str) -> str:
+    """Portable seeded hash bucket (Spark dialect): md5-prefix mod, the
+    ``sample_seeded_fraction`` idiom — identical in DuckDB, run-over-run
+    stable, repartition-invariant."""
+    return (
+        f"cast(conv(substring(md5(concat('{_LS_SEED}:', {expr})), 1, 15),"
+        f" 16, 10) as bigint) % {_LS_BUCKETS}"
+    )
+
+
+def _ls_bucket_duck(expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{_LS_SEED}:' || {expr}), 1, 15) AS BIGINT)"
+        f" % {_LS_BUCKETS}"
+    )
+
+
+def _leakage_safe_split_oracle() -> str:
+    from dataframework_spark.operators.dedup import _PAIRS_SQL_CTE
+
+    return f"""
+    WITH RECURSIVE
+    {_PAIRS_SQL_CTE},
+    nodes AS (SELECT doc_a AS node FROM edges UNION SELECT doc_b FROM edges),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT CASE WHEN r.node = e.doc_a THEN e.doc_b ELSE e.doc_a END, r.root
+      FROM reach r JOIN edges e ON r.node IN (e.doc_a, e.doc_b)),
+    comp AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node),
+    docs AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             CASE WHEN {_ls_bucket_duck("CAST(d.doc_id AS VARCHAR)")}
+                       < {_LS_TRAIN_BUCKETS} THEN 1 ELSE 0 END AS naive_train
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    pc AS (
+      SELECT cluster_id, COUNT(*) AS n,
+             MAX(naive_train) AS mx, MIN(naive_train) AS mn
+      FROM docs GROUP BY cluster_id),
+    g AS (
+      SELECT *,
+             CASE WHEN {_ls_bucket_duck("CAST(cluster_id AS VARCHAR)")}
+                       < {_LS_TRAIN_BUCKETS} THEN 'train' ELSE 'test' END AS split
+      FROM pc)
+    SELECT split,
+           CAST(SUM(n) AS BIGINT)                                    AS n_docs,
+           COUNT(*)                                                  AS n_clusters,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)    AS n_multi_doc_clusters,
+           CAST(SUM(CASE WHEN mx = 1 AND mn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                     AS n_leaky_clusters_naive
+    FROM g GROUP BY split ORDER BY split
+    """
+
+
+@register("ml_leakage_safe_split", oracle=_leakage_safe_split_oracle())
+def ml_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: every near-dup CLUSTER is assigned
+    whole (hash the cluster id, not the doc id), so no document can see a
+    near-duplicate of itself across the split boundary — the
+    train/eval-contamination failure a per-document split bakes in
+    silently.  The readout also bills the counterfactual: per split, how
+    many multi-doc clusters WOULD have straddled the boundary under the
+    naive per-document hash (`n_leaky_clusters_naive`) — the measured
+    leakage this operator removes, falsifiable cross-engine because both
+    the clustering and both hash assignments are exact.
+
+    Composition: connected components over the exact Jaccard ≥ 0.8 pair
+    graph (``dedup_clusters``), singletons keep their own doc_id as
+    cluster id, then the ``sample_seeded_fraction`` md5-bucket idiom on
+    the CLUSTER key for the 80/20 assignment.  At 100 TB the edge source
+    swaps to the MinHash-LSH pair stage (``dedup_minhash_lsh``) and the
+    CC loop is the same contract-then-iterate shape — the split/audit
+    plan downstream of the cluster ids is unchanged: one groupBy on
+    cluster_id, then a 2-row aggregate.
+
+    Excluded from replica sweeps for the same documented reason as its
+    edge source (`dedup_ngram_jaccard`): the replica makes every doc an
+    M-way near-dup, so the pair graph is ~M² by construction."""
+    from dataframework_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    comp = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    full = (
+        docs.join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            (
+                F.expr(_ls_bucket_sql("cast(doc_id as string)"))
+                < _LS_TRAIN_BUCKETS
+            ).cast("int").alias("naive_train"),
+        )
+    )
+    per_cluster = full.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("naive_train").alias("mx"),
+        F.min("naive_train").alias("mn"),
+    )
+    g = per_cluster.withColumn(
+        "split",
+        F.when(
+            F.expr(_ls_bucket_sql("cast(cluster_id as string)"))
+            < _LS_TRAIN_BUCKETS,
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    )
+    return (
+        g.groupBy("split")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum((F.col("n") > 1).cast("long")).alias("n_multi_doc_clusters"),
+            F.sum(((F.col("mx") == 1) & (F.col("mn") == 0)).cast("long")).alias(
+                "n_leaky_clusters_naive"
+            ),
+        )
+        .orderBy("split")
+    )

@@ -377,3 +377,40 @@ def test_recursive_streaks_restores_recursion_limit(spark, sf_dir):
         assert spark.conf.get(key) == "123456"
     finally:
         spark.conf.unset(key)
+
+
+def test_leakage_safe_split_invariants(spark, sf_dir):
+    """The grouped split must account for every document exactly once,
+    the naive-leakage bill can only come from multi-doc clusters, and a
+    cluster's documents must all land in the SAME split (the operator's
+    whole point) — checked by recomputing the per-doc assignment
+    independently of the summary aggregate."""
+    from pyspark.sql import functions as F
+
+    from dataframework_spark.catalog import load_table
+    from dataframework_spark.operators.dedup import dedup_clusters
+    from dataframework_spark.operators.ml_prep import ml_leakage_safe_split
+
+    rows = {r["split"]: r for r in ml_leakage_safe_split(spark, sf_dir).collect()}
+    assert set(rows) <= {"train", "test"} and "train" in rows
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs_total
+    assert sum(r["n_clusters"] for r in rows.values()) <= n_docs_total
+    for r in rows.values():
+        assert r["n_leaky_clusters_naive"] <= r["n_multi_doc_clusters"] <= r["n_clusters"]
+    # cluster coherence: within every near-dup cluster, exactly one
+    # grouped-split assignment (hash of the shared cluster id)
+    comp = dedup_clusters(spark, sf_dir)
+    from dataframework_spark.operators.ml_prep import _LS_TRAIN_BUCKETS, _ls_bucket_sql
+
+    per_cluster = (
+        comp.select(
+            "cluster_id",
+            (
+                F.expr(_ls_bucket_sql("cast(cluster_id as string)")) < _LS_TRAIN_BUCKETS
+            ).alias("is_train"),
+        )
+        .groupBy("cluster_id")
+        .agg(F.count_distinct("is_train").alias("n_assignments"))
+    )
+    assert per_cluster.where(F.col("n_assignments") != 1).count() == 0

@@ -63,6 +63,11 @@ EXCLUSIONS: dict[str, str] = {
         "iterative connected components over the near-dup pair graph: "
         "replica inflates edges ~M^2 and component diameter with M"
     ),
+    "ml_leakage_safe_split": (
+        "composes dedup_clusters (see above): the exact pair graph is "
+        "~M^2 on the replica; the production edge source at scale is the "
+        "swept dedup_minhash_lsh banding stage"
+    ),
     "pipeline_semantic_dedup": (
         "capstone composing the embedding near-dup pair stage (see "
         "dedup_embedding_cosine)"
