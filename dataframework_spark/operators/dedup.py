@@ -895,3 +895,114 @@ def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D9 — incremental dedup: a delta ingest checked against the base corpus
+# ---------------------------------------------------------------------------
+
+# Deterministic 80/20 base/fresh split (portable md5-prefix bucket, the
+# sample_seeded_fraction idiom).  The delta batch is synthesized with
+# realistic crawl mess — the dedup_url_normalize precedent — because the
+# corpus itself plants no EXACT dups: re-crawls of known pages
+# (doc_id % 5 of the base) and double-fetches inside the batch
+# (doc_id % 3 of the fresh docs), each under a new ingest doc_id.
+_INC_SEED = 17
+_INC_BUCKET_DUCK = (
+    f"CAST('0x' || substr(md5('{_INC_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 10"
+)
+_INC_BUCKET_SPARK = (
+    f"cast(conv(substring(md5(concat('{_INC_SEED}:', cast(doc_id as string))), 1, 15),"
+    " 16, 10) as bigint) % 10"
+)
+_INC_FP_DUCK = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, text, {_INC_BUCKET_DUCK} AS b FROM documents),
+    base AS (SELECT doc_id, text FROM b WHERE b < 8),
+    fresh AS (SELECT doc_id, text FROM b WHERE b >= 8),
+    delta AS (
+      SELECT doc_id, text FROM fresh
+      UNION ALL
+      SELECT doc_id + 100000, text FROM base WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text FROM fresh WHERE doc_id % 3 = 0),
+    base_fps AS (SELECT DISTINCT {_INC_FP_DUCK} AS fp FROM base),
+    dh AS (SELECT doc_id, {_INC_FP_DUCK} AS fp FROM delta),
+    marked AS (
+      SELECT d.doc_id, d.fp,
+             (bf.fp IS NOT NULL) AS in_base,
+             MIN(d.doc_id) OVER (PARTITION BY d.fp) AS first_doc
+      FROM dh d LEFT JOIN base_fps bf USING (fp)),
+    v AS (
+      SELECT fp,
+             CASE WHEN in_base THEN 'dup_of_base'
+                  WHEN doc_id = first_doc THEN 'new'
+                  ELSE 'dup_in_delta' END AS verdict
+      FROM marked)
+    SELECT verdict,
+           COUNT(*)           AS n_docs,
+           COUNT(DISTINCT fp) AS n_fps
+    FROM v GROUP BY verdict
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the per-ingest shape a 100 TB pipeline actually
+    runs: nobody re-deduplicates the whole corpus per crawl batch.  An
+    80/20 split stands in for base corpus vs fresh content; the delta
+    batch is a synthesized crawl (fresh docs + re-crawls of base pages +
+    double-fetches within the batch, each under a new ingest doc_id) so
+    every verdict class is NON-VACUOUS: ``dup_of_base`` (digest already
+    in the corpus), ``dup_in_delta`` (first seen earlier IN THIS BATCH —
+    keeper = min doc_id, the repo tie discipline), ``new`` (enters the
+    corpus).
+
+    Scale shape: the delta never carries text past the digest
+    projection, and the base side is digests only — at 100 TB that side
+    is the maintained digest INDEX (the ``sink_incremental_agg``
+    pattern: append the ``new`` digests after each ingest), not a corpus
+    rescan; here it is derived in-query so the oracle verifies the whole
+    contract.  The base-vs-delta join is ``shuffle_hash``-pinned (both
+    sides data-dependent — never broadcast those), and the within-batch
+    first-seen window reuses the join's fp partitioning, so the delta
+    pays ONE digest-keyed exchange."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    bucketed = docs.withColumn("b", F.expr(_INC_BUCKET_SPARK))
+    base = bucketed.where(F.col("b") < 8).select("doc_id", "text")
+    fresh = bucketed.where(F.col("b") >= 8).select("doc_id", "text")
+    delta = (
+        fresh
+        .unionAll(
+            base.where(F.col("doc_id") % 5 == 0)
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        .unionAll(
+            fresh.where(F.col("doc_id") % 3 == 0)
+            .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+        )
+    )
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    base_fps = (
+        base.select(fp.alias("fp")).distinct().withColumn("in_base", F.lit(True))
+    )
+    dh = delta.select("doc_id", fp.alias("fp"))
+    marked = dh.join(base_fps.hint("shuffle_hash"), "fp", "left")
+    first_doc = F.min("doc_id").over(Window.partitionBy("fp"))
+    verdict = (
+        F.when(F.col("in_base"), F.lit("dup_of_base"))
+        .when(F.col("doc_id") == first_doc, F.lit("new"))
+        .otherwise(F.lit("dup_in_delta"))
+    )
+    return (
+        marked.withColumn("verdict", verdict)
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_fps"),
+        )
+    )

@@ -2897,3 +2897,146 @@ def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return rows.select("r.q", "r.within_bound").orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# A-cms-audit — a deterministic Count-Min Sketch, overestimate measured
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4      # hash rows
+_CMS_W = 64     # buckets per row -> eps = e/64 ~ 0.0425, bound eps*N
+_CMS_TOP = 10
+_CMS_TAIL = 3000  # uniform tail cardinality behind the 4 geometric heads
+
+
+def _cms_key_spark() -> str:
+    # Two-tier synthetic stream key from pure integer ops on an md5-prefix
+    # hash (exactly portable): bits 0-3 plant 4 geometric heavy hitters
+    # (50% / 25% / 12.5% / 6.25% of rows), the remaining 1/16 of rows
+    # spread uniformly over a 3000-key tail via the independent high bits.
+    h = (
+        "cast(conv(substring(md5(concat('cmsk:', cast(l_orderkey as string), ':', "
+        "cast(l_linenumber as string))), 1, 15), 16, 10) as bigint)"
+    )
+    return (
+        f"case when {h} % 2 = 1 then 0 "
+        f"when {h} % 4 = 2 then 1 "
+        f"when {h} % 8 = 4 then 2 "
+        f"when {h} % 16 = 8 then 3 "
+        f"else 4 + cast(({h} div 16) % {_CMS_TAIL} as int) end"
+    )
+
+
+def _cms_key_duck() -> str:
+    h = (
+        "CAST('0x' || substr(md5('cmsk:' || CAST(l_orderkey AS VARCHAR) || ':' || "
+        "CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    return (
+        f"CASE WHEN {h} % 2 = 1 THEN 0 "
+        f"WHEN {h} % 4 = 2 THEN 1 "
+        f"WHEN {h} % 8 = 4 THEN 2 "
+        f"WHEN {h} % 16 = 8 THEN 3 "
+        f"ELSE 4 + CAST(({h} // 16) % {_CMS_TAIL} AS INT) END"
+    )
+
+
+def _cms_bucket_spark(jcol: str, kcol: str) -> str:
+    return (
+        f"cast(conv(substring(md5(concat('cms', cast({jcol} as string), ':', "
+        f"cast({kcol} as string))), 1, 15), 16, 10) as bigint) % {_CMS_W}"
+    )
+
+
+def _cms_bucket_duck(jexpr: str, kexpr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('cms' || CAST({jexpr} AS VARCHAR) || ':' || "
+        f"CAST({kexpr} AS VARCHAR)), 1, 15) AS BIGINT) % {_CMS_W}"
+    )
+
+
+_CMS_VALUES = ", ".join(f"({j})" for j in range(_CMS_D))
+
+
+@register(
+    "agg_cms_audit",
+    oracle=f"""
+    WITH keys AS (SELECT {_cms_key_duck()} AS k FROM lineitem),
+    cells AS (
+      SELECT d.j AS j, {_cms_bucket_duck('d.j', 'k')} AS bucket, COUNT(*) AS c
+      FROM keys CROSS JOIN (VALUES {_CMS_VALUES}) AS d(j)
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT k, COUNT(*) AS true_count FROM keys GROUP BY k
+      ORDER BY true_count DESC, k LIMIT {_CMS_TOP}),
+    est AS (
+      SELECT t.k, t.true_count, MIN(c.c) AS cms_est
+      FROM truth t
+      CROSS JOIN (VALUES {_CMS_VALUES}) AS d(j)
+      JOIN cells c
+        ON c.j = d.j AND c.bucket = {_cms_bucket_duck('d.j', 't.k')}
+      GROUP BY t.k, t.true_count)
+    SELECT k AS item_key,
+           CAST(true_count AS BIGINT)           AS true_count,
+           CAST(cms_est AS BIGINT)              AS cms_est,
+           CAST(cms_est - true_count AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def agg_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy-hitter audit with the overestimate MEASURED.
+
+    The sketch is 4x64 counters with portable md5-prefix row hashes, so
+    BOTH engines build the identical structure and the value hash
+    verifies the estimator itself (est = min over rows of the key's
+    cell) — no boolean hedging needed, the sketch is deterministic.  The
+    stream key is a synthesized two-tier distribution (4 geometric heavy
+    hitters over a 3000-key uniform tail, pure integer ops on the hash —
+    the ``dedup_url_normalize`` synthesis precedent), because CMS's
+    contract is exactly distribution-shaped: the output bills near-exact
+    estimates on the heads (overestimate << true) and collision-drowned
+    estimates on tail keys (est >> true), with every number hash-checked
+    cross-engine.  CMS never undercounts: ``overestimate >= 0`` by
+    construction and ``<= eps*N`` (eps = e/w) with prob 1-(1/e)^d.
+
+    Why this op exists next to ``agg_quantile_sketch_audit``: the
+    key-cardinality cost model (SCALE.md r5) names sketches as the
+    100 TB escape hatch for exact-distinct/heavy-hitter work, and an
+    escape hatch is only trustworthy if its error is measured.
+
+    Plan: the sketch build is ONE map-side-combinable aggregate — the x4
+    explode collapses to <= 256 cells per partition before the exchange,
+    so 100 TB of rows shuffles a few hundred counters per partition.
+    The 256-cell table is broadcast onto the 10-row probe set; truth is
+    one key-keyed aggregate (the exact pass the sketch replaces at
+    scale — kept here precisely so the audit can bill the difference)."""
+    li = load_table(
+        spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"]
+    ).select(F.expr(_cms_key_spark()).alias("k"))
+    js = F.array(*[F.lit(j) for j in range(_CMS_D)])
+    cells = (
+        li.withColumn("j", F.explode(js))
+        .withColumn("bucket", F.expr(_cms_bucket_spark("j", "k")))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "k")
+        .limit(_CMS_TOP)
+    )
+    probes = truth.withColumn("j", F.explode(js)).withColumn(
+        "bucket", F.expr(_cms_bucket_spark("j", "k"))
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("k", "true_count")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        F.col("k").alias("item_key"),
+        "true_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_count")).alias("overestimate"),
+    )

@@ -577,3 +577,36 @@ def test_attribution_single_user_exchange(spark, sf_dir):
     p = plan_string(df)
     assert "Join" not in p, p
     assert exchange_count(df) <= 2, plan_string(df, mode="simple")
+
+
+def test_incremental_dedup_shuffle_hash_pinned(spark, sf_dir):
+    """Incremental dedup joins two data-dependent digest sets — that join
+    must stay shuffle-hash (never broadcast, never sort-merge), and the
+    within-batch first-seen window must REUSE the join's fp partitioning:
+    total keyed exchanges = delta fp + base-distinct fp + final verdict
+    aggregate, exactly three."""
+    from dataframework_spark.operators.dedup import dedup_incremental_batch
+
+    df = dedup_incremental_batch(spark, sf_dir)
+    p = plan_string(df)
+    assert "ShuffledHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+    assert exchange_count(df) == 3, plan_string(df, mode="simple")
+
+
+def test_cms_audit_plan(spark, sf_dir):
+    """The CMS build must combine map-side (the x4 explode collapses to
+    <=256 cells per partition BEFORE its exchange), the 256-cell table
+    must broadcast onto the 10-row probe set, and the top-10 truth pass
+    must be TakeOrderedAndProject (no global sort).  Only the two key
+    columns may be read."""
+    from dataframework_spark.operators.relational import agg_cms_audit
+
+    df = agg_cms_audit(spark, sf_dir)
+    p = plan_string(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert "partial_count" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    rs = " ".join(read_schemas(df))
+    assert "l_orderkey" in rs and "l_comment" not in rs and "l_extendedprice" not in rs, rs
