@@ -1725,3 +1725,117 @@ def ml_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information — exact feature<->label dependence, one joint pass
+# ---------------------------------------------------------------------------
+
+_MI_PRICE_BIN = 50000  # fixed-width price bins: no global sort, unlike ntile
+
+# The synthetic tables are independent everywhere (measured: every natural
+# column pair carries < 0.001 nats), so the label plants a KNOWN
+# dependence — the agg_cms_audit / dedup_url_normalize synthesis
+# precedent: conversion probability 70% for pre-1996 orders vs 20% after,
+# with md5-prefix hash noise.  MI(year; label) then has a known ground
+# truth and the other two features are honest ~zero controls.
+_MI_LABEL_DUCK = """
+    CASE WHEN (CAST('0x' || substr(md5('mi:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+               AS BIGINT) % 10)
+              < (CASE WHEN year(o_orderdate) <= 1995 THEN 7 ELSE 2 END)
+         THEN 'hit' ELSE 'miss' END
+"""
+_MI_LABEL_SPARK = (
+    "case when (cast(conv(substring(md5(concat('mi:', cast(o_orderkey as string))),"
+    " 1, 15), 16, 10) as bigint) % 10)"
+    " < (case when year(o_orderdate) <= 1995 then 7 else 2 end)"
+    " then 'hit' else 'miss' end"
+)
+
+
+@register(
+    "ml_mutual_information",
+    oracle=f"""
+    WITH f AS (
+      SELECT {_MI_LABEL_DUCK} AS y,
+             UNNEST(['priority', 'year', 'price_bin']) AS feature,
+             UNNEST([o_orderpriority,
+                     CAST(year(o_orderdate) AS VARCHAR),
+                     CAST(CAST(floor(o_totalprice / {_MI_PRICE_BIN}) AS INT) AS VARCHAR)]) AS fv
+      FROM orders),
+    joint AS (
+      SELECT feature, fv, y, COUNT(*) AS n_xy FROM f GROUP BY 1, 2, 3),
+    m AS (
+      SELECT feature, fv, y, n_xy,
+             SUM(n_xy) OVER (PARTITION BY feature, fv) AS n_x,
+             SUM(n_xy) OVER (PARTITION BY feature, y)  AS n_y,
+             SUM(n_xy) OVER (PARTITION BY feature)     AS n
+      FROM joint)
+    SELECT feature,
+           ROUND(SUM((n_xy::DOUBLE / n) * ln(n_xy::DOUBLE * n / (n_x * n_y))), 6)
+             AS mi_nats,
+           ROUND(-SUM((n_xy::DOUBLE / n) * ln(n_x::DOUBLE / n)), 6) AS h_feature,
+           ROUND(-SUM((n_xy::DOUBLE / n) * ln(n_y::DOUBLE / n)), 6) AS h_label,
+           ROUND(SUM((n_xy::DOUBLE / n) * ln(n_xy::DOUBLE * n / (n_x * n_y)))
+                 / (-SUM((n_xy::DOUBLE / n) * ln(n_y::DOUBLE / n))), 6)
+             AS uncertainty_coef
+    FROM m GROUP BY feature
+    """,
+)
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mutual information between candidate features and a label —
+    the feature-relevance score a training pipeline computes before
+    paying to materialize a feature.  Three features are scored in one
+    pass (priority, order year, fixed-width price bin) against a label
+    with a PLANTED year-dependence (70% hit rate pre-1996 vs 20% after,
+    hash noise — the synthetic tables are measured-independent
+    everywhere, so a planted signal is the only way the readout can be
+    non-vacuous): ``year`` must surface real bits while ``priority`` and
+    ``price_bin`` are honest ~zero controls.  The output also bills
+    H(feature), H(label) and the uncertainty coefficient
+    U = MI/H(label).
+
+    MI, both entropies, and U all come from the SAME joint-count
+    aggregate via the identity H(X) = -Σ_xy p(x,y) ln p(x) — no second
+    scan, no join.  Feature bins are fixed-width (never ``ntile``: a
+    global-sort decile is a single-partition window at 100 TB; a width
+    bin is a stateless map).  Plan: one scan exploded x3, ONE
+    map-side-combinable joint aggregate (<= |labels| x |bins| x 3 rows
+    out per partition), then windows + final aggregate over the ~100-row
+    joint table — the data pays exactly one exchange."""
+    orders = load_table(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+    feats = F.array(
+        F.struct(F.lit("priority").alias("feature"),
+                 F.col("o_orderpriority").alias("fv")),
+        F.struct(F.lit("year").alias("feature"),
+                 F.year("o_orderdate").cast("string").alias("fv")),
+        F.struct(F.lit("price_bin").alias("feature"),
+                 F.floor(F.col("o_totalprice") / _MI_PRICE_BIN).cast("int").cast("string").alias("fv")),
+    )
+    f = orders.select(
+        F.expr(_MI_LABEL_SPARK).alias("y"), F.explode(feats).alias("e")
+    ).select("y", "e.feature", "e.fv")
+    joint = f.groupBy("feature", "fv", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+    n_x = F.sum("n_xy").over(Window.partitionBy("feature", "fv"))
+    n_y = F.sum("n_xy").over(Window.partitionBy("feature", "y"))
+    n = F.sum("n_xy").over(Window.partitionBy("feature"))
+    m = joint.select(
+        "feature",
+        (F.col("n_xy") / n).alias("p_xy"),
+        F.log(F.col("n_xy") * n / (n_x * n_y)).alias("lg_mi"),
+        F.log(n_x / n).alias("lg_x"),
+        F.log(n_y / n).alias("lg_y"),
+    )
+    return m.groupBy("feature").agg(
+        F.round(F.sum(F.col("p_xy") * F.col("lg_mi")), 6).alias("mi_nats"),
+        F.round(-F.sum(F.col("p_xy") * F.col("lg_x")), 6).alias("h_feature"),
+        F.round(-F.sum(F.col("p_xy") * F.col("lg_y")), 6).alias("h_label"),
+        F.round(
+            F.sum(F.col("p_xy") * F.col("lg_mi"))
+            / (-F.sum(F.col("p_xy") * F.col("lg_y"))),
+            6,
+        ).alias("uncertainty_coef"),
+    )

@@ -1549,3 +1549,89 @@ def sim_ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq_persist(spark, sf_dir, base, predicate=~delta_pred)  # base only
     ivfpq_append(spark, sf_dir, base, delta_pred)
     return ivfpq_serve(spark, sf_dir, base)
+
+
+# ---------------------------------------------------------------------------
+# NDCG — graded ranking quality of the ANN tier (recall sees hits; NDCG
+# sees where the hits LAND)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_ndcg_eval",
+    oracle=f"""
+    WITH brute AS ({_BRUTE_ORACLE}),
+    approx AS ({_LSH_ORACLE}),
+    idcg AS (
+      SELECT query_id,
+             SUM(({_TOPK} + 1 - rank) / log2(rank + 1)) AS idcg
+      FROM brute GROUP BY query_id),
+    dcg AS (
+      SELECT a.query_id,
+             COUNT(*) AS n_listed,
+             SUM(COALESCE({_TOPK} + 1 - b.rank, 0) / log2(a.rank + 1)) AS dcg
+      FROM approx a LEFT JOIN brute b
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY a.query_id)
+    SELECT i.query_id,
+           CAST(COALESCE(d.n_listed, 0) AS BIGINT) AS n_listed,
+           ROUND(COALESCE(d.dcg, 0), 4)            AS dcg,
+           ROUND(i.idcg, 4)                        AS idcg,
+           ROUND(COALESCE(d.dcg, 0) / i.idcg, 4)   AS ndcg
+    FROM idcg i LEFT JOIN dcg d USING (query_id)
+    """,
+)
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the LSH tier against the exact baseline — the graded
+    companion to ``sim_recall_eval``: recall counts how many true
+    neighbors the ANN tier returns, NDCG scores WHERE they land (a true
+    top-1 surfaced at position 5 costs rank-discounted credit).  Grades
+    come from the exact ranking (rel = 6 - true_rank), discount is
+    1/log2(pos + 1); both lists and their oracles are the registered
+    queries verbatim, so the metric is hash-checked end to end.
+
+    Queries whose LSH bucket is a singleton (empty candidate list) emit
+    an explicit ndcg = 0 row from the truth side — the ``sim_ivf_kmeans``
+    lesson: never let a missing group surface as a row-count mismatch.
+
+    At 100 TB this is the same sampled-eval loop as recall: exact top-k
+    on a query sample, ANN list from the serving tier, one broadcast
+    join per side — both sides are top-k outputs bounded by
+    N_QUERIES x TOPK, and both joins are broadcast-pinned because the
+    rank windows erase the size stats (the sim_recall_eval precedent)."""
+    grade = F.lit(_TOPK + 1) - F.col("rank")
+    truth = sim_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank", grade.alias("rel")
+    )
+    approx = sim_lsh_topk(spark, sf_dir).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.col("rank").alias("apos"),
+    )
+    idcg = truth.groupBy("query_id").agg(
+        F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).alias("idcg")
+    )
+    dcg = (
+        approx.join(
+            F.broadcast(truth.drop("rank")),
+            (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("aq")
+        .agg(
+            F.count(F.lit(1)).alias("n_listed"),
+            F.sum(
+                F.coalesce(F.col("rel"), F.lit(0)) / F.log2(F.col("apos") + 1)
+            ).alias("dcg"),
+        )
+    )
+    return (
+        idcg.join(F.broadcast(dcg), idcg.query_id == dcg.aq, "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_listed"), F.lit(0)).alias("n_listed"),
+            F.round(F.coalesce(F.col("dcg"), F.lit(0.0)), 4).alias("dcg"),
+            F.round(F.col("idcg"), 4).alias("idcg"),
+            F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 4).alias("ndcg"),
+        )
+    )

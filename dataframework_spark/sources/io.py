@@ -582,3 +582,91 @@ def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_price",
         F.round(F.col("sum_raw") / F.col("n_orders"), 2).alias("avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction: plan by running-sum bin-packing, then execute
+# ---------------------------------------------------------------------------
+
+_COMPACT_BATCHES = 40     # simulated ingest micro-batches (the small files)
+_COMPACT_TARGET = 25000   # target bytes per compacted file
+
+
+@register(
+    "sink_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT doc_id % {_COMPACT_BATCHES} AS batch_id,
+             COUNT(*) AS n_docs, SUM(n_chars) AS bytes
+      FROM documents GROUP BY 1),
+    plan AS (
+      SELECT batch_id, n_docs, bytes,
+             COALESCE(SUM(bytes) OVER (ORDER BY batch_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_COMPACT_TARGET} AS compact_file
+      FROM files)
+    SELECT CAST(compact_file AS BIGINT)       AS compact_file,
+           COUNT(*)                           AS n_input_files,
+           CAST(SUM(n_docs) AS BIGINT)        AS n_docs,
+           CAST(SUM(bytes) AS BIGINT)         AS bytes,
+           CAST(MIN(batch_id) AS BIGINT)      AS first_batch,
+           CAST(MAX(batch_id) AS BIGINT)      AS last_batch,
+           (MAX(batch_id) - MIN(batch_id) + 1 = COUNT(*)) AS contiguous,
+           ROUND(SUM(bytes)::DOUBLE / {_COMPACT_TARGET}, 4) AS fill_ratio
+    FROM plan GROUP BY compact_file
+    """,
+)
+def sink_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the between-ingests maintenance op every
+    lakehouse runs: {_COMPACT_BATCHES} simulated ingest micro-batches
+    (each a few KB — the classic streaming-sink fragmentation) are
+    bin-packed into ~{_COMPACT_TARGET}-byte target files by a running
+    byte sum over the file manifest (bin = cumulative-bytes-before div
+    target), and the compaction is then EXECUTED: rows are rewritten
+    partitioned by their compacted file and the emitted stats are
+    recomputed from the READ-BACK data, so the value hash proves the
+    compacted layout carries exactly the planned contents (the
+    ``sink_zorder_layout`` round-trip discipline).  Running-sum packing
+    keeps each output file a CONTIGUOUS batch range — billed by the
+    ``contiguous`` flag — so batch-ordered reads stay ordered after
+    compaction; ``fill_ratio`` bills how close each file lands to
+    target.
+
+    Scale shape: the plan runs on the file MANIFEST (one row per input
+    file — ~10^6 rows for a 100 TB table, one window over metadata, not
+    data), and the rewrite is one exchange of the data keyed by its
+    compacted file id.  The per-batch stats aggregate is map-side
+    combinable; the 40-row plan is broadcast back onto the docs."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "n_chars"])
+    docs = docs.withColumn("batch_id", F.col("doc_id") % _COMPACT_BATCHES)
+    files = docs.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("bytes")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    plan = files.withColumn(
+        "compact_file", F.floor(cum_before / _COMPACT_TARGET)
+    ).select("batch_id", "compact_file")
+    path = _scratch(sf_dir, "documents_compacted")
+    (
+        docs.join(F.broadcast(plan), "batch_id")
+        .repartition("compact_file")
+        .write.mode("overwrite")
+        .partitionBy("compact_file")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    per_file = back.groupBy("batch_id", "compact_file").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("bytes")
+    )
+    return per_file.groupBy(F.col("compact_file").cast("bigint").alias("compact_file")).agg(
+        F.count(F.lit(1)).alias("n_input_files"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("bytes").alias("bytes"),
+        F.min("batch_id").alias("first_batch"),
+        F.max("batch_id").alias("last_batch"),
+        (F.max("batch_id") - F.min("batch_id") + 1 == F.count(F.lit(1))).alias("contiguous"),
+        F.round(F.sum("bytes") / F.lit(float(_COMPACT_TARGET)), 4).alias("fill_ratio"),
+    )

@@ -610,3 +610,53 @@ def test_cms_audit_plan(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
     rs = " ".join(read_schemas(df))
     assert "l_orderkey" in rs and "l_comment" not in rs and "l_extendedprice" not in rs, rs
+
+
+def test_mutual_information_single_data_exchange(spark, sf_dir):
+    """MI, both entropies, and the uncertainty coefficient all derive
+    from ONE joint-count aggregate: no joins, map-side combine before
+    the joint exchange, one orders scan reading only the four referenced
+    columns; the marginal windows and final aggregate run over the
+    ~100-row joint table (two keyed exchanges total)."""
+    from dataframework_spark.operators.ml_prep import ml_mutual_information
+
+    df = ml_mutual_information(spark, sf_dir)
+    p = plan_string(df)
+    assert "Join" not in p, p
+    assert "partial_count" in p, p
+    assert p.count("orders.parquet") == 1, p
+    assert exchange_count(df) == 2, plan_string(df, mode="simple")
+    rs = " ".join(read_schemas(df))
+    assert "o_comment" not in rs and "o_custkey" not in rs, rs
+
+
+def test_ndcg_eval_joins_broadcast_pinned(spark, sf_dir):
+    """Both NDCG joins (approx->truth grade lookup, idcg->dcg assembly)
+    are top-k outputs bounded by N_QUERIES x TOPK whose rank windows
+    erase size stats — they must stay broadcast (the sim_recall_eval
+    precedent), never sort-merge or shuffle-hash."""
+    from dataframework_spark.operators.similarity import sim_ndcg_eval
+
+    p = plan_string(sim_ndcg_eval(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+def test_compaction_plan_physical_layout(spark, sf_dir):
+    """The compaction must actually execute: after the op runs, the
+    scratch layout has exactly one partition directory per compacted
+    file (6 at sf0.01 — 40 micro-batches packed to ~25 KB targets), and
+    the returned stats come from the read-back scan of that layout."""
+    import os
+
+    from dataframework_spark.sources.io import _scratch, sink_compaction_plan
+
+    df = sink_compaction_plan(spark, sf_dir)
+    rows = df.collect()
+    n_bins = len(rows)
+    assert all(r.contiguous for r in rows), rows
+    path = _scratch(sf_dir, "documents_compacted")
+    part_dirs = [d for d in os.listdir(path) if d.startswith("compact_file=")]
+    assert len(part_dirs) == n_bins, (part_dirs, n_bins)
+    p = plan_string(df)
+    assert "documents_compacted" in p, p
