@@ -278,9 +278,10 @@ def synth_wav(doc_id: int) -> bytes:
     )
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, int, float, int]:
-    """Parse a RIFF/WAVE container (chunk walk, word alignment) and
-    extract (sample_rate, n_samples, duration_ms, rms, n_zero_cross)."""
+def wav_samples(payload: bytes):
+    """Parse a RIFF/WAVE container (chunk walk, word alignment) into
+    ``(sample_rate, samples int32 ndarray)`` — the shared parser behind
+    :func:`decode_wav` and the VAD operator."""
     import struct
 
     import numpy as np
@@ -311,6 +312,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float, int]:
     s = np.frombuffer(data, dtype="<i2").astype(np.int32)
     if channels > 1:
         s = s.reshape(-1, channels).mean(axis=1)
+    return sr, s
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float, int]:
+    """Parse a RIFF/WAVE container and extract
+    (sample_rate, n_samples, duration_ms, rms, n_zero_cross)."""
+    import numpy as np
+
+    sr, s = wav_samples(payload)
     n = len(s)
     rms = round(float(np.sqrt(np.mean(s.astype(np.float64) ** 2))), 2)
     zc = int(np.sum(s[:-1] * s[1:] < 0))
@@ -639,3 +649,105 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.min("doc_id").alias("rep_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M6 — voice-activity detection over the REAL decode path
+# ---------------------------------------------------------------------------
+
+_VAD_FRAME = 160          # 20 ms @ 8 kHz
+_VAD_THRESH_SUMSQ = _VAD_FRAME * 100 * 100  # integer energy gate (no floats)
+
+
+def synth_wav_gated(doc_id: int) -> bytes:
+    """Valid 8 kHz mono PCM16 WAV with SILENCE GATES: sample
+    ``s_k = (doc_id*31 + k*17) mod 2003 - 1001`` except every frame f
+    (160 samples) with ``(f + doc_id) % 3 == 0`` is zeroed — so a VAD
+    has real speech/silence structure to find, phase-shifted per doc."""
+    import struct
+
+    import numpy as np
+
+    nf = 10 + doc_id % 8
+    n = nf * _VAD_FRAME
+    k = np.arange(n, dtype=np.int64)
+    s = (doc_id * 31 + k * 17) % 2003 - 1001
+    s[(k // _VAD_FRAME + doc_id) % 3 == 0] = 0
+    data = s.astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+@register(
+    "mm_audio_vad_segments",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, 10 + doc_id % 8 AS nf FROM documents),
+    a AS (
+      SELECT doc_id, nf,
+             list_transform(range(nf), f ->
+               CASE WHEN (f + doc_id) % 3 = 0 THEN 0
+                    WHEN list_sum(list_transform(range({_VAD_FRAME}), j ->
+                           ((doc_id*31 + (f*{_VAD_FRAME}+j)*17) % 2003 - 1001)
+                         * ((doc_id*31 + (f*{_VAD_FRAME}+j)*17) % 2003 - 1001)))
+                         > {_VAD_THRESH_SUMSQ}
+                    THEN 1 ELSE 0 END) AS act
+      FROM p)
+    SELECT doc_id,
+           CAST(nf AS BIGINT)            AS n_frames,
+           CAST(list_sum(act) AS BIGINT) AS n_active,
+           CAST(list_sum(list_transform(range(nf), f ->
+                 CASE WHEN act[f+1] = 1 AND (f = 0 OR act[f] = 0)
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS n_segments,
+           CAST(list_sum(act) * 20 AS BIGINT) AS active_ms
+    FROM a
+    """,
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gated voice-activity detection over the REAL decode path:
+    each doc's WAV (synthesized WITH silence gates — every third 20 ms
+    frame zeroed, phase-shifted per doc) is genuinely parsed back by the
+    RIFF chunk walker (:func:`wav_samples`), framed, and gated on an
+    INTEGER per-frame energy threshold (sum of squares — no float
+    compare anywhere), then consecutive active frames collapse into
+    segments.  This is the audio-pipeline pre-filter that decides which
+    spans are worth transcribing; the oracle replays frame energies and
+    the island count from the waveform's closed form without touching
+    bytes, so a parser bug (alignment, endianness) or an off-by-one in
+    the framing/segmentation flips the hash.
+
+    Scale shape: identical to ``mm_wav_decode`` — Arrow-batched
+    ``mapInPandas``, embarrassingly parallel, no shuffle at all; VAD
+    state (the previous frame's verdict) lives inside a doc, never
+    across rows."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id bigint, n_frames bigint, n_active bigint, "
+        "n_segments bigint, active_ms bigint"
+    )
+
+    def vad(doc_id: int) -> tuple[int, int, int, int]:
+        import numpy as np
+
+        _sr, s = wav_samples(synth_wav_gated(doc_id))
+        nf = len(s) // _VAD_FRAME
+        frames = s[: nf * _VAD_FRAME].astype(np.int64).reshape(nf, _VAD_FRAME)
+        act = (np.sum(frames * frames, axis=1) > _VAD_THRESH_SUMSQ).astype(np.int64)
+        starts = int(np.sum(act & np.concatenate(([1], 1 - act[:-1]))))
+        return nf, int(act.sum()), starts, int(act.sum()) * 20
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [vad(int(d)) for d in pdf["doc_id"]]
+            out = pd.DataFrame(
+                feats, columns=["n_frames", "n_active", "n_segments", "active_ms"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)

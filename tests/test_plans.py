@@ -660,3 +660,13 @@ def test_compaction_plan_physical_layout(spark, sf_dir):
     assert len(part_dirs) == n_bins, (part_dirs, n_bins)
     p = plan_string(df)
     assert "documents_compacted" in p, p
+
+
+def test_vad_no_shuffle(spark, sf_dir):
+    """VAD is embarrassingly parallel mapInPandas — zero keyed exchanges,
+    no joins; the only movement is the round-robin spread of the scan."""
+    from dataframework_spark.operators.multimodal import mm_audio_vad_segments
+
+    df = mm_audio_vad_segments(spark, sf_dir)
+    assert exchange_count(df) == 0, plan_string(df, mode="simple")
+    assert "Join" not in plan_string(df)
