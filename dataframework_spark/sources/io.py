@@ -644,7 +644,7 @@ def sink_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -1)
+    w = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -1)  # _GLOBAL_WINDOW_OK: input is the file MANIFEST (one row per input file — metadata, never data)
     cum_before = F.coalesce(F.sum("bytes").over(w), F.lit(0))
     plan = files.withColumn(
         "compact_file", F.floor(cum_before / _COMPACT_TARGET)
