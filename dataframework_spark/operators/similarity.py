@@ -1635,3 +1635,77 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 4).alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Radius search — ALL neighbors within a similarity threshold (top-k's
+# sibling: retrieval-for-dedup wants everything above τ, not a fixed k)
+# ---------------------------------------------------------------------------
+
+_RADIUS_TAU = 0.2
+
+
+@register(
+    "sim_radius_search",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_bucket_sql_duck('embedding')} AS bucket
+      FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+    s AS (
+      SELECT q.vec_id AS query_id,
+             ROUND({duck_cosine_sql('q.embedding', 'e.embedding')}, 4) AS c,
+             (e.bucket = q.bucket) AS same_bucket
+      FROM q JOIN e ON e.vec_id <> q.vec_id)
+    SELECT query_id,
+           CAST(SUM(CASE WHEN c >= {_RADIUS_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(SUM(CASE WHEN same_bucket THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(SUM(CASE WHEN same_bucket AND c >= {_RADIUS_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           ROUND(SUM(CASE WHEN same_bucket AND c >= {_RADIUS_TAU} THEN 1 ELSE 0 END)
+                 ::DOUBLE
+                 / SUM(CASE WHEN c >= {_RADIUS_TAU} THEN 1 ELSE 0 END), 4) AS recall
+    FROM s GROUP BY query_id
+    """,
+)
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search — top-k's sibling: near-dup
+    retrieval and decontamination want EVERY neighbor above a similarity
+    floor, not a fixed k.  For each query: the exact count of corpus
+    vectors with cosine >= {_RADIUS_TAU} (rounded to 4 dp before the
+    threshold compare, the repo tie discipline), the LSH same-bucket
+    candidate count, the candidates truly within the radius, and
+    the resulting radius recall — the number that decides whether the
+    bucketed tier may serve radius queries or must fall back to a wider
+    multi-probe.
+
+    Plan: ONE scored pass — the broadcast query set meets one corpus
+    scan and every output column is an aggregate of that scan (no second
+    join, no rank window).  At 100 TB: corpus never shuffles; radius
+    search over the bucketed layout prunes to the query's bucket(s),
+    and THIS query is the measurement that licenses the pruning."""
+    e = _corpus(spark, sf_dir).withColumn("bucket", F.expr(_bucket_sql_spark("v")))
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    s = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("c"),
+            (F.col("bucket") == F.col("qb")).alias("same_bucket"),
+        )
+    )
+    in_radius = (F.col("c") >= _RADIUS_TAU).cast("long")
+    cand = F.col("same_bucket").cast("long")
+    hit = (F.col("same_bucket") & (F.col("c") >= _RADIUS_TAU)).cast("long")
+    return s.groupBy("query_id").agg(
+        F.sum(in_radius).alias("n_true"),
+        F.sum(cand).alias("n_candidates"),
+        F.sum(hit).alias("n_hits"),
+        F.round(F.sum(hit) / F.sum(in_radius), 4).alias("recall"),
+    )

@@ -1226,3 +1226,92 @@ def events_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint — sequential drift detection with a planted step
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = 0.5   # slack per observation (in sigma units)
+_CUSUM_H = 5.0   # alarm threshold
+_CUSUM_STEP_DAY = 19  # planted step: day index >= 19 (20th day)
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+    lo AS (SELECT MIN(day) AS d0 FROM daily),
+    obs AS (
+      SELECT day, (day >= d0 + {_CUSUM_STEP_DAY}) AS planted,
+             n + CASE WHEN day >= d0 + {_CUSUM_STEP_DAY} THEN n // 4 ELSE 0 END AS x
+      FROM daily, lo),
+    base AS (
+      SELECT AVG(x) AS mu, STDDEV_SAMP(x) AS sigma FROM obs WHERE NOT planted),
+    z AS (
+      SELECT day, planted, x, (x - mu) / sigma AS z FROM obs, base),
+    p AS (
+      SELECT day, planted, x, z,
+             SUM(z - {_CUSUM_K}) OVER (ORDER BY day) AS pref
+      FROM z),
+    c AS (
+      SELECT day, planted, x, z, pref,
+             LEAST(0, MIN(pref) OVER (ORDER BY day)) AS minp
+      FROM p)
+    SELECT day,
+           CAST(x AS BIGINT)            AS n_observed,
+           planted,
+           ROUND(z, 4)                  AS z,
+           ROUND(pref - minp, 6)        AS cusum,
+           (ROUND(pref - minp, 6) > {_CUSUM_H}) AS alarm
+    FROM c
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over daily ingest volume — the
+    SEQUENTIAL drift monitor that catches slow regime shifts the per-day
+    z-score family (``events_anomaly_zscore``/``_mad``) misses, because
+    evidence ACCUMULATES: S_d = max(0, S_{{d-1}} + z_d - k).  The
+    recursion is computed in closed form as prefix-sum minus running
+    minimum (S_d = P_d - min(0, min_{{j<=d}} P_j)) — two calendar-sized
+    windows, no iteration.  A +25% volume step is PLANTED from day 20
+    (the ``ml_mutual_information`` precedent: the synthetic stream is
+    stationary, so a planted shift is the only non-vacuous test), the
+    baseline is fitted on the PRE-step window only — the honest
+    monitoring protocol — and both engines must agree on every cusum
+    value and alarm verdict (rounded before the threshold compare, the
+    repo tie discipline).
+
+    Scale shape: the raw scan collapses to one row per DAY before any
+    window math (map-side combinable; calendar-sized thereafter), the
+    2-row baseline broadcasts back, and the ordered windows run over the
+    ~30-row daily series."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts"])
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    lo = daily.agg(F.min("day").alias("d0"))
+    obs = (
+        daily.crossJoin(F.broadcast(lo))
+        .withColumn("planted", F.col("day") >= F.date_add(F.col("d0"), _CUSUM_STEP_DAY))
+        .withColumn(
+            "x", F.col("n") + F.when(F.col("planted"), F.expr("n div 4")).otherwise(F.lit(0))
+        )
+    )
+    base = obs.where(~F.col("planted")).agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sigma")
+    )
+    z = obs.crossJoin(F.broadcast(base)).withColumn(
+        "z", (F.col("x") - F.col("mu")) / F.col("sigma")
+    )
+    w = Window.orderBy("day")  # _GLOBAL_WINDOW_OK: input is the per-day aggregate (calendar-sized)
+    p = z.withColumn("pref", F.sum(F.col("z") - _CUSUM_K).over(w))
+    c = p.withColumn("minp", F.least(F.lit(0.0), F.min("pref").over(w)))  # _GLOBAL_WINDOW_OK: same calendar-sized series
+    cusum = F.round(F.col("pref") - F.col("minp"), 6)
+    return c.select(
+        "day",
+        F.col("x").alias("n_observed"),
+        "planted",
+        F.round("z", 4).alias("z"),
+        cusum.alias("cusum"),
+        (cusum > _CUSUM_H).alias("alarm"),
+    )

@@ -644,3 +644,130 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
     )
     return _run_to_table(win, spark)
+
+
+# ---------------------------------------------------------------------------
+# ST11 — watermark finalization audit: which windows the drain emitted,
+# with late arrivals planted to probe the drop-vs-merge rule
+# ---------------------------------------------------------------------------
+
+_LATE_WM_DAYS = 10    # watermark delay
+_LATE_SLICE_DAYS = 6  # natural ingest slice width (days)
+
+
+@register(
+    "stream_watermark_finalization",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, ts, CAST(ts AS DATE) AS day FROM events),
+    lo AS (SELECT MIN(day) AS d0 FROM base),
+    r AS (
+      SELECT event_id, ts, day,
+             (datediff('day', d0, day) // {_LATE_SLICE_DAYS})
+             + (CASE WHEN event_id % 17 = 0 THEN 1
+                     WHEN event_id % 23 = 0 THEN 2 ELSE 0 END) AS s
+      FROM base, lo),
+    -- the last batch's STARTING watermark is the largest the drain ever
+    -- applies: max event time over every batch except the last, minus
+    -- the delay (watermarks advance between batches, not within one)
+    fin AS (
+      SELECT MAX(ts) - INTERVAL {_LATE_WM_DAYS} DAY AS final_wm
+      FROM r WHERE s < (SELECT MAX(s) FROM r))
+    SELECT day,
+           COUNT(*)                                           AS n_total,
+           (CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= final_wm) AS finalized,
+           CAST(CASE WHEN CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= final_wm
+                     THEN COUNT(*) ELSE 0 END AS BIGINT)      AS n_emitted
+    FROM r, fin
+    GROUP BY day, final_wm
+    """,
+)
+def stream_watermark_finalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark finalization audit over a REAL multi-batch drain: events
+    are staged as 6-day ingest slices (one file per trigger) with two
+    planted straggler classes (``event_id % 17`` → one slice late,
+    ``% 23`` → two slices late), aggregated into daily windows in APPEND
+    mode under a 10-day watermark.  The audit bills, per day, whether
+    the drain FINALIZED the window and with how many rows.
+
+    Two measured semantics are pinned by the hash (both discovered by
+    running this build, not assumed from docs): (1) append-mode emission
+    uses each batch's STARTING watermark, so the largest watermark ever
+    applied is max-event-time-over-all-but-the-last-batch minus the
+    delay — the trailing ~{_LATE_WM_DAYS} days of windows stay OPEN
+    (unflushed state, not data loss) when the stream drains; (2) this
+    build MERGES late arrivals instead of dropping them (observed
+    ``numRowsDroppedByWatermark = 0``; a planted straggler lands in its
+    window if it arrives before finalization — guaranteed here because
+    displacement (2 slices = 12 d) never beats finalization lag
+    (ceil(watermark/slice) = 2 slices past the window's own)), so every
+    FINALIZED window must carry its COMPLETE count.  A Spark upgrade
+    that tightens late-row filtering flips ``n_emitted`` and breaks the
+    hash — exactly the alert a production pipeline wants before trusting
+    drained output.
+
+    Scale: staging is one bounded file per slice; state is one row per
+    open daily window, bounded by the watermark horizon."""
+    import os
+    import shutil
+
+    from dataframework_spark.catalog import load_table
+    from dataframework_spark.sources.io import _scratch
+
+    ev = load_table(spark, sf_dir, "events", columns=["event_id", "ts"])
+    lo = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    r = ev.crossJoin(F.broadcast(lo)).withColumn(
+        "s",
+        F.expr(f"datediff(to_date(ts), d0) div {_LATE_SLICE_DAYS}")
+        + F.when(F.col("event_id") % 17 == 0, 1)
+        .when(F.col("event_id") % 23 == 0, 2)
+        .otherwise(0),
+    )
+    path = _scratch(sf_dir, "events_late_slices")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    slice_ids = sorted(
+        row.s for row in r.select("s").distinct().collect()  # bounded: ~(span/6)+2 rows
+    )
+    tmp = _scratch(sf_dir, "events_late_tmp")
+    for s in slice_ids:
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            r.where(F.col("s") == s)
+            .select("event_id", "ts")
+            .coalesce(1)  # one ingest FILE per slice — the staging IS the point
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        # sequential renames give strictly ordered mtimes; names sort the
+        # same way, so the file source's (mtime, path) order is the slice
+        # order either way
+        os.replace(os.path.join(tmp, part), os.path.join(path, f"slice_{s:03d}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{_LATE_WM_DAYS} days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.to_date("w.start").alias("day"), "n")
+    )
+    emitted = _run_to_table(agg, spark, mode="append")
+    total = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return (
+        total.join(emitted, "day", "left")
+        .select(
+            "day",
+            "n_total",
+            F.col("n").isNotNull().alias("finalized"),
+            F.coalesce("n", F.lit(0)).alias("n_emitted"),
+        )
+    )

@@ -670,3 +670,47 @@ def test_vad_no_shuffle(spark, sf_dir):
     df = mm_audio_vad_segments(spark, sf_dir)
     assert exchange_count(df) == 0, plan_string(df, mode="simple")
     assert "Join" not in plan_string(df)
+
+
+def test_cusum_collapses_before_windows(spark, sf_dir):
+    """CUSUM's raw scan must collapse to per-day rows (map-side combine)
+    before any window math; baselines broadcast back — no shuffle of raw
+    events beyond the daily aggregate, no sort-merge joins."""
+    from dataframework_spark.operators.temporal import events_cusum_changepoint
+
+    df = events_cusum_changepoint(spark, sf_dir)
+    p = plan_string(df)
+    assert "partial_count" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_radius_search_one_scored_pass(spark, sf_dir):
+    """Radius search is ONE scored pass: broadcast query set onto one
+    corpus scan, every output column an aggregate of it — no second
+    join, no rank window, corpus never shuffles."""
+    from dataframework_spark.operators.similarity import sim_radius_search
+
+    df = sim_radius_search(spark, sf_dir)
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert p.count("embeddings.parquet") == 2, p  # corpus scan + query fetch
+    assert "Window" not in p, p
+
+
+def test_watermark_finalization_tail_open(spark, sf_dir):
+    """The drain must finalize exactly the windows whose end precedes the
+    last batch's starting watermark: a non-empty finalized prefix AND a
+    non-empty open tail (the trailing ~watermark-delay days), finalized
+    windows carrying their COMPLETE counts."""
+    from dataframework_spark.streaming import stream_watermark_finalization
+
+    rows = stream_watermark_finalization(spark, sf_dir).orderBy("day").collect()
+    fin = [r for r in rows if r.finalized]
+    open_tail = [r for r in rows if not r.finalized]
+    assert fin and open_tail, rows
+    assert all(r.n_emitted == r.n_total for r in fin), fin
+    assert all(r.n_emitted == 0 for r in open_tail), open_tail
+    # finalized prefix then open tail — no interleaving
+    assert max(r.day for r in fin) < min(r.day for r in open_tail)
