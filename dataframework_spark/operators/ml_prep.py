@@ -1839,3 +1839,266 @@ def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("uncertainty_coef"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid x CV scoring via sufficient statistics — the reference's own
+# workflow (param grid + folds + fit) run as pure aggregates
+# ---------------------------------------------------------------------------
+
+_CV_GRID_FOLDS = 3
+_CV_LAMBDAS = (0, 1000, 10000)
+_CVG_FOLD_DUCK = (
+    "CAST('0x' || substr(md5('cv:' || CAST(l_orderkey AS VARCHAR)), 1, 15)"
+    f" AS BIGINT) % {_CV_GRID_FOLDS}"
+)
+_CVG_FOLD_SPARK = (
+    "cast(conv(substring(md5(concat('cv:', cast(l_orderkey as string))), 1, 15),"
+    f" 16, 10) as bigint) % {_CV_GRID_FOLDS}"
+)
+_CVG_LAMBDA_VALUES = ", ".join(f"({v})" for v in _CV_LAMBDAS)
+
+
+@register(
+    "ml_grid_cv_scores",
+    oracle=f"""
+    WITH xy AS (
+      SELECT {_CVG_FOLD_DUCK} AS fold,
+             CAST(COUNT(*) AS DOUBLE)  AS x,
+             SUM(l_extendedprice)      AS y
+      FROM lineitem GROUP BY l_orderkey, fold),
+    fs AS (
+      SELECT fold, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM xy GROUP BY fold),
+    fs2 AS (
+      SELECT fold, n, sx, sy, sxy, sxx, syy,
+             SUM(n) OVER () AS tn, SUM(sx) OVER () AS tsx,
+             SUM(sy) OVER () AS tsy, SUM(sxy) OVER () AS tsxy,
+             SUM(sxx) OVER () AS tsxx
+      FROM fs),
+    m AS (
+      SELECT f.fold, l.lam,
+             (f.tn - f.n)      AS n_tr,
+             (f.tsx - f.sx)    AS sx_tr, (f.tsy - f.sy)   AS sy_tr,
+             (f.tsxy - f.sxy)  AS sxy_tr, (f.tsxx - f.sxx) AS sxx_tr,
+             f.n AS n_va, f.sx AS sx_va, f.sy AS sy_va,
+             f.sxy AS sxy_va, f.sxx AS sxx_va, f.syy AS syy_va
+      FROM fs2 f
+      CROSS JOIN (VALUES {_CVG_LAMBDA_VALUES}) AS l(lam)),
+    ab AS (
+      SELECT fold, lam, n_tr, n_va, sx_va, sy_va, sxy_va, sxx_va, syy_va,
+             (sxy_tr - sx_tr*sy_tr/n_tr)
+               / ((sxx_tr - sx_tr*sx_tr/n_tr) + lam) AS b,
+             sx_tr, sy_tr
+      FROM m),
+    ev AS (
+      SELECT fold, lam, n_tr, n_va,
+             b, (sy_tr - b*sx_tr) / n_tr AS a,
+             (syy_va + n_va*((sy_tr - b*sx_tr)/n_tr)*((sy_tr - b*sx_tr)/n_tr)
+              + b*b*sxx_va
+              - 2*((sy_tr - b*sx_tr)/n_tr)*sy_va - 2*b*sxy_va
+              + 2*((sy_tr - b*sx_tr)/n_tr)*b*sx_va) / n_va AS mse
+      FROM ab)
+    SELECT CAST(fold AS BIGINT)   AS fold,
+           CAST(lam AS BIGINT)    AS lam,
+           CAST(n_tr AS BIGINT)   AS n_train,
+           CAST(n_va AS BIGINT)   AS n_val,
+           ROUND(b, 4)            AS slope,
+           ROUND(a, 4)            AS intercept,
+           ROUND(mse, 2)          AS val_mse,
+           (ROW_NUMBER() OVER (PARTITION BY fold
+                               ORDER BY ROUND(mse, 2), lam) = 1) AS is_best
+    FROM ev
+    """,
+)
+def ml_grid_cv_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter grid x cross-validation scoring — the reference's
+    own workflow (``ParamGrid`` x ``get_cv_data`` x fit, SURVEY §2.5/2.7)
+    run end-to-end, Spark-first: a ridge-regularized 1-feature regression
+    (predict an order's revenue from its line count — a REAL dependence,
+    revenue is a sum over lines) fitted on each fold's TRAIN split for
+    every lambda in the grid and scored on the held-out fold.
+
+    The scale design is the point: the data is touched ONCE to produce
+    per-fold sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) — six
+    numbers per fold — and the ENTIRE grid search happens on that 3-row
+    table: train stats are totals-minus-fold, the ridge slope is
+    Sxy_c/(Sxx_c + λ), and validation MSE expands algebraically in the
+    held-out fold's moments (Σ(y-a-bx)² = Σy² + na² + b²Σx² - 2aΣy
+    - 2bΣxy + 2abΣx).  Folds x lambdas never multiply the data — at
+    100 TB a 1000-point grid costs the same single pass.  MSE is rounded
+    BEFORE the per-fold best-lambda rank (the repo tie discipline); with
+    n >> dims the unshrunk fit wins every fold and the matrix bills
+    exactly what each lambda costs.
+
+    Plan: ONE map-side-combinable per-order aggregate feeding one fold
+    aggregate (the fold key is a function of the grouping key, so both
+    collapse in the same exchange); everything after is broadcast of
+    1-3 row frames."""
+    li = load_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    xy = (
+        li.groupBy("l_orderkey", F.expr(_CVG_FOLD_SPARK).alias("fold"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x"),
+            F.sum("l_extendedprice").alias("y"),
+        )
+    )
+    fs = xy.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    wtot = Window.partitionBy()  # _GLOBAL_WINDOW_OK: 3-row fold-stats frame
+    fs2 = fs.select(
+        "*",
+        F.sum("n").over(wtot).alias("tn"), F.sum("sx").over(wtot).alias("tsx"),
+        F.sum("sy").over(wtot).alias("tsy"), F.sum("sxy").over(wtot).alias("tsxy"),
+        F.sum("sxx").over(wtot).alias("tsxx"),
+    )
+    lams = F.explode(F.array(*[F.lit(v) for v in _CV_LAMBDAS])).alias("lam")
+    m = fs2.select(
+        "fold", lams,
+        (F.col("tn") - F.col("n")).alias("n_tr"),
+        (F.col("tsx") - F.col("sx")).alias("sx_tr"),
+        (F.col("tsy") - F.col("sy")).alias("sy_tr"),
+        (F.col("tsxy") - F.col("sxy")).alias("sxy_tr"),
+        (F.col("tsxx") - F.col("sxx")).alias("sxx_tr"),
+        F.col("n").alias("n_va"), F.col("sx").alias("sx_va"),
+        F.col("sy").alias("sy_va"), F.col("sxy").alias("sxy_va"),
+        F.col("sxx").alias("sxx_va"), F.col("syy").alias("syy_va"),
+    )
+    b = (F.col("sxy_tr") - F.col("sx_tr") * F.col("sy_tr") / F.col("n_tr")) / (
+        (F.col("sxx_tr") - F.col("sx_tr") * F.col("sx_tr") / F.col("n_tr"))
+        + F.col("lam")
+    )
+    ab = m.withColumn("b", b).withColumn(
+        "a", (F.col("sy_tr") - F.col("b") * F.col("sx_tr")) / F.col("n_tr")
+    )
+    mse = (
+        F.col("syy_va")
+        + F.col("n_va") * F.col("a") * F.col("a")
+        + F.col("b") * F.col("b") * F.col("sxx_va")
+        - 2 * F.col("a") * F.col("sy_va")
+        - 2 * F.col("b") * F.col("sxy_va")
+        + 2 * F.col("a") * F.col("b") * F.col("sx_va")
+    ) / F.col("n_va")
+    ev = ab.withColumn("mse", mse)
+    w = Window.partitionBy("fold").orderBy(F.round("mse", 2), "lam")
+    return ev.select(
+        "fold",
+        F.col("lam").cast("bigint").alias("lam"),
+        F.col("n_tr").alias("n_train"),
+        F.col("n_va").alias("n_val"),
+        F.round("b", 4).alias("slope"),
+        F.round("a", 4).alias("intercept"),
+        F.round("mse", 2).alias("val_mse"),
+        (F.row_number().over(w) == 1).alias("is_best"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature join — strictly-before semantics, leakage billed
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_pit_feature_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type AS state
+      FROM ordered WHERE prev IS NULL OR prev <> event_type),
+    facts AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'),
+    u AS (
+      SELECT user_id, ts, event_id, 1 AS tag, state, NULL AS value FROM changes
+      UNION ALL
+      SELECT user_id, ts, event_id, 0 AS tag, NULL AS state, value FROM facts),
+    w AS (
+      SELECT user_id, ts, event_id, tag, value,
+             LAST_VALUE(state IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pit_state,
+             LAST_VALUE(state IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS naive_state
+      FROM u)
+    SELECT user_id, event_id,
+           COALESCE(pit_state, 'none')   AS pit_state,
+           COALESCE(naive_state, 'none') AS naive_state,
+           (COALESCE(pit_state, 'none') <> COALESCE(naive_state, 'none'))
+             AS leaky,
+           ROUND(value, 2) AS value
+    FROM w WHERE tag = 0
+    """,
+)
+def ml_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature lookup — the feature-store join that
+    keeps training data leakage-free: every purchase (the fact/label
+    row) is joined to the user's state from the SCD2 change stream
+    (``events_scd2_state``'s intervals) with STRICTLY-BEFORE semantics —
+    a state that became effective AT the purchase's own timestamp (often
+    BY the purchase event itself) must not be visible as a feature.  The
+    audit computes the naive as-of join alongside and bills ``leaky``
+    per row: exactly the rows whose feature would have included the
+    label event.
+
+    Spark-first plan: this is NOT an interval join — facts and state
+    changes UNION into one stream and both variants resolve with
+    last-non-null prefix windows that differ only in how ties at equal
+    timestamps order (dim-after-fact = strict, dim-before-fact = naive).
+    ONE exchange on user_id, two in-partition sorts, zero joins — the
+    same shape at any scale because state history shards by user."""
+    ev = load_table(
+        spark, sf_dir, "events",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+    prev = F.lag("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    ordered = ev.withColumn("prev", prev)
+    changes = ordered.where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    ).select(
+        "user_id", "ts", "event_id", F.lit(1).alias("tag"),
+        F.col("event_type").alias("state"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("tag"),
+        F.lit(None).cast("string").alias("state"), "value",
+    )
+    u = changes.unionByName(facts)
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_strict = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(*frame)
+    )
+    w_naive = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("tag").desc(), "event_id")
+        .rowsBetween(*frame)
+    )
+    resolved = u.select(
+        "user_id", "event_id", "tag", "value",
+        F.last("state", ignorenulls=True).over(w_strict).alias("pit_state"),
+        F.last("state", ignorenulls=True).over(w_naive).alias("naive_state"),
+    )
+    pit = F.coalesce("pit_state", F.lit("none"))
+    naive = F.coalesce("naive_state", F.lit("none"))
+    return resolved.where(F.col("tag") == 0).select(
+        "user_id", "event_id",
+        pit.alias("pit_state"),
+        naive.alias("naive_state"),
+        (pit != naive).alias("leaky"),
+        F.round("value", 2).alias("value"),
+    )

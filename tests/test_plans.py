@@ -714,3 +714,33 @@ def test_watermark_finalization_tail_open(spark, sf_dir):
     assert all(r.n_emitted == 0 for r in open_tail), open_tail
     # finalized prefix then open tail — no interleaving
     assert max(r.day for r in fin) < min(r.day for r in open_tail)
+
+
+def test_grid_cv_single_data_exchange(spark, sf_dir):
+    """The grid search must touch data exactly once: per-order and
+    per-fold aggregates collapse in one exchange chain (fold is a
+    function of the grouping key), and the lambda grid multiplies only
+    the 3-row sufficient-statistics frame — no joins of data, no grid
+    explode before aggregation."""
+    from dataframework_spark.operators.ml_prep import ml_grid_cv_scores
+
+    df = ml_grid_cv_scores(spark, sf_dir)
+    p = plan_string(df)
+    assert p.count("lineitem.parquet") == 1, p
+    assert "partial_count" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    rs = " ".join(read_schemas(df))
+    assert "l_comment" not in rs and "l_partkey" not in rs, rs
+
+
+def test_pit_feature_join_is_join_free(spark, sf_dir):
+    """PIT resolution must be the union-window shape: zero joins, one
+    exchange on user_id shared by both tie-order variants."""
+    from dataframework_spark.operators.ml_prep import ml_pit_feature_join
+
+    df = ml_pit_feature_join(spark, sf_dir)
+    p = plan_string(df)
+    assert "Join" not in p.replace("unionByName", ""), p
+    # two user-keyed exchanges: the change-detection lag window, then the
+    # union re-shards for the strict/naive resolution windows
+    assert exchange_count(df) == 2, plan_string(df, mode="simple")
