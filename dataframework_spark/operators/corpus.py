@@ -734,3 +734,124 @@ def corpus_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("waste_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span corruption — T5-style denoising pair generation, fully JVM-side
+# ---------------------------------------------------------------------------
+
+_SC_BLOCK = 5   # span width (tokens)
+_SC_MOD = 4     # 1-in-4 blocks masked -> ~25% corruption rate
+
+
+def _sc_mask_duck(i: str) -> str:
+    return (
+        f"CASE WHEN CAST('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR) || ':' "
+        f"|| CAST({i} AS VARCHAR)), 1, 15) AS BIGINT) % {_SC_MOD} = 0 THEN 1 ELSE 0 END"
+    )
+
+
+def _sc_mask_spark(i: str) -> str:
+    return (
+        f"case when cast(conv(substring(md5(concat('sc:', cast(doc_id as string), ':', "
+        f"cast({i} as string))), 1, 15), 16, 10) as bigint) % {_SC_MOD} = 0 "
+        "then 1 else 0 end"
+    )
+
+
+@register(
+    "corpus_span_corruption",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents),
+    b AS (SELECT doc_id, tk, len(tk) AS n,
+                 CAST(ceil(len(tk)/{_SC_BLOCK}.0) AS INT) AS nb FROM t),
+    m AS (SELECT doc_id, tk, n, nb,
+            list_transform(range(nb), i -> {_sc_mask_duck('i')}) AS mk
+          FROM b),
+    s AS (SELECT *, list_transform(range(nb), i -> list_sum(mk[1:i+1])) AS cum
+          FROM m),
+    parts AS (SELECT doc_id, n, nb, mk, cum, tk,
+       list_transform(range(nb), i ->
+         CASE WHEN mk[i+1] = 1
+              THEN '<extra_id_' || CAST(cum[i+1] AS VARCHAR) || '>'
+              ELSE array_to_string(tk[i*{_SC_BLOCK}+1 :
+                     least((i+1)*{_SC_BLOCK}, n)], ' ') END) AS in_parts,
+       list_transform(range(nb), i ->
+         CASE WHEN mk[i+1] = 1
+              THEN '<extra_id_' || CAST(cum[i+1] AS VARCHAR) || '> '
+                   || array_to_string(tk[i*{_SC_BLOCK}+1 :
+                        least((i+1)*{_SC_BLOCK}, n)], ' ')
+              ELSE NULL END) AS tgt_parts
+       FROM s)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(range(nb), i ->
+                  mk[i+1] * (least((i+1)*{_SC_BLOCK}, n) - i*{_SC_BLOCK})))
+                AS BIGINT) AS n_masked,
+           ROUND(list_sum(list_transform(range(nb), i ->
+                  mk[i+1] * (least((i+1)*{_SC_BLOCK}, n) - i*{_SC_BLOCK})))::DOUBLE
+                 / n, 4) AS mask_ratio,
+           array_to_string(in_parts, ' ') AS input_text,
+           COALESCE(array_to_string(list_filter(tgt_parts, x -> x IS NOT NULL),
+                                    ' '), '') AS target_text
+    FROM parts
+    """,
+)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption — the denoising-objective pair generator
+    of an encoder-decoder pretraining pipeline: each document's token
+    stream is cut into {_SC_BLOCK}-token blocks, a deterministic 1-in-
+    {_SC_MOD} of them (md5 of doc_id x block — the portable-hash idiom)
+    is replaced by ordered ``<extra_id_K>`` sentinels in the INPUT, and
+    the TARGET is the sentinel-prefixed concatenation of exactly the
+    masked spans.  The value hash covers both generated texts verbatim,
+    so sentinel numbering, span boundaries, and tail-block clipping are
+    all pinned cross-engine.
+
+    Scale shape: entirely JVM-side higher-order functions (transform /
+    aggregate / slice / array_join) over one scan — zero shuffles, zero
+    Python, embarrassingly parallel; the corruption schedule is a pure
+    function of (doc_id, block), so regeneration is reproducible across
+    epochs and workers by construction (no RNG state to coordinate)."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    B = _SC_BLOCK
+    mask_i = _sc_mask_spark("i")
+    return docs.selectExpr(
+        "doc_id",
+        r"split(trim(text), '\\s+') AS tk",
+    ).selectExpr(
+        "doc_id", "tk", "size(tk) AS n",
+        f"cast(ceil(size(tk)/{B}.0) as int) AS nb",
+    ).selectExpr(
+        "doc_id", "tk", "n", "nb",
+        f"transform(sequence(0, nb-1), i -> {mask_i}) AS mk",
+    ).selectExpr(
+        "doc_id", "tk", "n", "nb", "mk",
+        "transform(sequence(0, nb-1), i -> "
+        "aggregate(slice(mk, 1, i+1), 0, (a, x) -> a + x)) AS cum",
+    ).selectExpr(
+        "doc_id", "n",
+        f"""cast(aggregate(transform(sequence(0, nb-1), i ->
+              element_at(mk, i+1) * (least((i+1)*{B}, n) - i*{B})),
+              0, (a, x) -> a + x) as bigint) AS n_masked""",
+        f"""transform(sequence(0, nb-1), i ->
+              case when element_at(mk, i+1) = 1
+                   then concat('<extra_id_', cast(element_at(cum, i+1) as string), '>')
+                   else array_join(slice(tk, i*{B}+1, least({B}, n - i*{B})), ' ')
+              end) AS in_parts""",
+        f"""filter(transform(sequence(0, nb-1), i ->
+              case when element_at(mk, i+1) = 1
+                   then concat('<extra_id_', cast(element_at(cum, i+1) as string), '> ',
+                               array_join(slice(tk, i*{B}+1, least({B}, n - i*{B})), ' '))
+              end), x -> x is not null) AS tgt_parts""",
+    ).selectExpr(
+        "doc_id",
+        "cast(n as bigint) AS n_tokens",
+        "n_masked",
+        "round(cast(n_masked as double) / n, 4) AS mask_ratio",
+        "array_join(in_parts, ' ') AS input_text",
+        "array_join(tgt_parts, ' ') AS target_text",
+    )

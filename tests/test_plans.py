@@ -744,3 +744,14 @@ def test_pit_feature_join_is_join_free(spark, sf_dir):
     # two user-keyed exchanges: the change-detection lag window, then the
     # union re-shards for the strict/naive resolution windows
     assert exchange_count(df) == 2, plan_string(df, mode="simple")
+
+
+def test_span_corruption_jvm_only_no_shuffle(spark, sf_dir):
+    """Span corruption is pure JVM higher-order functions over one scan:
+    zero keyed exchanges, no Python stage, no joins."""
+    from dataframework_spark.operators.corpus import corpus_span_corruption
+
+    df = corpus_span_corruption(spark, sf_dir)
+    p = plan_string(df)
+    assert exchange_count(df) == 0, plan_string(df, mode="simple")
+    assert "Join" not in p and "PythonUDF" not in p and "mapInPandas" not in p.lower(), p
