@@ -3040,3 +3040,58 @@ def agg_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("true_count")).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W-drawdown — peak-to-trough tracking over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1),
+    dd AS (
+      SELECT day, revenue,
+             MAX(revenue) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM daily)
+    SELECT day, revenue,
+           peak,
+           ROUND((peak - revenue) / peak, 4)  AS drawdown_pct,
+           (revenue >= peak)                  AS is_new_peak,
+           ROUND(MAX((peak - revenue) / peak) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS max_drawdown_to_date
+    FROM dd
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-trough drawdown over the daily revenue series — the third
+    sequential monitor next to the z-score family and CUSUM
+    (``events_cusum_changepoint``): where CUSUM asks "has the level
+    shifted", drawdown asks "how far below the best-ever are we and how
+    bad has it gotten" — the SLA/volume-regression readout.  Running
+    peak and running worst-drawdown are both prefix extrema — plain
+    ordered windows, no recursion.
+
+    Plan: orders collapse map-side to one row per DAY (calendar-sized —
+    ~2.4k rows for the 7-year TPC-H span) before any window math; the
+    ordered windows run over that aggregate only, the repo's standard
+    calendar-series discipline."""
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)  # _GLOBAL_WINDOW_OK: input is the per-day aggregate (calendar-sized)
+    dd = daily.withColumn("peak", F.max("revenue").over(w))
+    ddp = (F.col("peak") - F.col("revenue")) / F.col("peak")
+    return dd.select(
+        "day", "revenue", "peak",
+        F.round(ddp, 4).alias("drawdown_pct"),
+        (F.col("revenue") >= F.col("peak")).alias("is_new_peak"),
+        F.round(F.max(ddp).over(w), 4).alias("max_drawdown_to_date"),
+    )

@@ -755,3 +755,48 @@ def test_span_corruption_jvm_only_no_shuffle(spark, sf_dir):
     p = plan_string(df)
     assert exchange_count(df) == 0, plan_string(df, mode="simple")
     assert "Join" not in p and "PythonUDF" not in p and "mapInPandas" not in p.lower(), p
+
+
+def test_drawdown_collapses_before_windows(spark, sf_dir):
+    """Drawdown's ordered windows run over the per-day aggregate only:
+    map-side combine before the exchange, no joins anywhere."""
+    from dataframework_spark.operators.relational import window_max_drawdown
+
+    df = window_max_drawdown(spark, sf_dir)
+    p = plan_string(df)
+    assert "partial_" in p, p
+    assert "Join" not in p, p
+
+
+def test_stickiness_explodes_aggregate_not_events(spark, sf_dir):
+    """The x7 interval-cover explode must run on the (user, day) DISTINCT
+    aggregate, never on raw events: the Generate sits above a
+    HashAggregate in the plan, and the dau-wau join is shuffle-hash
+    (both sides data-dependent)."""
+    from dataframework_spark.operators.temporal import events_dau_mau_stickiness
+
+    df = events_dau_mau_stickiness(spark, sf_dir)
+    p = plan_string(df, mode="simple")
+    gen = p.index("Generate explode")
+    assert "HashAggregate" in p[gen:], p  # distinct below the explode
+    assert "ShuffledHashJoin" in p and "SortMergeJoin" not in p, p
+
+
+def test_label_propagation_recovers_planted_partition(spark, sf_dir):
+    """The rounds run eagerly through localCheckpoint (lineage stays
+    flat — the iterative-Spark discipline), so the returned plan is just
+    a window over the checkpointed 25-row labels; assert the RESULT
+    structure instead: every node assigned, every community pure w.r.t.
+    the planted partition, and more than one community recovered."""
+    from dataframework_spark.operators.graph import graph_label_propagation
+
+    rows = graph_label_propagation(spark, sf_dir).collect()
+    assert len(rows) == 25
+    assert all(r.community_pure for r in rows), rows
+    communities = {r.community for r in rows}
+    assert len(communities) >= 5, communities
+    # each community maps onto exactly one planted group
+    by_comm = {}
+    for r in rows:
+        by_comm.setdefault(r.community, set()).add(r.planted_group)
+    assert all(len(g) == 1 for g in by_comm.values()), by_comm
