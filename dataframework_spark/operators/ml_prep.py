@@ -2102,3 +2102,103 @@ def ml_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pit != naive).alias("leaky"),
         F.round("value", 2).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding — the leakage-safe categorical encoder
+# (completes the leakage trio: ml_leakage_safe_split assigns rows,
+# ml_pit_feature_join bounds time, THIS bounds the fold a statistic sees)
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+_TE_SEED = 7
+_TE_SMOOTH = 20  # pseudo-count toward the out-of-fold prior
+
+
+@register(
+    "ml_target_encoding_oof",
+    oracle=f"""
+    WITH j AS (
+      SELECT c_nationkey AS nation_key,
+             {duck_seeded_order_sql('o_orderkey', seed=_TE_SEED)} % {_TE_FOLDS}
+               AS fold,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    g AS (
+      SELECT nation_key, fold,
+             CAST(COUNT(*) AS BIGINT) AS n_cf, CAST(SUM(y) AS BIGINT) AS s_cf
+      FROM j GROUP BY nation_key, fold),
+    t AS (
+      SELECT *,
+             SUM(n_cf) OVER (PARTITION BY nation_key) AS n_c,
+             SUM(s_cf) OVER (PARTITION BY nation_key) AS s_c,
+             SUM(n_cf) OVER (PARTITION BY fold) AS n_f,
+             SUM(s_cf) OVER (PARTITION BY fold) AS s_f,
+             SUM(n_cf) OVER () AS n_tot,
+             SUM(s_cf) OVER () AS s_tot
+      FROM g)
+    SELECT nation_key, fold, n_cf AS n_rows,
+           ROUND((s_c - s_cf + {_TE_SMOOTH} * (s_tot - s_f)::DOUBLE
+                  / (n_tot - n_f))
+                 / (n_c - n_cf + {_TE_SMOOTH}), 4) + 0.0 AS oof_enc,
+           ROUND(s_c::DOUBLE / n_c, 4) + 0.0 AS naive_enc,
+           ROUND(ROUND(s_c::DOUBLE / n_c, 4)
+                 - ROUND((s_c - s_cf + {_TE_SMOOTH} * (s_tot - s_f)::DOUBLE
+                          / (n_tot - n_f))
+                         / (n_c - n_cf + {_TE_SMOOTH}), 4), 4) + 0.0
+             AS leak_delta
+    FROM t
+    """,
+)
+def ml_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-safe way to turn a
+    high-cardinality categorical into a numeric feature: each fold's
+    encoding of a category uses ONLY the other folds' target statistics
+    (plus {_TE_SMOOTH} pseudo-counts toward the out-of-fold prior), so no
+    row's own label leaks into its own feature.  Category = customer
+    nation, target = (order status 'F'), folds = md5-bucketed on the
+    order key (the portable seeded-hash idiom).  Each row also bills the
+    NAIVE all-data encoding and the leakage delta the OOF form removed —
+    the number that justifies the extra window.
+
+    Plan/scale: one fact scan → one exchange keyed (category, fold); the
+    per-category / per-fold / global totals are windows over the
+    |categories|x{_TE_FOLDS} AGGREGATE (125 rows here — never the fact
+    table), so at 100 TB the cost is the same single map-side-combined
+    aggregate as a plain groupBy.  The dimension join is broadcast."""
+    o = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    c = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_nationkey").alias("nation_key"),
+        (seeded_order("o_orderkey", seed=_TE_SEED) % _TE_FOLDS).alias("fold"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    g = j.groupBy("nation_key", "fold").agg(
+        F.count(F.lit(1)).alias("n_cf"), F.sum("y").cast("bigint").alias("s_cf")
+    )
+    wc = Window.partitionBy("nation_key")
+    wf = Window.partitionBy("fold")
+    wt = Window.partitionBy()  # _GLOBAL_WINDOW_OK: |categories|x folds aggregate (125 rows)
+    t = (
+        g.withColumn("n_c", F.sum("n_cf").over(wc))
+        .withColumn("s_c", F.sum("s_cf").over(wc))
+        .withColumn("n_f", F.sum("n_cf").over(wf))
+        .withColumn("s_f", F.sum("s_cf").over(wf))
+        .withColumn("n_tot", F.sum("n_cf").over(wt))
+        .withColumn("s_tot", F.sum("s_cf").over(wt))
+    )
+    prior = (F.col("s_tot") - F.col("s_f")).cast("double") / (F.col("n_tot") - F.col("n_f"))
+    oof = F.round(
+        (F.col("s_c") - F.col("s_cf") + _TE_SMOOTH * prior)
+        / (F.col("n_c") - F.col("n_cf") + _TE_SMOOTH),
+        4,
+    )
+    naive = F.round(F.col("s_c").cast("double") / F.col("n_c"), 4)
+    return t.select(
+        "nation_key",
+        "fold",
+        F.col("n_cf").alias("n_rows"),
+        (oof + 0.0).alias("oof_enc"),
+        (naive + 0.0).alias("naive_enc"),
+        (F.round(naive - oof, 4) + 0.0).alias("leak_delta"),
+    )

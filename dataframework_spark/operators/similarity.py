@@ -1709,3 +1709,102 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).alias("n_hits"),
         F.round(F.sum(hit) / F.sum(in_radius), 4).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH — the follow-up sim_radius_search's measured verdict
+# forces: single-bucket radius recall is <= 0.24, so probe the Hamming
+# neighborhood of the query's bucket code instead of widening the tables
+# ---------------------------------------------------------------------------
+
+
+def _hamming_sql(xor_expr: str) -> str:
+    """Popcount of an 8-bit bucket-code XOR, written with only CASE and
+    bitwise ``&`` so the identical text works in Spark SQL and DuckDB."""
+    return " + ".join(
+        f"(CASE WHEN (({xor_expr}) & {1 << p}) <> 0 THEN 1 ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+
+
+@register(
+    "sim_multiprobe_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_bucket_sql_duck('embedding')} AS bucket
+      FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {_N_QUERIES}),
+    s AS (
+      SELECT q.vec_id AS query_id,
+             ROUND({duck_cosine_sql('q.embedding', 'e.embedding')}, 4) AS c,
+             ({_hamming_sql('xor(e.bucket, q.bucket)')}) AS ham
+      FROM q JOIN e ON e.vec_id <> q.vec_id)
+    SELECT query_id,
+           CAST(SUM(CASE WHEN c >= {_RADIUS_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(SUM(CASE WHEN ham = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cand_h0,
+           CAST(SUM(CASE WHEN ham = 0 AND c >= {_RADIUS_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_h0,
+           ROUND(SUM(CASE WHEN ham = 0 AND c >= {_RADIUS_TAU} THEN 1 ELSE 0 END)
+                 ::DOUBLE / SUM(CASE WHEN c >= {_RADIUS_TAU} THEN 1 ELSE 0 END),
+                 4) AS recall_h0,
+           CAST(SUM(CASE WHEN ham <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS cand_h1,
+           CAST(SUM(CASE WHEN ham <= 1 AND c >= {_RADIUS_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_h1,
+           ROUND(SUM(CASE WHEN ham <= 1 AND c >= {_RADIUS_TAU} THEN 1 ELSE 0 END)
+                 ::DOUBLE / SUM(CASE WHEN c >= {_RADIUS_TAU} THEN 1 ELSE 0 END),
+                 4) AS recall_h1,
+           CAST(SUM(CASE WHEN ham <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS cand_h2,
+           CAST(SUM(CASE WHEN ham <= 2 AND c >= {_RADIUS_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits_h2,
+           ROUND(SUM(CASE WHEN ham <= 2 AND c >= {_RADIUS_TAU} THEN 1 ELSE 0 END)
+                 ::DOUBLE / SUM(CASE WHEN c >= {_RADIUS_TAU} THEN 1 ELSE 0 END),
+                 4) AS recall_h2
+    FROM s GROUP BY query_id
+    """,
+)
+def sim_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH radius search — the upgrade ``sim_radius_search``'s
+    measured verdict forces (single-bucket radius recall <= 0.24): instead
+    of one bucket, probe every bucket whose {_N_PLANES}-bit code is within
+    Hamming distance 1 (9 buckets) or 2 (37 buckets) of the query's code
+    (Lv et al., VLDB'07 — flipping the least-confident hyperplane bits).
+    For each query the cost/recall CURVE is billed in one row: candidate
+    count and radius recall at probe depths 0, 1, and 2, against the same
+    exact radius truth (cosine >= {_RADIUS_TAU}, rounded to 4 dp).  The
+    number a deployment reads off: how many probes buy how much recall
+    before brute force is cheaper.
+
+    Plan/scale: the SAME one scored pass as ``sim_radius_search`` — the
+    broadcast query set meets one corpus scan, the Hamming distance is a
+    pure codegen'd bit expression on the two bucket codes, and every
+    output column is an aggregate of that scan (no per-probe join, no
+    rank window).  On a corpus bucketed by code at write time, probe
+    depth h scans C(8,<=h)/256 of the layout — 9/256 then 37/256 — which
+    is exactly the partition-pruning fraction this query prices."""
+    e = _corpus(spark, sf_dir).withColumn("bucket", F.expr(_bucket_sql_spark("v")))
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    s = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("c"),
+            F.expr(_hamming_sql("bucket ^ qb")).alias("ham"),
+        )
+    )
+    in_r = F.col("c") >= _RADIUS_TAU
+    n_true = F.sum(in_r.cast("long"))
+    aggs = [n_true.alias("n_true")]
+    for h in (0, 1, 2):
+        near = F.col("ham") <= h
+        hits = F.sum((near & in_r).cast("long"))
+        aggs += [
+            F.sum(near.cast("long")).alias(f"cand_h{h}"),
+            hits.alias(f"hits_h{h}"),
+            F.round(hits / n_true, 4).alias(f"recall_h{h}"),
+        ]
+    return s.groupBy("query_id").agg(*aggs)

@@ -800,3 +800,53 @@ def test_label_propagation_recovers_planted_partition(spark, sf_dir):
     for r in rows:
         by_comm.setdefault(r.community, set()).add(r.planted_group)
     assert all(len(g) == 1 for g in by_comm.values()), by_comm
+
+
+def test_multiprobe_lsh_one_scored_pass(spark, sf_dir):
+    """Multi-probe keeps radius search's one-scored-pass shape: the probe
+    depth is a pure bit expression on the two bucket codes, not a
+    per-probe join — broadcast query set, one corpus scan, no window."""
+    from dataframework_spark.operators.similarity import sim_multiprobe_lsh
+
+    df = sim_multiprobe_lsh(spark, sf_dir)
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert p.count("embeddings.parquet") == 2, p  # corpus scan + query fetch
+    assert "Window" not in p, p
+
+
+def test_multiprobe_lsh_recall_monotone(spark, sf_dir):
+    """Recall and candidate cost must be monotone in probe depth for every
+    query, and depth-1 must strictly beat single-bucket somewhere — the
+    measured claim that justifies multi-probe over table widening."""
+    from dataframework_spark.operators.similarity import sim_multiprobe_lsh
+
+    rows = sim_multiprobe_lsh(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cand_h0 <= r.cand_h1 <= r.cand_h2, r
+        assert r.hits_h0 <= r.hits_h1 <= r.hits_h2, r
+    assert any(r.hits_h2 > r.hits_h0 for r in rows), rows
+
+
+def test_target_encoding_oof_plan_and_invariants(spark, sf_dir):
+    """Fact rows cross one keyed exchange (the (category, fold) groupBy);
+    the dimension join is broadcast; all later windows run over the
+    125-row aggregate.  OOF must differ from the naive encoding (the
+    leakage it exists to remove) and folds must cover all orders."""
+    from dataframework_spark.operators.ml_prep import ml_target_encoding_oof
+    from dataframework_spark.catalog import load_table
+
+    df = ml_target_encoding_oof(spark, sf_dir)
+    p = plan_string(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+    rows = df.collect()
+    assert len(rows) == len({(r.nation_key, r.fold) for r in rows})
+    n_orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey"]).count()
+    assert sum(r.n_rows for r in rows) == n_orders
+    assert any(abs(r.leak_delta) > 0 for r in rows), "OOF never differed from naive"
+    for r in rows:
+        assert abs(r.naive_enc - r.oof_enc - r.leak_delta) < 5e-4, r
