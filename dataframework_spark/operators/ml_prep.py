@@ -2202,3 +2202,227 @@ def ml_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (naive + 0.0).alias("naive_enc"),
         (F.round(naive - oof, 4) + 0.0).alias("leak_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC AUC from score-distinct aggregates — the eval-metric anchor
+# (no global sort: the pair-counting identity needs only a prefix sum
+# over the DISTINCT-score aggregate, per group)
+# ---------------------------------------------------------------------------
+
+
+_AUC_SEED = 11
+_AUC_NOISE = 400000  # score = price + hash noise in [-200000, 200000)
+_AUC_CUT = 150000    # label = (o_totalprice > cut)
+
+
+@register(
+    "ml_auc_roc",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority AS priority,
+             o_totalprice
+               + {duck_seeded_order_sql('o_orderkey', seed=_AUC_SEED)}
+                 % {_AUC_NOISE} - {_AUC_NOISE // 2} AS score,
+             CASE WHEN o_totalprice > {_AUC_CUT} THEN 1 ELSE 0 END AS y
+      FROM orders),
+    g AS (
+      SELECT priority, score,
+             CAST(SUM(y) AS BIGINT) AS np, CAST(SUM(1 - y) AS BIGINT) AS nn
+      FROM o GROUP BY priority, score),
+    c AS (
+      SELECT *,
+             COALESCE(SUM(nn) OVER (PARTITION BY priority ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nn_below
+      FROM g)
+    SELECT priority,
+           CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg,
+           ROUND(SUM(np * (nn_below + 0.5 * nn))
+                 / (SUM(np)::DOUBLE * SUM(nn)), 4) + 0.0 AS auc,
+           ROUND(2 * SUM(np * (nn_below + 0.5 * nn))
+                 / (SUM(np)::DOUBLE * SUM(nn)) - 1, 4) + 0.0 AS gini
+    FROM c GROUP BY priority
+    """,
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (and Gini) per order priority — the ranking-quality
+    anchor of the eval-metric family (``ml_calibration_deciles`` checks
+    probability calibration; THIS checks discrimination).  The synthetic
+    tables are measured-independent (``ml_mutual_information``), so the
+    signal is PLANTED: label = (total price > {_AUC_CUT}), score = the
+    price corrupted by seeded-hash noise uniform over ~[-200k, 200k) — a
+    model of known, non-trivial quality the metric must price (measured
+    ~0.87 at sf0.01, strictly between chance and perfect).  AUC uses the
+    Mann-Whitney pair-counting identity with exact tie handling (ties
+    contribute 1/2), not trapezoid over a sampled curve.
+
+    Plan/scale: the textbook form sorts all N rows globally (rank-sum) —
+    a non-starter at 100 TB.  This plan aggregates to (group, DISTINCT
+    score) counts first, then one prefix window per group over that
+    aggregate gives sum_s np_s * (nn_below_s + nn_s/2), which IS the
+    exact U statistic.  Fact rows cross one keyed exchange; every window
+    runs on the distinct-score aggregate, partitioned per group (no
+    global window).  Score cardinality here is ~row count (continuous
+    scores); the documented escape hatch at 100 TB is score binning to a
+    fixed grid, which bounds the aggregate without changing the shape.
+    All summands are exact multiples of 0.5, so the cross-engine sum is
+    order-independent."""
+    o = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.col("o_totalprice")
+            + seeded_order("o_orderkey", seed=_AUC_SEED) % _AUC_NOISE
+            - _AUC_NOISE // 2
+        ).alias("score"),
+        (F.col("o_totalprice") > _AUC_CUT).cast("int").alias("y"),
+    )
+    g = o.groupBy("priority", "score").agg(
+        F.sum("y").cast("bigint").alias("np"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("nn"),
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.withColumn("nn_below", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    u = F.sum(F.col("np") * (F.col("nn_below") + 0.5 * F.col("nn")))
+    denom = F.sum("np").cast("double") * F.sum("nn")
+    return c.groupBy("priority").agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        (F.round(u / denom, 4) + 0.0).alias("auc"),
+        (F.round(2 * u / denom - 1, 4) + 0.0).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test — distribution drift as a DECISION
+# (PSI bills magnitude per bin; KS gives the sup-gap test statistic and
+# the alpha=0.05 verdict, from the same distinct-value aggregate shape)
+# ---------------------------------------------------------------------------
+
+_KS_C01 = 1.628  # c(alpha) for alpha = 0.01
+_KS_SEED = 13
+_KS_SHIFT_GROUP = "1-URGENT"  # the one group with planted drift
+_KS_SHIFT = 1.1
+
+
+@register(
+    "ml_ks_test",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority AS priority,
+             {duck_seeded_order_sql('o_orderkey', seed=_KS_SEED)} % 2 AS f,
+             CASE WHEN {duck_seeded_order_sql('o_orderkey', seed=_KS_SEED)} % 2
+                       = 1
+                   AND o_orderpriority = '{_KS_SHIFT_GROUP}'
+                  THEN ROUND(o_totalprice * {_KS_SHIFT}, 2)
+                  ELSE o_totalprice END AS price
+      FROM orders),
+    g AS (
+      SELECT priority, price,
+             CAST(SUM(f) AS BIGINT) AS nf, CAST(SUM(1 - f) AS BIGINT) AS nn
+      FROM o GROUP BY priority, price),
+    c AS (
+      SELECT *,
+             SUM(nf) OVER (PARTITION BY priority ORDER BY price
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cf,
+             SUM(nn) OVER (PARTITION BY priority ORDER BY price
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cn,
+             SUM(nf) OVER (PARTITION BY priority) AS tf,
+             SUM(nn) OVER (PARTITION BY priority) AS tn
+      FROM g),
+    d AS (
+      SELECT priority, price, tf, tn,
+             ABS(cf::DOUBLE / tf - cn::DOUBLE / tn) AS gap,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY ABS(cf::DOUBLE / tf - cn::DOUBLE / tn)
+                                  DESC, price) AS rn
+      FROM c)
+    SELECT priority,
+           CAST(tf AS BIGINT) AS n_b, CAST(tn AS BIGINT) AS n_a,
+           ROUND(gap, 4) + 0.0 AS ks_stat,
+           ROUND(price, 2) AS ks_at,
+           gap > {_KS_C01} * sqrt((tf + tn)::DOUBLE / (tf::DOUBLE * tn))
+             AS reject_01
+    FROM d WHERE rn = 1
+    """,
+)
+def ml_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per order priority, with a
+    PLANTED drift (the ``ml_mutual_information`` discipline — the
+    synthetic tables are measured-independent, so a null-only test would
+    be vacuous): each priority's orders are split into two halves by a
+    seeded hash, and in ONE group ({_KS_SHIFT_GROUP}) the second half's
+    prices are shifted by x{_KS_SHIFT}.  The test must reject exactly
+    there and accept the four untouched groups — both the detection and
+    the false-positive silence are part of the hash-checked answer.
+    Emits the exact sup-gap between the two empirical CDFs, the price
+    where it occurs (smallest such price on ties), and the alpha=0.05
+    decision via the asymptotic critical value c(0.01)*sqrt((n1+n2)/
+    (n1*n2)) — the DECISION face of the drift family (``ml_psi_drift``
+    bills magnitude per bin, THIS tests).
+
+    Plan/scale: same shape as ``ml_auc_roc`` — fact rows collapse to the
+    (group, DISTINCT value) aggregate in one keyed exchange, and the
+    empirical CDFs are prefix sums over that aggregate, partitioned per
+    group (no global window).  The sup-gap row is a rank-1 filter per
+    group.  Key cardinality = distinct prices per priority; at 100 TB
+    the documented escape hatch is value binning (cents, or the PSI
+    decile grid), which bounds the aggregate without changing the shape.
+    All CDF arithmetic is integer-count division — deterministic and
+    identical cross-engine."""
+    parity = seeded_order("o_orderkey", seed=_KS_SEED) % 2
+    o = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.when(
+            (parity == 1) & (F.col("o_orderpriority") == _KS_SHIFT_GROUP),
+            F.round(F.col("o_totalprice") * _KS_SHIFT, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        parity.alias("f"),
+    )
+    g = o.groupBy("priority", "price").agg(
+        F.sum("f").cast("bigint").alias("nf"),
+        F.sum(1 - F.col("f")).cast("bigint").alias("nn"),
+    )
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("priority")
+    c = (
+        g.withColumn("cf", F.sum("nf").over(wcum))
+        .withColumn("cn", F.sum("nn").over(wcum))
+        .withColumn("tf", F.sum("nf").over(wtot))
+        .withColumn("tn", F.sum("nn").over(wtot))
+    )
+    gap = F.abs(F.col("cf").cast("double") / F.col("tf") - F.col("cn").cast("double") / F.col("tn"))
+    d = c.withColumn("gap", gap).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("priority").orderBy(F.col("gap").desc(), F.col("price"))
+        ),
+    )
+    crit = _KS_C01 * F.sqrt(
+        (F.col("tf") + F.col("tn")).cast("double") / (F.col("tf").cast("double") * F.col("tn"))
+    )
+    return d.where(F.col("rn") == 1).select(
+        "priority",
+        F.col("tf").cast("bigint").alias("n_b"),
+        F.col("tn").cast("bigint").alias("n_a"),
+        (F.round("gap", 4) + 0.0).alias("ks_stat"),
+        F.round("price", 2).alias("ks_at"),
+        (F.col("gap") > crit).alias("reject_01"),
+    )

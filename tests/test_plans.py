@@ -850,3 +850,31 @@ def test_target_encoding_oof_plan_and_invariants(spark, sf_dir):
     assert any(abs(r.leak_delta) > 0 for r in rows), "OOF never differed from naive"
     for r in rows:
         assert abs(r.naive_enc - r.oof_enc - r.leak_delta) < 5e-4, r
+
+
+def test_auc_roc_planted_signal(spark, sf_dir):
+    """AUC must price the planted noisy-score model strictly between
+    chance and perfect in every group, with no join in the plan and all
+    windows partitioned (no global window over fact rows)."""
+    from dataframework_spark.operators.ml_prep import ml_auc_roc
+
+    df = ml_auc_roc(spark, sf_dir)
+    p = plan_string(df)
+    assert "Join" not in p, p
+    rows = df.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.8 < r.auc < 0.97, r
+        assert abs(r.gini - (2 * r.auc - 1)) < 5e-4, r
+
+
+def test_ks_test_rejects_only_planted_group(spark, sf_dir):
+    """The alpha=0.01 KS decision must fire exactly on the one group with
+    the planted x1.1 price shift — detection AND false-positive silence."""
+    from dataframework_spark.operators.ml_prep import ml_ks_test, _KS_SHIFT_GROUP
+
+    rows = ml_ks_test(spark, sf_dir).collect()
+    rejected = {r.priority for r in rows if r.reject_01}
+    assert rejected == {_KS_SHIFT_GROUP}, rows
+    for r in rows:
+        assert 0.0 <= r.ks_stat <= 1.0, r
