@@ -2426,3 +2426,129 @@ def ml_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("price", 2).alias("ks_at"),
         (F.col("gap") > crit).alias("reject_01"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection (Johnson-Lindenstrauss) distortion audit — measures
+# what dimensionality reduction actually costs before a pipeline commits
+# to projected embeddings for dedup/ANN
+# ---------------------------------------------------------------------------
+
+_RP_DIM = 64
+_RP_KS = (8, 16, 32)
+_RP_NVEC = 40   # fixed eval set: vec_id < 40 -> 780 pairs at ANY scale
+_RP_EPS = 0.3
+
+
+def _rp_sign(j: int, i: int) -> int:
+    """Deterministic Rademacher (+/-1) entry from md5 — identical constants
+    are inlined into both dialects' SQL at module import."""
+    import hashlib
+
+    h = hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()
+    return 1 if int(h[:2], 16) % 2 == 0 else -1
+
+
+def _rp_proj_spark(wcol: str, k: int) -> str:
+    terms = []
+    for j in range(k):
+        coefs = ", ".join(f"{_rp_sign(j, i)}D" for i in range(_RP_DIM))
+        d = (
+            f"aggregate(zip_with({wcol}, array({coefs}), (x, y) -> x * y), "
+            "0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(({d}) * ({d}))")
+    return f"({' + '.join(terms)}) / {k}"
+
+
+def _rp_proj_duck(wcol: str, k: int) -> str:
+    terms = []
+    for j in range(k):
+        coefs = ", ".join(str(_rp_sign(j, i)) for i in range(_RP_DIM))
+        d = f"list_dot_product(({wcol})::DOUBLE[], [{coefs}]::DOUBLE[])"
+        terms.append(f"(({d}) * ({d}))")
+    return f"({' + '.join(terms)}) / {k}"
+
+
+def _rp_oracle() -> str:
+    per_k = "\nUNION ALL\n".join(
+        f"""
+    SELECT {k} AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(MIN(({_rp_proj_duck('w', k)}) / base), 4) AS min_ratio,
+           ROUND(MAX(({_rp_proj_duck('w', k)}) / base), 4) AS max_ratio,
+           ROUND(AVG(({_rp_proj_duck('w', k)}) / base), 4) AS avg_ratio,
+           ROUND(AVG(CASE WHEN ABS(({_rp_proj_duck('w', k)}) / base - 1)
+                               <= {_RP_EPS}
+                          THEN 1.0 ELSE 0.0 END), 4) AS frac_within_eps
+    FROM p"""
+        for k in _RP_KS
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, (embedding)::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id < {_RP_NVEC}),
+    p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_transform(generate_series(1, {_RP_DIM}),
+                            i -> a.e[i] - b.e[i]) AS w,
+             list_dot_product(
+               list_transform(generate_series(1, {_RP_DIM}),
+                              i -> a.e[i] - b.e[i]),
+               list_transform(generate_series(1, {_RP_DIM}),
+                              i -> a.e[i] - b.e[i])) AS base
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    {per_k}
+    """
+
+
+@register("ml_random_projection", oracle=_rp_oracle())
+def ml_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project the embeddings to
+    k in {_RP_KS} dimensions with a deterministic Rademacher (+/-1)
+    matrix (md5-derived constants, identical in both dialects) and
+    MEASURE, over all pairs of a fixed {_RP_NVEC}-vector eval set, the
+    squared-distance distortion ||Rw||^2/(k) / ||w||^2 — min, max, mean,
+    and the fraction within 1 +/- {_RP_EPS}.  This is the number that
+    licenses (or forbids) running MinHash/ANN/dedup on projected
+    vectors: JL says the mean is 1 with variance ~2/k, and the audit
+    prices each k so a pipeline picks the smallest that preserves its
+    neighborhoods.  Projection of the pair DIFFERENCE equals the
+    difference of projections (linearity), so no projected vectors are
+    materialized at all.
+
+    Plan/scale: the eval set is a pushed-down ``vec_id < {_RP_NVEC}``
+    range scan — 780 pairs via broadcast self-join, CONSTANT cost at any
+    corpus scale (the eval-tier idiom); all {sum(_RP_KS)} projection dots
+    are codegen'd array expressions over the 64-wide diff vector.  At
+    100 TB the same audit runs unchanged: its input is the eval set, not
+    the corpus."""
+    v = _rp_corpus = load_table(
+        spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]
+    ).where(F.col("vec_id") < _RP_NVEC)
+    from dataframework_spark.functions.arrays import as_double
+
+    a = v.select(F.col("vec_id").alias("ia"), as_double("embedding").alias("va"))
+    b = v.select(F.col("vec_id").alias("ib"), as_double("embedding").alias("vb"))
+    p = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .withColumn("w", F.expr("zip_with(va, vb, (x, y) -> x - y)"))
+        .withColumn("base", F.expr("aggregate(w, 0D, (acc, v) -> acc + v * v)"))
+    )
+    for k in _RP_KS:
+        p = p.withColumn(f"r{k}", F.expr(_rp_proj_spark("w", k)) / F.col("base"))
+    stacked = p.select(
+        F.expr(
+            "stack({n}, {args}) as (k, ratio)".format(
+                n=len(_RP_KS),
+                args=", ".join(f"{k}, r{k}" for k in _RP_KS),
+            )
+        )
+    )
+    eps_ok = (F.abs(F.col("ratio") - 1) <= _RP_EPS).cast("double")
+    return stacked.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.min("ratio"), 4).alias("min_ratio"),
+        F.round(F.max("ratio"), 4).alias("max_ratio"),
+        F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+        F.round(F.avg(eps_ok), 4).alias("frac_within_eps"),
+    )

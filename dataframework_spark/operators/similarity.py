@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dataframework_spark.catalog import load_table
-from dataframework_spark.functions.arrays import as_double, cosine_sql, duck_cosine_sql
+from dataframework_spark.functions.arrays import (
+    as_double,
+    cosine_sql,
+    dot_sql,
+    duck_cosine_sql,
+    duck_dot_sql,
+)
 from dataframework_spark.registry import register
 
 _DIM = 64
@@ -1808,3 +1814,143 @@ def sim_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(hits / n_true, 4).alias(f"recall_h{h}"),
         ]
     return s.groupBy("query_id").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# MIPS via norm augmentation — serve MAX-INNER-PRODUCT queries on the
+# cosine LSH tier (Bachrach et al. '14: append sqrt(M^2 - |x|^2) to the
+# corpus, 0 to the query; inner-product order becomes cosine order)
+# ---------------------------------------------------------------------------
+
+_MIPS_K = 5
+
+
+def _bucket_aug_sql_spark(vcol: str, acol: str) -> str:
+    bits = []
+    for p in range(_N_PLANES):
+        coefs = ", ".join(f"{_plane_coef(p, i)}D" for i in range(_DIM))
+        dot = (
+            f"aggregate(zip_with({vcol}, array({coefs}), (x, y) -> x * y), "
+            f"0D, (acc, v) -> acc + v) + {_plane_coef(p, _DIM)}D * {acol}"
+        )
+        bits.append(f"(case when ({dot}) > 0 then {1 << p} else 0 end)")
+    return " + ".join(bits)
+
+
+def _bucket_aug_sql_duck(vcol: str, acol: str) -> str:
+    bits = []
+    for p in range(_N_PLANES):
+        coefs = ", ".join(str(_plane_coef(p, i)) for i in range(_DIM))
+        dot = (
+            f"list_dot_product(({vcol})::DOUBLE[], [{coefs}]::DOUBLE[])"
+            f" + ({_plane_coef(p, _DIM)}) * {acol}"
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@register(
+    "sim_mips_transform",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {duck_dot_sql('embedding', 'embedding')} AS n2
+      FROM embeddings),
+    m AS (SELECT MAX(n2) AS m2 FROM e),
+    ea AS (
+      SELECT vec_id, embedding,
+             {_bucket_aug_sql_duck('embedding', 'sqrt(m.m2 - e.n2)')} AS bucket
+      FROM e, m),
+    q AS (
+      SELECT vec_id, embedding,
+             {_bucket_sql_duck('embedding')} AS qb
+      FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    s AS (
+      SELECT q.vec_id AS query_id, ea.vec_id AS nid,
+             ROUND({duck_dot_sql('q.embedding', 'ea.embedding')}, 4) AS ip,
+             ({_hamming_sql('xor(ea.bucket, q.qb)')}) AS ham
+      FROM q JOIN ea ON ea.vec_id <> q.vec_id),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ip DESC, nid) AS rnk
+      FROM s)
+    SELECT query_id,
+           CAST(SUM(CASE WHEN ham = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+           CAST(SUM(CASE WHEN ham = 0 AND rnk <= {_MIPS_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(SUM(CASE WHEN ham = 0 AND rnk <= {_MIPS_K} THEN 1 ELSE 0 END)
+                 ::DOUBLE / {_MIPS_K}, 4) AS recall,
+           CAST(SUM(CASE WHEN ham <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cand_h2,
+           CAST(SUM(CASE WHEN ham <= 2 AND rnk <= {_MIPS_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit_h2,
+           ROUND(SUM(CASE WHEN ham <= 2 AND rnk <= {_MIPS_K} THEN 1 ELSE 0 END)
+                 ::DOUBLE / {_MIPS_K}, 4) AS recall_h2,
+           MAX(CASE WHEN rnk = 1 THEN ip END) AS top_ip
+    FROM r GROUP BY query_id
+    """,
+)
+def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search served by the COSINE LSH tier via the
+    norm-augmentation reduction (Bachrach et al., RecSys'14): every
+    corpus vector is extended with a coordinate sqrt(M^2 - |x|^2) (M =
+    max corpus norm), queries with 0 — all augmented corpus vectors then
+    share norm M, so inner-product order IS cosine order and the
+    existing hyperplane buckets (extended by one plane coefficient for
+    the new coordinate) serve MIPS unchanged.  The row per query bills
+    what a deployment needs: same-augmented-bucket candidate count,
+    exact-MIPS top-{_MIPS_K} hits among them, recall@{_MIPS_K}, the same
+    three at Hamming probe depth 2 (the ``sim_multiprobe_lsh`` fix,
+    applied to the augmented codes), and the true top inner product.
+    This matters because recommendation scoring is MIPS, not cosine —
+    and this reduction is what lets ONE bucketed index layout serve
+    both.
+
+    Plan/scale: M^2 is a 1-row aggregate broadcast onto one corpus scan
+    (the tiny-aggregate crossJoin idiom); the scored pass is the family's
+    broadcast-query/one-corpus-scan shape with a rank window per query.
+    The corpus never shuffles; the augmentation is a codegen'd
+    expression, so an existing cosine index layout needs only the one
+    extra stored coordinate."""
+    e = _corpus(spark, sf_dir).withColumn("n2", F.expr(dot_sql("v", "v")))
+    m2 = e.agg(F.max("n2").alias("m2"))
+    ea = e.crossJoin(F.broadcast(m2)).withColumn(
+        "bucket", F.expr(_bucket_aug_sql_spark("v", "sqrt(m2 - n2)"))
+    )
+    q = (
+        _corpus(spark, sf_dir)
+        .where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.expr(_bucket_sql_spark("v")).alias("qb"),
+        )
+    )
+    s = (
+        F.broadcast(q)
+        .join(ea, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            F.round(F.expr(dot_sql("qv", "v")), 4).alias("ip"),
+            F.expr(_hamming_sql("bucket ^ qb")).alias("ham"),
+        )
+    )
+    r = s.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("nid"))
+        ),
+    )
+    topk = F.col("rnk") <= _MIPS_K
+    hit0 = ((F.col("ham") == 0) & topk).cast("long")
+    hit2 = ((F.col("ham") <= 2) & topk).cast("long")
+    return r.groupBy("query_id").agg(
+        F.sum((F.col("ham") == 0).cast("long")).alias("n_cand"),
+        F.sum(hit0).alias("n_hit"),
+        F.round(F.sum(hit0) / _MIPS_K, 4).alias("recall"),
+        F.sum((F.col("ham") <= 2).cast("long")).alias("n_cand_h2"),
+        F.sum(hit2).alias("n_hit_h2"),
+        F.round(F.sum(hit2) / _MIPS_K, 4).alias("recall_h2"),
+        F.max(F.when(F.col("rnk") == 1, F.col("ip"))).alias("top_ip"),
+    )

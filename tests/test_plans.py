@@ -878,3 +878,33 @@ def test_ks_test_rejects_only_planted_group(spark, sf_dir):
     assert rejected == {_KS_SHIFT_GROUP}, rows
     for r in rows:
         assert 0.0 <= r.ks_stat <= 1.0, r
+
+
+def test_mips_transform_plan_and_monotone(spark, sf_dir):
+    """MIPS-via-augmentation keeps the family shape: broadcast 1-row max
+    norm + broadcast query set onto one corpus scan, no sort-merge; probe
+    depth 2 must dominate single-bucket on candidates and hits."""
+    from dataframework_spark.operators.similarity import sim_mips_transform
+
+    df = sim_mips_transform(spark, sf_dir)
+    p = plan_string(df)
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.n_cand <= r.n_cand_h2 and r.n_hit <= r.n_hit_h2, r
+    assert any(r.n_hit_h2 > r.n_hit for r in rows), rows
+
+
+def test_random_projection_jl_contract(spark, sf_dir):
+    """The measured distortion must follow JL: mean ratio near 1 for all
+    k, and the within-eps fraction strictly improving as k grows."""
+    from dataframework_spark.operators.ml_prep import ml_random_projection
+
+    rows = {r.k: r for r in ml_random_projection(spark, sf_dir).collect()}
+    assert set(rows) == {8, 16, 32}
+    for r in rows.values():
+        assert r.n_pairs == 780, r
+        assert 0.85 < r.avg_ratio < 1.15, r
+        assert r.min_ratio < 1 < r.max_ratio, r
+    assert rows[8].frac_within_eps < rows[16].frac_within_eps < rows[32].frac_within_eps
