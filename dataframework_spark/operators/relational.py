@@ -3095,3 +3095,112 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") >= F.col("peak")).alias("is_new_peak"),
         F.round(F.max(ddp).over(w), 4).alias("max_drawdown_to_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J-digest-audit — the prefilter's false-positive rate, measured
+# ---------------------------------------------------------------------------
+
+_FPR_B = 4096  # audit bitmap buckets (small on purpose: non-vacuous FPR)
+
+
+def _fpr_bucket_spark(col: str):
+    """Portable digest bucket (Spark dialect): md5-prefix integer mod
+    ``_FPR_B`` — the ``seeded_order`` idiom, so DuckDB lands on the SAME
+    buckets and the measured FPR is bit-identical cross-engine (xxhash64,
+    the production digest's hash, exists only in Spark)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dig:"), F.col(col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(_FPR_B))
+
+
+def _fpr_bucket_duck(expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('dig:' || CAST({expr} AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) % {_FPR_B}"
+    )
+
+
+@register(
+    "join_digest_fpr_audit",
+    oracle=f"""
+    WITH qual AS (SELECT c_custkey FROM customer WHERE c_acctbal > 8000.0),
+    b AS (SELECT DISTINCT {_fpr_bucket_duck('c_custkey')} AS bkt FROM qual),
+    nonqual AS (
+      SELECT o_custkey FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM qual q WHERE q.c_custkey = o.o_custkey)),
+    flag AS (
+      SELECT CASE WHEN ({_fpr_bucket_duck('o_custkey')})
+                  IN (SELECT bkt FROM b) THEN 1 ELSE 0 END AS fp
+      FROM nonqual)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM qual) AS n_qual_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b)    AS n_buckets_set,
+           CAST(COUNT(*) AS BIGINT)                    AS n_nonqual_orders,
+           CAST(SUM(fp) AS BIGINT)                     AS n_fp_orders,
+           ROUND(SUM(fp) * 1.0 / COUNT(*), 6)          AS fpr,
+           ROUND((SELECT COUNT(*) FROM b) / {_FPR_B}.0, 6) AS expected_fpr,
+           (SUM(fp) * 1.0 / COUNT(*))
+             <= 2.0 * ((SELECT COUNT(*) FROM b) / {_FPR_B}.0) AS fpr_within_2x
+    FROM flag
+    """,
+)
+def join_digest_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The digest prefilter's cost side, MEASURED: what fraction of
+    non-matching fact rows does an ``{_FPR_B}``-bucket key-hash bitmap
+    wrongly pass into the exact join?  ``join_digest_prefilter`` proves
+    the digest changes nothing semantically (zero false negatives — its
+    oracle is the plain join); this audit bills the false positives the
+    same way ``agg_quantile_sketch_audit``/``agg_cms_audit`` bill their
+    sketches' error contracts: every approximate structure the SCALE.md
+    cost model recommends at 100 TB ships with a query that MEASURES its
+    error, so capacity planning (extra shuffle rows = fpr x non-matching
+    fact rows) reads from data, not from a formula taken on faith.
+    Output: qualifying-key count, occupied buckets, non-matching order
+    rows, false-positive rows, measured FPR, the occupancy-implied
+    expectation (n_buckets/{_FPR_B} — exact, conditional on the realized
+    bitmap), and the within-2x contract boolean both engines must agree
+    on.  Buckets use the portable md5-prefix hash (``seeded_order``
+    idiom) so the FPR is bit-identical cross-engine; the production
+    prefilter keeps xxhash64.
+
+    Plan: the bucket set is <= {_FPR_B} rows REGARDLESS of dim
+    cardinality -> broadcast; the truth anti-join keeps the
+    data-dependent qual side ``shuffle_hash`` (never broadcast — the
+    minhash OOM discipline); one orders scan feeds both."""
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    qual = cust.where(F.col("c_acctbal") > 8000.0).select("c_custkey")
+    buckets = qual.select(_fpr_bucket_spark("c_custkey").alias("bkt")).distinct()
+    n_qual = qual.agg(F.count(F.lit(1)).cast("bigint").alias("n_qual_keys"))
+    n_b = buckets.agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets_set"))
+
+    orders = load_table(spark, sf_dir, "orders", columns=["o_custkey"])
+    nonqual = orders.join(
+        qual.hint("shuffle_hash"), orders.o_custkey == qual.c_custkey, "left_anti"
+    )
+    flagged = (
+        nonqual.select(_fpr_bucket_spark("o_custkey").alias("obkt"))
+        .join(F.broadcast(buckets), F.col("obkt") == F.col("bkt"), "left")
+        .select(F.col("bkt").isNotNull().cast("int").alias("fp"))
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nonqual_orders"),
+        F.sum("fp").cast("bigint").alias("n_fp_orders"),
+    )
+    fpr = F.col("n_fp_orders") / F.col("n_nonqual_orders")
+    exp_fpr = F.col("n_buckets_set") / F.lit(float(_FPR_B))
+    return (
+        stats.crossJoin(F.broadcast(n_qual))
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "n_qual_keys",
+            "n_buckets_set",
+            "n_nonqual_orders",
+            "n_fp_orders",
+            F.round(fpr, 6).alias("fpr"),
+            F.round(exp_fpr, 6).alias("expected_fpr"),
+            (fpr <= 2.0 * exp_fpr).alias("fpr_within_2x"),
+        )
+    )

@@ -908,3 +908,70 @@ def test_random_projection_jl_contract(spark, sf_dir):
         assert 0.85 < r.avg_ratio < 1.15, r
         assert r.min_ratio < 1 < r.max_ratio, r
     assert rows[8].frac_within_eps < rows[16].frac_within_eps < rows[32].frac_within_eps
+
+
+def test_kcore_matches_exact_python_peeling(spark, sf_dir):
+    """graph_kcore's 4-round unrolled peel must agree with an EXACT
+    independent reimplementation: collect the contracted edge list (tiny
+    by construction) and run textbook peeling to convergence in plain
+    Python, capping at _KC_MAX — any node where the unrolled rounds
+    stopped short of the fixpoint shows up as a coreness mismatch."""
+    from dataframework_spark.operators.graph import _KC_MAX, graph_kcore
+    from pyspark.sql import functions as F
+
+    rows = graph_kcore(spark, sf_dir).collect()
+    # Rebuild the same thresholded edge list the operator used.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("w"))
+    ).collect()
+    mean_w = round(sum(r.w for r in raw) / len(raw), 2)
+    edges = [(r.a, r.b) for r in raw if r.w > mean_w]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # Textbook peeling to convergence (not round-capped).
+    core = {n: 1 for n in adj}
+    for k in range(2, _KC_MAX + 1):
+        alive = set(adj)
+        changed = True
+        while changed:
+            drop = {n for n in alive if len(adj[n] & alive) < k}
+            changed = bool(drop)
+            alive -= drop
+        for n in alive:
+            core[n] = k
+    got = {r.node: (r.degree, r.coreness) for r in rows}
+    assert set(got) == set(adj)
+    for n in adj:
+        assert got[n] == (len(adj[n]), core[n]), (n, got[n], (len(adj[n]), core[n]))
+
+
+def test_digest_fpr_audit_shapes_and_contract(spark, sf_dir):
+    """The FPR audit must broadcast the (<=4096-row) bucket set, keep the
+    data-dependent truth anti-join shuffle-hash, and its measured FPR
+    must be non-vacuous (some false positives exist at this bitmap size)
+    yet inside the 2x occupancy bound both engines agree on."""
+    from dataframework_spark.operators.relational import join_digest_fpr_audit
+
+    df = join_digest_fpr_audit(spark, sf_dir)
+    p = plan_string(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "ShuffledHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    row = df.collect()[0]
+    assert 0 < row.n_fp_orders <= row.n_nonqual_orders, row
+    assert 0 < row.n_buckets_set <= row.n_qual_keys, row
+    assert row.fpr_within_2x, row
