@@ -1006,3 +1006,137 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fp").alias("n_fps"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022): token-span level, not doc level
+# ---------------------------------------------------------------------------
+
+_ESS_W = 8  # span width in tokens (the paper uses 50 BPE tokens at web scale)
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    spans AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i+{_ESS_W - 1}], ' ')) AS h
+      FROM t, UNNEST(generate_series(1, len(toks) - {_ESS_W} + 1)) AS u(i)
+      WHERE len(toks) >= {_ESS_W}),
+    marked AS (
+      SELECT doc_id, pos,
+             (COUNT(*) OVER (PARTITION BY h)) >= 2 AS dup
+      FROM spans),
+    cov AS (
+      SELECT doc_id, pos,
+             GREATEST(0, pos + {_ESS_W}
+               - GREATEST(COALESCE(MAX(pos + {_ESS_W}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos), pos))
+             AS covered
+      FROM marked WHERE dup),
+    per_doc AS (
+      SELECT m.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN m.dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      FROM marked m GROUP BY m.doc_id),
+    per_cov AS (
+      SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT)          AS n_tokens,
+           COALESCE(p.n_spans, 0)               AS n_spans,
+           COALESCE(p.n_dup_spans, 0)           AS n_dup_spans,
+           COALESCE(c.dup_tokens, 0)            AS dup_tokens,
+           ROUND(COALESCE(c.dup_tokens, 0) * 1.0 / len(t.toks), 6) AS dup_token_frac
+    FROM t
+    LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    LEFT JOIN per_cov c ON c.doc_id = t.doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (span-level) dedup accounting, the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" semantics:
+    a {_ESS_W}-token span that occurs anywhere else in the corpus is
+    duplicated TEXT even when neither document is a duplicate DOCUMENT —
+    the memorization surface doc-level MinHash/Jaccard (``dedup_minhash_
+    lsh``/``dedup_ngram_jaccard``) cannot see.  Per document it bills
+    span counts, duplicated spans, and the EXACT number of tokens covered
+    by >=1 duplicated span (overlapping spans merged by a running-max
+    interval sweep, not double-counted) — the number a span-removal
+    rewrite would delete.
+
+    The paper builds a corpus-wide suffix array; the Spark-first form is
+    the positional n-gram self-count: explode spans with positions, ONE
+    keyed exchange on the span hash (count >= 2 <=> duplicated — the
+    window avoids materializing a frequency table and joining back), one
+    doc-keyed window for the interval sweep that the per-doc aggregate
+    then reuses.  Scale (100 TB): span rows ~ token count x1 — linear;
+    the span-hash exchange partitions by md5 so it is skew-free by
+    construction EXCEPT the pathological all-equal-span corpus, which the
+    boilerplate family's AQE note covers; no driver-side state, no
+    suffix array to hold anywhere.
+
+    Short docs (< {_ESS_W} tokens) have zero spans and an honest 0.0
+    fraction — kept via explode_outer + null-aware counts rather than a
+    join back onto the base table (one pipeline, no extra doc_id
+    exchange before the final agg)."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    span_sql = (
+        f"case when size({TOKENS_SQL}) < {_ESS_W} then array() "
+        f"else transform(sequence(1, size({TOKENS_SQL}) - {_ESS_W - 1}), "
+        f"i -> struct(i as pos, md5(array_join(slice({TOKENS_SQL}, i, {_ESS_W}), ' ')) as h)) end"
+    )
+    spans = docs.select(
+        "doc_id",
+        F.size(F.expr(TOKENS_SQL)).cast("bigint").alias("n_tokens"),
+        F.explode_outer(F.expr(span_sql)).alias("s"),
+    ).select("doc_id", "n_tokens", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+
+    # ONE exchange on the span hash; null h (short docs) is excluded from
+    # the frequency window so the all-short-docs null partition can never
+    # become the skew key at scale.
+    wh = Window.partitionBy("h")
+    marked = spans.withColumn(
+        "dup", F.when(F.col("h").isNotNull(), F.count(F.lit(1)).over(wh) >= 2).otherwise(F.lit(False))
+    )
+    # Interval sweep per doc: tokens covered by >=1 dup span, overlaps
+    # merged via the running max of span end over preceding dup spans.
+    wd = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dup_only = marked.where("dup")
+    cov = dup_only.withColumn(
+        "covered",
+        F.greatest(
+            F.lit(0),
+            F.col("pos")
+            + _ESS_W
+            - F.greatest(
+                F.coalesce(F.max(F.col("pos") + _ESS_W).over(wd), F.col("pos")),
+                F.col("pos"),
+            ),
+        ),
+    )
+    per_doc = marked.groupBy("doc_id", "n_tokens").agg(
+        F.sum(F.when(F.col("h").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_spans"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("bigint").alias("n_dup_spans"),
+    )
+    per_cov = cov.groupBy("doc_id").agg(F.sum("covered").cast("bigint").alias("dup_tokens"))
+    return (
+        per_doc.join(per_cov.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "n_dup_spans",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+        )
+    )

@@ -559,3 +559,128 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         marks = marks.unionAll(alive.select("node", F.lit(k).alias("kk")))
     cor = marks.groupBy("node").agg(F.max("kk").cast("bigint").alias("coreness"))
     return deg.join(F.broadcast(cor), "node").select("node", "degree", "coreness")
+
+
+# ---------------------------------------------------------------------------
+# Link prediction — common-neighbors / Jaccard / Adamic-Adar / preferential
+# attachment on the contracted trade graph (the classic unsupervised
+# link-prediction scores; completes the graph family: pagerank = global
+# importance, triangles = local density, LPA = partition, k-core = depth,
+# THIS = where the missing edges are)
+# ---------------------------------------------------------------------------
+
+_LP_SCALE = 1_000_000_000  # Adamic-Adar summed in integer nano-units
+
+
+@register(
+    "graph_link_prediction",
+    oracle=_KC_EDGES
+    + f""",
+    und AS MATERIALIZED (
+      SELECT a AS x, b AS n FROM e UNION ALL SELECT b AS x, a AS n FROM e),
+    cn AS (
+      SELECT u1.x AS a, u2.x AS b,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             SUM(CAST(ROUND({_LP_SCALE} / LN(d.degree), 0) AS BIGINT)) AS aa_nano
+      FROM und u1
+      JOIN und u2 ON u1.n = u2.n AND u1.x < u2.x
+      JOIN deg d ON d.node = u1.n
+      GROUP BY 1, 2),
+    nonedge AS (
+      SELECT cn.* FROM cn
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.a AND e.b = cn.b))
+    SELECT ne.a, ne.b, ne.common_neighbors,
+           CAST(da.degree * db.degree AS BIGINT) AS preferential_attachment,
+           ROUND(ne.common_neighbors * 1.0
+                 / (da.degree + db.degree - ne.common_neighbors), 6) AS jaccard,
+           ROUND(ne.aa_nano / {_LP_SCALE}.0, 6) AS adamic_adar
+    FROM nonedge ne
+    JOIN deg da ON da.node = ne.a
+    JOIN deg db ON db.node = ne.b
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised link prediction on the thresholded nation trade
+    graph: for every NON-adjacent node pair sharing at least one
+    neighbor, the four classic scores — common-neighbor count, Jaccard
+    of neighborhoods, Adamic-Adar (rare shared neighbors weigh more,
+    1/ln(deg)), and preferential attachment (deg x deg).  These are the
+    recommender/graph-completion baselines (Liben-Nowell & Kleinberg
+    2007) and the feature set entity-resolution pipelines feed a ranker.
+
+    Adamic-Adar is an order-dependent float sum in its textbook form;
+    here each 1/ln(degree) contribution is scaled to INTEGER nano-units
+    and rounded BEFORE the sum (the LPA integer-cents discipline), so
+    the cross-engine aggregate is exact regardless of partial-agg order.
+    A shared neighbor always has degree >= 2 (it touches both endpoints)
+    so ln(degree) is never 0.
+
+    Scale design (100 TB): same contract-then-enumerate shape as the
+    rest of the family — facts collapse to the <=300-row edge list once,
+    the wedge join (common-neighbor enumeration) runs on the broadcast
+    contracted graph.  On entity graphs whose contracted form is still
+    large, the wedge join keyed on the shared neighbor IS the standard
+    distributed form, with the same degree-orientation bound as the
+    triangle op; the threshold filter plays the sparsifier."""
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = load_table(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = load_table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    raw = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("w"))
+    )
+    raw = raw.cache()
+    mean_w = raw.agg(F.round(F.avg("w"), 2).alias("mean_w"))
+    e = (
+        raw.crossJoin(F.broadcast(mean_w))
+        .where(F.col("w") > F.col("mean_w"))
+        .select("a", "b")
+        .localCheckpoint()  # tiny; read by und, deg, and the anti-join
+    )
+    und = e.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("n"))
+    )
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    aa_contrib = F.round(F.lit(_LP_SCALE) / F.log(F.col("degree")), 0).cast("bigint")
+    u1 = und.select(F.col("x").alias("pa"), "n")
+    u2 = und.select(F.col("x").alias("pb"), F.col("n").alias("n2"))
+    cn = (
+        u1.join(F.broadcast(u2), (F.col("n") == F.col("n2")) & (F.col("pa") < F.col("pb")))
+        .join(F.broadcast(deg), "n")
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(aa_contrib).alias("aa_nano"),
+        )
+    )
+    nonedge = cn.join(F.broadcast(e), ["a", "b"], "left_anti")
+    da = deg.select(F.col("n").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("degree").alias("deg_b"))
+    return (
+        nonedge.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            (F.col("deg_a") * F.col("deg_b")).cast("bigint").alias("preferential_attachment"),
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("aa_nano") / F.lit(float(_LP_SCALE)), 6).alias("adamic_adar"),
+        )
+    )

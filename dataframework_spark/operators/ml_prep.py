@@ -2552,3 +2552,101 @@ def ml_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ratio"), 4).alias("avg_ratio"),
         F.round(F.avg(eps_ok), 4).alias("frac_within_eps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact average precision + best-F1 — the PR-curve summary next to ROC AUC
+# (class-imbalance-honest where AUC is not; same distinct-score aggregate
+# shape, so no global sort of fact rows)
+# ---------------------------------------------------------------------------
+
+_AP_SEED = 17
+_AP_NOISE = 400000
+_AP_CUT = 150000
+
+
+@register(
+    "ml_average_precision",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority AS priority,
+             o_totalprice
+               + {duck_seeded_order_sql('o_orderkey', seed=_AP_SEED)}
+                 % {_AP_NOISE} - {_AP_NOISE // 2} AS score,
+             CASE WHEN o_totalprice > {_AP_CUT} THEN 1 ELSE 0 END AS y
+      FROM orders),
+    g AS (
+      SELECT priority, score,
+             CAST(SUM(y) AS BIGINT) AS np, CAST(SUM(1 - y) AS BIGINT) AS nn
+      FROM o GROUP BY priority, score),
+    c AS (
+      SELECT *,
+             SUM(np) OVER (PARTITION BY priority ORDER BY score DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             SUM(nn) OVER (PARTITION BY priority ORDER BY score DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             SUM(np) OVER (PARTITION BY priority) AS pos_tot
+      FROM g)
+    SELECT priority,
+           CAST(MAX(pos_tot) AS BIGINT)            AS n_pos,
+           CAST(SUM(nn) AS BIGINT)                 AS n_neg,
+           ROUND(SUM(np * (tp::DOUBLE / (tp + fp))) / MAX(pos_tot), 4) + 0.0 AS ap,
+           ROUND(MAX(2.0 * tp / (2 * tp + fp + (pos_tot - tp))), 4) + 0.0    AS best_f1
+    FROM c GROUP BY priority
+    """,
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (area under the precision-recall step
+    curve) and best achievable F1 per order priority — the PR-side
+    ranking metrics next to ``ml_auc_roc``: under class imbalance AUC
+    stays optimistic (it prices negatives symmetrically) while AP/F1
+    collapse, which is why retrieval and filtering pipelines report
+    these.  Same planted signal as the AUC op (label = price > cut,
+    score = price + seeded-hash noise, seed {_AP_SEED}) so the two
+    metrics are comparable on the same model.
+
+    Tie handling is the sklearn ``average_precision_score`` step
+    integral: each DISTINCT score is one threshold block; AP = sum over
+    blocks of (block positives / total positives) x precision AT the
+    block (cumulative tp / (tp + fp) including the block).  Best-F1
+    scans the same blocks.  Both are prefix sums over the (group,
+    distinct score) AGGREGATE — fact rows cross exactly one keyed
+    exchange and no global sort of raw rows exists anywhere, the
+    ``ml_auc_roc`` scale discipline (score binning is the documented
+    100 TB escape hatch for continuous scores).  All inputs to the
+    divisions are exact integers, so both engines produce bit-identical
+    doubles before the final ROUND."""
+    o = load_table(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.col("o_totalprice")
+            + seeded_order("o_orderkey", seed=_AP_SEED) % _AP_NOISE
+            - _AP_NOISE // 2
+        ).alias("score"),
+        (F.col("o_totalprice") > _AP_CUT).cast("int").alias("y"),
+    )
+    g = o.groupBy("priority", "score").agg(
+        F.sum("y").cast("bigint").alias("np"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("nn"),
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("priority")
+    c = (
+        g.withColumn("tp", F.sum("np").over(w))
+        .withColumn("fp", F.sum("nn").over(w))
+        .withColumn("pos_tot", F.sum("np").over(wp))
+    )
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    f1 = 2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + (F.col("pos_tot") - F.col("tp")))
+    return c.groupBy("priority").agg(
+        F.max("pos_tot").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        (F.round(F.sum(F.col("np") * prec) / F.max("pos_tot"), 4) + 0.0).alias("ap"),
+        (F.round(F.max(f1), 4) + 0.0).alias("best_f1"),
+    )
