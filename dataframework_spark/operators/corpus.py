@@ -855,3 +855,80 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_join(in_parts, ' ') AS input_text",
         "array_join(tgt_parts, ' ') AS target_text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture — the multilingual/data-mixture standard
+# (p_i proportional to p_raw^alpha; XLM-R / mT5 sampling, DoReMi's baseline)
+# ---------------------------------------------------------------------------
+
+_TM_ALPHAS = (0.3, 0.7)
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({DUCK_TOKENS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS t FROM s),
+    p AS (
+      SELECT s.*, s.n_tokens * 1.0 / tot.t AS p_raw,
+             POWER(s.n_tokens * 1.0 / tot.t, {_TM_ALPHAS[0]}) AS u03,
+             POWER(s.n_tokens * 1.0 / tot.t, {_TM_ALPHAS[1]}) AS u07
+      FROM s, tot),
+    z AS (SELECT SUM(u03) AS z03, SUM(u07) AS z07 FROM p)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           ROUND(p.p_raw, 6)            AS p_raw,
+           ROUND(p.u03 / z.z03, 6)      AS w_t03,
+           ROUND(p.u07 / z.z07, 6)      AS w_t07,
+           ROUND(p.u03 / z.z03 / p.p_raw, 4) AS upsample_t03,
+           ROUND(p.u07 / z.z07 / p.p_raw, 4) AS upsample_t07
+    FROM p, z
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights — the standard
+    multilingual / multi-source pretraining mixture (XLM-R, mT5; the
+    static baseline DoReMi reweights from): sampling probability
+    proportional to (token share)^alpha, so low-resource sources are
+    upsampled and head sources damped, with alpha in {{0.3, 0.7}} (the
+    two published operating points).  Per source it bills the raw token
+    share, both temperature weights, and the upsampling factor
+    (weight / raw share) — the number that tells you how many effective
+    epochs of a small source the schedule implies, i.e. its overfitting
+    exposure.
+
+    Plan/scale: ONE documents scan collapses to a |sources|-row
+    aggregate (map-side partial, one keyed exchange); the temperature
+    math runs on that tiny table with the normalizers as a broadcast
+    1-row cross join.  The POWER(x, alpha) calls feed a final ROUND on
+    both engines; their inputs are identical doubles built from exact
+    integer ratios, so the published 4-6 dp are stable cross-engine."""
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.expr(TOKENS_SQL))).cast("bigint").alias("n_tokens"),
+    )
+    tot = s.agg(F.sum("n_tokens").alias("t"))
+    p = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("t")).alias("p_raw"),
+        F.pow(F.col("n_tokens") / F.col("t"), _TM_ALPHAS[0]).alias("u03"),
+        F.pow(F.col("n_tokens") / F.col("t"), _TM_ALPHAS[1]).alias("u07"),
+    )
+    z = p.agg(F.sum("u03").alias("z03"), F.sum("u07").alias("z07"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(F.col("u03") / F.col("z03"), 6).alias("w_t03"),
+        F.round(F.col("u07") / F.col("z07"), 6).alias("w_t07"),
+        F.round(F.col("u03") / F.col("z03") / F.col("p_raw"), 4).alias("upsample_t03"),
+        F.round(F.col("u07") / F.col("z07") / F.col("p_raw"), 4).alias("upsample_t07"),
+    )

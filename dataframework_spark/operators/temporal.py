@@ -1377,3 +1377,122 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier retention curve — survival analysis with right censoring
+# (the churn readout next to the retention matrix: retention asks "active
+# on day t?", KM asks "what fraction SURVIVES past t given censoring")
+# ---------------------------------------------------------------------------
+
+_KM_SCALE = 1_000_000_000_000  # ln terms summed in integer pico-units
+
+
+@register(
+    "events_kaplan_meier",
+    oracle=f"""
+    WITH u AS MATERIALIZED (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+      FROM events GROUP BY user_id),
+    g AS MATERIALIZED (
+      SELECT user_id, datediff('day', f, l) AS lt,
+             CASE WHEN l = (SELECT MAX(l) FROM u) THEN 1 ELSE 0 END AS censored
+      FROM u),
+    a AS (
+      SELECT lt,
+             CAST(COUNT(*) AS BIGINT)          AS n_ending,
+             CAST(SUM(1 - censored) AS BIGINT) AS n_deaths,
+             CAST(SUM(censored) AS BIGINT)     AS n_censored
+      FROM g GROUP BY lt),
+    r AS (
+      SELECT *,
+             SUM(n_ending) OVER (ORDER BY lt DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+      FROM a),
+    t AS (
+      SELECT *,
+             CASE WHEN n_deaths < n_at_risk
+                  THEN CAST(ROUND(LN(1.0 - n_deaths * 1.0 / n_at_risk)
+                                  * {_KM_SCALE}, 0) AS BIGINT)
+                  ELSE NULL END AS term_pico
+      FROM r),
+    s AS (
+      SELECT *,
+             SUM(term_pico) OVER (ORDER BY lt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pico,
+             MAX(CASE WHEN term_pico IS NULL THEN 1 ELSE 0 END)
+               OVER (ORDER BY lt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+      FROM t)
+    SELECT lt AS lifetime_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           n_deaths, n_censored,
+           ROUND(n_deaths * 1.0 / n_at_risk, 6) AS hazard,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE ROUND(EXP(cum_pico * 1.0 / {_KM_SCALE}), 6) + 0.0 END AS survival
+    FROM s
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes with honest right
+    censoring: a user's lifetime is last-event minus first-event days,
+    and users whose last event falls on the corpus's final observed day
+    are CENSORED (still alive when observation stopped), contributing to
+    the at-risk set but never to deaths — the estimator retention
+    matrices silently get wrong by treating censored users as churned.
+    Per distinct lifetime: at-risk count, deaths, censored, the discrete
+    hazard d/n, and the KM product-limit survival estimate.
+
+    The survival product Π(1 - d/n) is an order-dependent float fold in
+    textbook form; here each ln(1 - d/n) term is scaled to INTEGER
+    pico-units and rounded BEFORE the prefix sum (the Adamic-Adar /
+    LPA integer discipline), so cross-engine aggregation order cannot
+    drift the hash.  A lifetime where everyone remaining dies (d = n,
+    ln 0) pins survival to exactly 0.0 from that point on via a prefix
+    max flag instead of feeding -inf into the sum.
+
+    Plan/scale: events collapse map-side to one row per USER (first/last
+    day), then to one row per DISTINCT LIFETIME — calendar-bounded, the
+    repo's standard series discipline — before any window math; the
+    global prefix windows run on that aggregate only.  The global max
+    day is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts"])
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"), F.max(F.to_date("ts")).alias("l")
+    )
+    gmax = u.agg(F.max("l").alias("gmax"))
+    g = u.crossJoin(F.broadcast(gmax)).select(
+        F.datediff("l", "f").cast("bigint").alias("lt"),
+        F.when(F.col("l") == F.col("gmax"), 1).otherwise(0).alias("censored"),
+    )
+    a = g.groupBy("lt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+        F.sum(1 - F.col("censored")).cast("bigint").alias("n_deaths"),
+        F.sum("censored").cast("bigint").alias("n_censored"),
+    )
+    # _GLOBAL_WINDOW_OK: input is the per-distinct-lifetime aggregate
+    # (calendar-span-bounded, ~tens of rows), not fact rows.
+    w_desc = Window.orderBy(F.desc("lt")).rowsBetween(Window.unboundedPreceding, 0)
+    r = a.withColumn("n_at_risk", F.sum("n_ending").over(w_desc))
+    term = F.when(
+        F.col("n_deaths") < F.col("n_at_risk"),
+        F.round(
+            F.log(1.0 - F.col("n_deaths") / F.col("n_at_risk")) * _KM_SCALE, 0
+        ).cast("bigint"),
+    )
+    t = r.withColumn("term_pico", term)
+    # _GLOBAL_WINDOW_OK: same aggregate-sized input as above.
+    w_asc = Window.orderBy("lt").rowsBetween(Window.unboundedPreceding, 0)
+    s = t.withColumn("cum_pico", F.sum("term_pico").over(w_asc)).withColumn(
+        "hit_zero",
+        F.max(F.when(F.col("term_pico").isNull(), 1).otherwise(0)).over(w_asc),
+    )
+    return s.select(
+        F.col("lt").alias("lifetime_days"),
+        "n_at_risk",
+        "n_deaths",
+        "n_censored",
+        F.round(F.col("n_deaths") / F.col("n_at_risk"), 6).alias("hazard"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_pico") / _KM_SCALE), 6) + 0.0)
+        .alias("survival"),
+    )

@@ -1127,3 +1127,134 @@ def text_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("stopword_ratio").between(0.01, 0.5)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM — the smoothing that models CONTEXT
+# DIVERSITY ("Francisco" is frequent but follows only "San"), next to the
+# count-ratio Stupid Backoff above
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount (the standard fixed value)
+
+
+@register(
+    "text_kneser_ney",
+    oracle=f"""
+    WITH t AS MATERIALIZED (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    tr AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+    ucnt AS MATERIALIZED (SELECT term, COUNT(*) AS c
+             FROM (SELECT unnest(toks) AS term FROM tr) GROUP BY 1),
+    bcnt AS MATERIALIZED (
+      SELECT pair[1] AS t1, pair[2] AS t2, COUNT(*) AS nb
+      FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> [toks[i], toks[i+1]])) AS pair
+            FROM tr WHERE len(toks) >= 2)
+      GROUP BY 1, 2),
+    fert1 AS (SELECT t1, CAST(COUNT(*) AS BIGINT) AS n1p FROM bcnt GROUP BY t1),
+    fert2 AS (SELECT t2, CAST(COUNT(*) AS BIGINT) AS cont FROM bcnt GROUP BY t2),
+    npp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1pp FROM bcnt),
+    bi AS (
+      SELECT doc_id, pair[1] AS t1, pair[2] AS t2
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                                 i -> [toks[i], toks[i+1]])) AS pair
+            FROM t WHERE len(toks) >= 2)),
+    s AS (
+      SELECT bi.doc_id,
+             CASE WHEN f1.n1p IS NOT NULL THEN
+               GREATEST(COALESCE(bc.nb, 0) - {_KN_D}, 0) / u1.c
+               + ({_KN_D} * f1.n1p / u1.c)
+                 * (COALESCE(f2.cont, 0.5) / np.n1pp)
+             ELSE COALESCE(f2.cont, 0.5) / np.n1pp END AS p,
+             CASE WHEN COALESCE(bc.nb, 0) > 0 THEN 1.0 ELSE 0.0 END AS hit
+      FROM bi
+      LEFT JOIN bcnt bc ON bc.t1 = bi.t1 AND bc.t2 = bi.t2
+      LEFT JOIN ucnt u1 ON u1.term = bi.t1
+      LEFT JOIN fert1 f1 ON f1.t1 = bi.t1
+      LEFT JOIN fert2 f2 ON f2.t2 = bi.t2
+      CROSS JOIN npp np)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LN(p)), 4) AS cross_entropy,
+           ROUND(AVG(hit), 4)    AS bigram_hit_rate
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram score (Kneser & Ney
+    1995; Chen & Goodman's recommended smoothing), trained on the even
+    half of the corpus and scoring every document — directly comparable
+    to ``text_backoff_lm_score`` on the same split.  Where Stupid
+    Backoff falls back to raw unigram FREQUENCY, KN backs off to
+    CONTINUATION fertility (how many distinct contexts a word follows —
+    the "Francisco" correction), with absolute discount D={_KN_D}:
+    context with observed continuations: max(c12 - D, 0)/c1 +
+    (D * fanout(w1)/c1) * Pcont(w2); context never seen to START a
+    bigram (including OOV): Pcont(w2) alone, where Pcont(w2) =
+    |distinct w1 preceding w2| / |distinct bigrams| with a 0.5 floor
+    for words never seen as continuations.
+
+    Scale shape is the backoff op's, verbatim: the bigram count table is
+    data-dependent (vocab²) so the (t1, t2) scoring join pins
+    ``shuffle_hash`` — never broadcast (the minhash OOM lesson) — while
+    the per-WORD tables (unigram counts, left/right fertilities) are
+    vocabulary-sized and broadcast; one training scan, one scoring
+    scan, one per-doc aggregate exchange."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    t = docs.select("doc_id", tokens().alias("toks"))
+    t = t.cache()  # read 3x: unigram counts, bigram counts, scoring stream
+    tr = t.where(F.col("doc_id") % 2 == 0)
+    ucnt = (
+        tr.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS t1, element_at(toks, i + 1) AS t2))"
+    )
+    tr_bi = (
+        tr.where(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("pg"))
+        .select("pg.t1", "pg.t2")
+    )
+    bcnt = tr_bi.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("nb"))
+    bcnt = bcnt.cache()  # read 3x: scoring join + both fertility tables
+    fert1 = bcnt.groupBy("t1").agg(F.count(F.lit(1)).cast("bigint").alias("n1p"))
+    fert2 = bcnt.groupBy("t2").agg(F.count(F.lit(1)).cast("bigint").alias("cont"))
+    npp = bcnt.agg(F.count(F.lit(1)).cast("bigint").alias("n1pp"))
+    bi = (
+        t.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("pg"))
+        .select("doc_id", "pg.t1", "pg.t2")
+    )
+    u1 = ucnt.select(F.col("term").alias("t1"), F.col("c").alias("c1"))
+    pcont = F.coalesce(F.col("cont").cast("double"), F.lit(0.5)) / F.col("n1pp")
+    # Branch on the FERTILITY table, not the unigram table: a word seen in
+    # training only as a final token has c1 > 0 but no context model
+    # (n1p null) — its interpolation weight would be 0 and unseen bigrams
+    # under it would score p = 0 (ln 0).  Such contexts back off whole.
+    p = F.when(
+        F.col("n1p").isNotNull(),
+        F.greatest(F.coalesce(F.col("nb"), F.lit(0)) - _KN_D, F.lit(0.0)) / F.col("c1")
+        + (_KN_D * F.col("n1p") / F.col("c1")) * pcont,
+    ).otherwise(pcont)
+    scored = (
+        # bigram table is data-dependent (vocab²) — shuffle_hash, never
+        # broadcast (the minhash lesson); word-level tables broadcast.
+        bi.join(bcnt.hint("shuffle_hash"), ["t1", "t2"], "left")
+        .join(F.broadcast(u1), "t1", "left")
+        .join(F.broadcast(fert1), "t1", "left")
+        .join(F.broadcast(fert2), "t2", "left")
+        .crossJoin(F.broadcast(npp))
+        .select(
+            "doc_id",
+            p.alias("p"),
+            F.when(F.coalesce(F.col("nb"), F.lit(0)) > 0, 1.0).otherwise(0.0).alias("hit"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg(-F.log("p")), 4).alias("cross_entropy"),
+        F.round(F.avg("hit"), 4).alias("bigram_hit_rate"),
+    )
