@@ -1103,40 +1103,39 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup", F.when(F.col("h").isNotNull(), F.count(F.lit(1)).over(wh) >= 2).otherwise(F.lit(False))
     )
     # Interval sweep per doc: tokens covered by >=1 dup span, overlaps
-    # merged via the running max of span end over preceding dup spans.
+    # merged via the running max of DUP span ends over preceding rows
+    # (non-dup rows pass through the window as nulls MAX ignores, so the
+    # sweep, the span counts, and the dup counts all ride ONE doc_id
+    # window/aggregate — a separate dup-only branch would scan documents
+    # and pay the span-hash exchange twice, then join; caught by plan
+    # audit).
     wd = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    dup_only = marked.where("dup")
-    cov = dup_only.withColumn(
+    dup_end = F.when(F.col("dup"), F.col("pos") + _ESS_W)
+    cov = marked.withColumn(
         "covered",
-        F.greatest(
-            F.lit(0),
-            F.col("pos")
-            + _ESS_W
-            - F.greatest(
-                F.coalesce(F.max(F.col("pos") + _ESS_W).over(wd), F.col("pos")),
-                F.col("pos"),
+        F.when(
+            F.col("dup"),
+            F.greatest(
+                F.lit(0),
+                F.col("pos")
+                + _ESS_W
+                - F.greatest(
+                    F.coalesce(F.max(dup_end).over(wd), F.col("pos")),
+                    F.col("pos"),
+                ),
             ),
-        ),
+        ).otherwise(F.lit(0)),
     )
-    per_doc = marked.groupBy("doc_id", "n_tokens").agg(
+    return cov.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
         F.sum(F.when(F.col("h").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_spans"),
         F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("bigint").alias("n_dup_spans"),
-    )
-    per_cov = cov.groupBy("doc_id").agg(F.sum("covered").cast("bigint").alias("dup_tokens"))
-    return (
-        per_doc.join(per_cov.hint("shuffle_hash"), "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_spans",
-            "n_dup_spans",
-            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
-            F.round(
-                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6
-            ).alias("dup_token_frac"),
-        )
+        F.sum("covered").cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.sum("covered") / F.max("n_tokens"), 6
+        ).alias("dup_token_frac"),
     )

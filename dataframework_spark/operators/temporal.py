@@ -1469,9 +1469,7 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("censored")).cast("bigint").alias("n_deaths"),
         F.sum("censored").cast("bigint").alias("n_censored"),
     )
-    # _GLOBAL_WINDOW_OK: input is the per-distinct-lifetime aggregate
-    # (calendar-span-bounded, ~tens of rows), not fact rows.
-    w_desc = Window.orderBy(F.desc("lt")).rowsBetween(Window.unboundedPreceding, 0)
+    w_desc = Window.orderBy(F.desc("lt")).rowsBetween(Window.unboundedPreceding, 0)  # _GLOBAL_WINDOW_OK: input is the per-distinct-lifetime aggregate (calendar-span-bounded, ~tens of rows)
     r = a.withColumn("n_at_risk", F.sum("n_ending").over(w_desc))
     term = F.when(
         F.col("n_deaths") < F.col("n_at_risk"),
@@ -1480,8 +1478,7 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint"),
     )
     t = r.withColumn("term_pico", term)
-    # _GLOBAL_WINDOW_OK: same aggregate-sized input as above.
-    w_asc = Window.orderBy("lt").rowsBetween(Window.unboundedPreceding, 0)
+    w_asc = Window.orderBy("lt").rowsBetween(Window.unboundedPreceding, 0)  # _GLOBAL_WINDOW_OK: same per-distinct-lifetime aggregate as above
     s = t.withColumn("cum_pico", F.sum("term_pico").over(w_asc)).withColumn(
         "hit_zero",
         F.max(F.when(F.col("term_pico").isNull(), 1).otherwise(0)).over(w_asc),

@@ -975,3 +975,19 @@ def test_digest_fpr_audit_shapes_and_contract(spark, sf_dir):
     assert 0 < row.n_fp_orders <= row.n_nonqual_orders, row
     assert 0 < row.n_buckets_set <= row.n_qual_keys, row
     assert row.fpr_within_2x, row
+
+
+def test_exact_substring_single_scan_two_exchanges(spark, sf_dir):
+    """dedup_exact_substring must stay one pipeline: one documents scan,
+    one span-hash exchange (frequency window), one doc_id exchange that
+    the interval sweep AND the final aggregate share, and no join — the
+    two-branch form scanned documents twice and paid the span exchange
+    twice."""
+    from dataframework_spark.operators.dedup import dedup_exact_substring
+    from dataframework_spark.plans.explain import exchange_count
+
+    df = dedup_exact_substring(spark, sf_dir)
+    p = plan_string(df)
+    assert p.count("documents.parquet") == 1, p
+    assert exchange_count(df) == 2, p
+    assert "Join" not in p, p
