@@ -751,3 +751,129 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return docs.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# M9 — real convolution over decoded images: Sobel edge energy
+# (the first FEATURE-EXTRACTION compute stage after decode — blur/sharpness
+# filters, OCR-ability gates, and screenshot-vs-photo classifiers in
+# multimodal pipelines are all this same stencil shape)
+# ---------------------------------------------------------------------------
+
+
+def sobel_bmp(payload: bytes) -> tuple[int, int, int, int, float, int]:
+    """Decode a 24bpp BMP, grayscale as (R+G+B)//3 (exact integer math),
+    and run the 3x3 Sobel stencil over the interior: per pixel
+    |Gx| + |Gy| in pure int64.  Returns (w, h, n_interior, edge_energy,
+    max_edge) — exact integers only; the mean ratio is computed (and
+    rounded) engine-side because Python's round() is banker's while
+    Spark/DuckDB ROUND is half-up, and n_interior = 64 makes exact
+    4 dp halves common (caught by the oracle run)."""
+    import numpy as np
+
+    px = _bmp_pixels(payload).astype("int64")
+    h, w = px.shape[:2]
+    g = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+    gx = (
+        (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+        - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2])
+    )
+    gy = (
+        (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+        - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:])
+    )
+    e = np.abs(gx) + np.abs(gy)
+    return w, h, int(e.size), int(e.sum()), int(e.max())
+
+
+def _gs_duck(dx: int, dy: int) -> str:
+    """Grayscale of the closed-form synthesized pixel at (x+dx, y+dy):
+    ((p)%256 + (p+11)%256 + (p+22)%256) // 3 with p = doc_id + 3x + 7y."""
+    p = f"(doc_id + 3 * (x + {dx}) + 7 * (y + {dy}))"
+    # outer parens matter: "2 * gs" must double the FLOORED grayscale,
+    # not floor the doubled sum (caught by the oracle run: off-by-one
+    # energies wherever the channel sum was not divisible by 3)
+    return f"((({p} % 256) + (({p} + 11) % 256) + (({p} + 22) % 256)) // 3)"
+
+
+def _sobel_oracle() -> str:
+    gxp = " + ".join(
+        f"{k} * {_gs_duck(1, dy)}" for dy, k in ((-1, 1), (0, 2), (1, 1))
+    )
+    gxm = " + ".join(
+        f"{k} * {_gs_duck(-1, dy)}" for dy, k in ((-1, 1), (0, 2), (1, 1))
+    )
+    gyp = " + ".join(
+        f"{k} * {_gs_duck(dx, 1)}" for dx, k in ((-1, 1), (0, 2), (1, 1))
+    )
+    gym = " + ".join(
+        f"{k} * {_gs_duck(dx, -1)}" for dx, k in ((-1, 1), (0, 2), (1, 1))
+    )
+    return f"""
+    WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h
+               FROM documents),
+    e AS (
+      SELECT doc_id, w, h,
+             ABS(({gxp}) - ({gxm})) + ABS(({gyp}) - ({gym})) AS energy
+      FROM p, UNNEST(range(1, w - 1)) AS t1(x), UNNEST(range(1, h - 1)) AS t2(y))
+    SELECT doc_id,
+           CAST(MAX(w) AS INT)          AS width,
+           CAST(MAX(h) AS INT)          AS height,
+           CAST(COUNT(*) AS BIGINT)     AS n_interior,
+           CAST(SUM(energy) AS BIGINT)  AS edge_energy,
+           ROUND(SUM(energy) * 1.0 / COUNT(*), 4) AS mean_edge,
+           CAST(MAX(energy) AS BIGINT)  AS max_edge
+    FROM e GROUP BY doc_id
+    """
+
+
+@register("mm_image_sobel", oracle=_sobel_oracle())
+def mm_image_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobel edge-energy extraction over REAL-decoded images: synthesize
+    the 24bpp BMP, parse it (same ``_bmp_pixels`` path every mm_bmp op
+    exercises), grayscale, and convolve the 3x3 Sobel pair in exact
+    int64 — per image the interior pixel count, total |Gx|+|Gy| energy,
+    its mean, and the max single-pixel response.  This is the stencil
+    stage multimodal pipelines run right after decode (sharpness/blur
+    gates, edge-density OCR-ability scores, screenshot classifiers);
+    unlike the mean/corner features of ``mm_bmp_decode`` a convolution
+    cannot be faked by header reads — every pixel neighborhood must be
+    decoded in the right order.  The oracle replays the stencil from
+    the closed-form pixel synthesis: the Spark side must extract the
+    SAME integers from genuinely parsed container bytes.
+
+    Scale shape: Arrow ``mapInPandas`` decode+stencil per partition
+    (no shuffle — the result is already per-image; the wide image row
+    never leaves the Python worker), identical to the rest of the
+    decode family.  All outputs are exact integers or single ratios of
+    them, so the value hash is engine-portable."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id bigint, width int, height int, n_interior bigint, "
+        "edge_energy bigint, max_edge bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [sobel_bmp(synth_bmp(int(d))) for d in pdf["doc_id"]]
+            out = pd.DataFrame(
+                feats,
+                columns=["width", "height", "n_interior", "edge_energy", "max_edge"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
+            yield out
+
+    # mean ratio rounded JVM-side (half-up, matching DuckDB ROUND) — see
+    # sobel_bmp docstring for the banker's-rounding trap.
+    return docs.mapInPandas(run, schema=schema).select(
+        "doc_id",
+        "width",
+        "height",
+        "n_interior",
+        "edge_energy",
+        F.round(F.col("edge_energy") / F.col("n_interior"), 4).alias("mean_edge"),
+        "max_edge",
+    )

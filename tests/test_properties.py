@@ -414,3 +414,40 @@ def test_leakage_safe_split_invariants(spark, sf_dir):
         .agg(F.count_distinct("is_train").alias("n_assignments"))
     )
     assert per_cluster.where(F.col("n_assignments") != 1).count() == 0
+
+
+def test_sobel_energy_is_gradient_constant_off_wrap_seams():
+    """The synthesized image is the pure linear ramp doc_id + 3x + 7y
+    (mod 256) in every channel, so away from mod-256 wrap seams the
+    Sobel response must be the analytic constant |Gx| + |Gy| =
+    8*3 + 8*7 = 80 — an independent check of the whole
+    decode -> grayscale -> stencil pipeline (the oracle recomputes the
+    same stencil; this pins the stencil itself to the calculus)."""
+    import numpy as np
+
+    from dataframework_spark.operators.multimodal import _bmp_pixels, synth_bmp
+
+    for doc_id in (0, 107, 333):
+        px = _bmp_pixels(synth_bmp(doc_id)).astype("int64")
+        g = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+        h, w = g.shape
+        # a 3x3 neighborhood is seam-free when the underlying ramp value
+        # p = doc_id + 3x + 7y stays inside one 256-window for all three
+        # channel offsets (+0, +11, +22) across the whole neighborhood
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        p = doc_id + 3 * xs + 7 * ys
+        lo, hi = p - 3 - 7, p + 3 + 7  # neighborhood p-range
+        seam_free = (lo // 256) == ((hi + 22) // 256)
+        gx = (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:]) - (
+            g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2]
+        )
+        gy = (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:]) - (
+            g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:]
+        )
+        e = np.abs(gx) + np.abs(gy)
+        mask = seam_free[1:-1, 1:-1]
+        assert mask.sum() > 10, f"doc {doc_id}: degenerate seam-free set"
+        vals = set(np.unique(e[mask]).tolist())
+        # grayscale floor-of-3 jitter moves individual samples by <=1, so
+        # the stencil constant may wobble by a few units around 80
+        assert vals and all(abs(v - 80) <= 6 for v in vals), (doc_id, vals)
