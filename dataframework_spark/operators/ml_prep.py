@@ -2650,3 +2650,125 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum(F.col("np") * prec) / F.max("pos_tot"), 4) + 0.0).alias("ap"),
         (F.round(F.max(f1), 4) + 0.0).alias("best_f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact best-split decision stump from sufficient statistics — the GBDT
+# building block (XGBoost's split finding), fit without a global sort
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_decision_stump",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS priority, o_orderdate AS x,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+      FROM orders),
+    g AS (
+      SELECT priority, x,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT)   AS s,
+             CAST(SUM(y * y) AS BIGINT) AS ss
+      FROM o GROUP BY priority, x),
+    c AS (
+      SELECT *,
+             SUM(n) OVER w AS nl, SUM(s) OVER w AS sl, SUM(ss) OVER w AS ssl,
+             SUM(n) OVER p AS nt, SUM(s) OVER p AS st, SUM(ss) OVER p AS sst
+      FROM g
+      WINDOW w AS (PARTITION BY priority ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY priority)),
+    scored AS (
+      SELECT priority, x, nl, nt - nl AS nr, sl, st - sl AS sr,
+             (sst - st * (st * 1.0 / nt))
+               - ((ssl - sl * (sl * 1.0 / nl))
+                  + ((sst - ssl) - (st - sl) * ((st - sl) * 1.0 / (nt - nl))))
+               AS gain
+      FROM c WHERE nl > 0 AND nt - nl > 0),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY priority
+                                   ORDER BY gain DESC, x) AS rk
+      FROM scored)
+    SELECT priority,
+           x                                   AS split_date,
+           CAST(nl AS BIGINT)                  AS n_left,
+           CAST(nr AS BIGINT)                  AS n_right,
+           ROUND(sl * 1.0 / nl, 4)             AS mean_left,
+           ROUND(sr * 1.0 / nr, 4)             AS mean_right,
+           ROUND(gain, 4)                      AS gain
+    FROM best WHERE rk = 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best-split regression stump per order priority — the split
+    search inside every GBDT/decision-tree fit (XGBoost's exact greedy
+    algorithm), done Spark-first: split on order date, minimize child
+    SSE of (floored) total price.  Emits the argmax split with child
+    sizes, child means, and the variance-reduction gain — deterministic
+    tie-break (highest gain, then earliest date, the repo tie
+    discipline).
+
+    The textbook form sorts all rows per feature; this plan aggregates
+    to (group, DISTINCT date) sufficient statistics (n, Σy, Σy²) first —
+    the XGBoost histogram trick with exact date bins — then ONE prefix
+    window per group turns every candidate threshold's child SSEs into
+    algebra: SSE = Σy² - (Σy)²/n on each side.  Fact rows cross exactly
+    one keyed exchange; the window and the argmax run on the
+    calendar-bounded aggregate.  y floors to integer dollars so every
+    sufficient statistic is an exact int64 (Σy² ≤ ~4e15 at sf0.1's
+    ~~prices; at larger corpora the documented path is coarser value
+    quantization, same shape) and both engines derive bit-identical
+    gains — FLOOR explicitly, because DuckDB's double->INT cast rounds
+    while Spark's truncates (the ml_mutual_information lesson)."""
+    o = load_table(
+        spark, sf_dir, "orders", columns=["o_orderpriority", "o_orderdate", "o_totalprice"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("x"),
+        F.floor("o_totalprice").cast("bigint").alias("y"),
+    )
+    g = o.groupBy("priority", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = Window.partitionBy("priority")
+    c = (
+        g.withColumn("nl", F.sum("n").over(w))
+        .withColumn("sl", F.sum("s").over(w))
+        .withColumn("ssl", F.sum("ss").over(w))
+        .withColumn("nt", F.sum("n").over(p))
+        .withColumn("st", F.sum("s").over(p))
+        .withColumn("sst", F.sum("ss").over(p))
+    )
+    nr = F.col("nt") - F.col("nl")
+    sr = F.col("st") - F.col("sl")
+    sse_parent = F.col("sst") - F.col("st") * (F.col("st") / F.col("nt"))
+    sse_l = F.col("ssl") - F.col("sl") * (F.col("sl") / F.col("nl"))
+    sse_r = (F.col("sst") - F.col("ssl")) - sr * (sr / nr)
+    scored = (
+        c.where((F.col("nl") > 0) & (nr > 0))
+        .withColumn("gain", sse_parent - (sse_l + sse_r))
+        .withColumn("nr", nr)
+        .withColumn("sr", sr)
+    )
+    rk = F.row_number().over(Window.partitionBy("priority").orderBy(F.desc("gain"), "x"))
+    return (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "priority",
+            F.col("x").alias("split_date"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.round(F.col("sl") / F.col("nl"), 4).alias("mean_left"),
+            F.round(F.col("sr") / F.col("nr"), 4).alias("mean_right"),
+            F.round("gain", 4).alias("gain"),
+        )
+    )

@@ -1493,3 +1493,95 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("cum_pico") / _KM_SCALE), 6) + 0.0)
         .alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves — cumulative value per cohort age
+# (the revenue-side readout next to the retention matrix and Kaplan-Meier:
+# retention asks "still here?", KM asks "survives past t?", LTV asks
+# "how much value has the cohort produced by age t?")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH u AS MATERIALIZED (
+      SELECT user_id, date_trunc('month', MIN(CAST(ts AS DATE))) AS cohort
+      FROM events GROUP BY user_id),
+    sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users FROM u GROUP BY cohort),
+    a AS (
+      SELECT u.cohort,
+             CAST(datediff('month', u.cohort,
+                           date_trunc('month', CAST(e.ts AS DATE))) AS BIGINT)
+               AS age_month,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+             ROUND(SUM(e.value), 2) AS revenue
+      FROM events e JOIN u ON u.user_id = e.user_id
+      GROUP BY 1, 2),
+    c AS (
+      SELECT *,
+             ROUND(SUM(revenue) OVER (PARTITION BY cohort ORDER BY age_month
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cum_revenue
+      FROM a)
+    SELECT c.cohort AS cohort_month, c.age_month, sz.n_users, c.n_active,
+           c.revenue, c.cum_revenue,
+           ROUND(c.cum_revenue / sz.n_users, 4) AS ltv_per_user
+    FROM c JOIN sz ON sz.cohort = c.cohort
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-event month,
+    event value accumulated per cohort age (months since cohort) — per
+    row the cohort size, active users at that age, the age's revenue,
+    the running cumulative, and LTV per cohorted user (the payback-curve
+    number acquisition spend is judged against).
+
+    Float discipline: the age-level revenue rounds to 2 dp FIRST; the
+    cumulative is an ORDERED prefix sum over those rounded values (both
+    engines add in the same window order, so the fold is deterministic)
+    and is itself re-rounded before the per-user division.
+
+    Plan/scale: one user-keyed exchange builds cohorts (min-day
+    aggregate), the fact join back to cohorts stays on that same user
+    key (no extra exchange), then one (cohort, age) aggregate —
+    calendar x calendar bounded — carries the window math; cohort sizes
+    broadcast onto the curve.  The COUNT(DISTINCT user) per (cohort,
+    age) rides the same aggregate (expand on the user-keyed side, the
+    ``events_dau_mau`` discipline)."""
+    ev = load_table(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
+    u = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min(F.to_date("ts"))).cast("date").alias("cohort")
+    )
+    sz = u.groupBy("cohort").agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    a = (
+        ev.join(u.hint("shuffle_hash"), "user_id")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", F.to_date("ts")), F.col("cohort")
+            )
+            .cast("bigint")
+            .alias("age_month"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_active"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = a.withColumn("cum_revenue", F.round(F.sum("revenue").over(w), 2))
+    return c.join(F.broadcast(sz), "cohort").select(
+        F.col("cohort").alias("cohort_month"),
+        "age_month",
+        "n_users",
+        "n_active",
+        "revenue",
+        "cum_revenue",
+        F.round(F.col("cum_revenue") / F.col("n_users"), 4).alias("ltv_per_user"),
+    )
