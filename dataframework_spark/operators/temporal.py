@@ -1585,3 +1585,82 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_revenue",
         F.round(F.col("cum_revenue") / F.col("n_users"), 4).alias("ltv_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation — the seasonality DETECTOR (seasonality_profile assumes a
+# weekly period; the ACF measures which lags actually carry structure)
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "events_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s FROM daily),
+    c AS (SELECT day, n * x - s AS c FROM daily, tot),
+    den AS (SELECT CAST(SUM(c * c) AS BIGINT) AS den FROM c)
+    SELECT CAST(datediff('day', c2.day, c1.day) AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT)                        AS n_pairs,
+           ROUND(CAST(SUM(c1.c * c2.c) AS BIGINT) / CAST(den.den AS DOUBLE), 6)
+             AS acf
+    FROM c c1
+    JOIN c c2 ON datediff('day', c2.day, c1.day) BETWEEN 1 AND {_ACF_MAX_LAG}
+    CROSS JOIN den
+    GROUP BY 1, den.den
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily event volume at lags 1..{_ACF_MAX_LAG}
+    — the diagnostic that tells a pipeline which periodicities its daily
+    series actually carries (``events_seasonality_profile`` ASSUMES a
+    weekly period; the ACF is how you find out whether lag 7 — or any
+    other — carries structure before fitting to it).  Lags are CALENDAR
+    day gaps, not row offsets, so a missing day never silently shifts
+    every later pair.
+
+    Cross-engine exactness: the mean-centered products are computed in
+    scaled integers — with n days and total S, each centered term is
+    ``n*x_t - S`` (= n*(x_t - mean), exact BIGINT), so numerator and
+    denominator are exact integer sums in ANY accumulation order; the
+    single final division is one IEEE op.  Int64 envelope: |n*x - S| <=
+    n*max(x) ~ 6e6 even at the 1000x replica (60 days x 1e5 events/day),
+    squared 4e13, summed over <=60 days ~ 2e15 — three decades of
+    headroom.
+
+    Scale shape: the raw scan collapses to one row per DAY (map-side
+    combinable) before anything else; the 2-row total broadcasts back;
+    the lag self-join and the final <= {_ACF_MAX_LAG}-row aggregate run
+    on the calendar-sized series."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts"])
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").cast("bigint").alias("s")
+    )
+    c = (
+        daily.crossJoin(F.broadcast(tot))
+        .select("day", (F.col("n") * F.col("x") - F.col("s")).alias("c"))
+        .cache()  # calendar-sized; read by den + both join sides
+    )
+    den = c.agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("den"))
+    c2 = c.select(F.col("day").alias("day2"), F.col("c").alias("c2"))
+    pairs = c.join(
+        F.broadcast(c2),
+        F.datediff(F.col("day"), F.col("day2")).between(1, _ACF_MAX_LAG),
+    )
+    return (
+        pairs.groupBy(F.datediff("day", "day2").cast("bigint").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("c") * F.col("c2")).cast("bigint").alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("num") / F.col("den").cast("double"), 6).alias("acf"),
+        )
+    )
