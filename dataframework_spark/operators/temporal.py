@@ -1605,8 +1605,9 @@ _ACF_MAX_LAG = 7
     den AS (SELECT CAST(SUM(c * c) AS BIGINT) AS den FROM c)
     SELECT CAST(datediff('day', c2.day, c1.day) AS BIGINT) AS lag,
            CAST(COUNT(*) AS BIGINT)                        AS n_pairs,
-           ROUND(CAST(SUM(c1.c * c2.c) AS BIGINT) / CAST(den.den AS DOUBLE), 6)
-             AS acf
+           CASE WHEN den.den <> 0 THEN
+             ROUND(CAST(SUM(c1.c * c2.c) AS BIGINT) / CAST(den.den AS DOUBLE), 6)
+           ELSE NULL END AS acf
     FROM c c1
     JOIN c c2 ON datediff('day', c2.day, c1.day) BETWEEN 1 AND {_ACF_MAX_LAG}
     CROSS JOIN den
@@ -1614,8 +1615,9 @@ _ACF_MAX_LAG = 7
     """,
 )
 def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sample autocorrelation of daily event volume at lags 1..{_ACF_MAX_LAG}
-    — the diagnostic that tells a pipeline which periodicities its daily
+    """Sample autocorrelation of daily event volume at lags 1..7
+    (``_ACF_MAX_LAG``) — the diagnostic that tells a pipeline which
+    periodicities its daily
     series actually carries (``events_seasonality_profile`` ASSUMES a
     weekly period; the ACF is how you find out whether lag 7 — or any
     other — carries structure before fitting to it).  Lags are CALENDAR
@@ -1626,15 +1628,19 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled integers — with n days and total S, each centered term is
     ``n*x_t - S`` (= n*(x_t - mean), exact BIGINT), so numerator and
     denominator are exact integer sums in ANY accumulation order; the
-    single final division is one IEEE op.  Int64 envelope: |n*x - S| <=
-    n*max(x) ~ 6e6 even at the 1000x replica (60 days x 1e5 events/day),
-    squared 4e13, summed over <=60 days ~ 2e15 — three decades of
-    headroom.
+    single final division is one IEEE op.  Degenerate carve-out: on a
+    CONSTANT daily series every centered term is 0, so num = den = 0 and
+    Spark's non-ANSI 0/0.0 returns NULL while DuckDB's IEEE division
+    returns NaN — both sides therefore guard with ``den <> 0`` and emit
+    NULL, keeping the value hash identical even on that input.  Int64
+    envelope: |n*x - S| <= n*max(x) ~ 6e6 even at the 1000x replica
+    (60 days x 1e5 events/day), squared 4e13, summed over <=60 days ~
+    2e15 — three decades of headroom.
 
     Scale shape: the raw scan collapses to one row per DAY (map-side
-    combinable) before anything else; the 2-row total broadcasts back;
-    the lag self-join and the final <= {_ACF_MAX_LAG}-row aggregate run
-    on the calendar-sized series."""
+    combinable) before anything else; the 1-row (two-column) total
+    broadcasts back; the lag self-join and the final <= 7-row
+    aggregate run on the calendar-sized series."""
     ev = load_table(spark, sf_dir, "events", columns=["ts"])
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("x"))
     tot = daily.agg(
@@ -1661,6 +1667,11 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lag",
             "n_pairs",
-            F.round(F.col("num") / F.col("den").cast("double"), 6).alias("acf"),
+            F.when(
+                F.col("den") != 0,
+                F.round(F.col("num") / F.col("den").cast("double"), 6),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("acf"),
         )
     )
