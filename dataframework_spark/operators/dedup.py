@@ -109,7 +109,9 @@ _JACCARD_THRESHOLD = 0.8  # the synthetic corpus plants 25 pairs at ≥ 0.9
     WHERE p.inter::DOUBLE / (sa.n + sb.n - p.inter) >= {_JACCARD_THRESHOLD}
     """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.8, via **prefix-filtered
     inverted index** (PPJoin-family, exact — no candidate is lost).
 
@@ -129,15 +131,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates then verify with an exact ``array_intersect`` on the full
     shingle sets.  Same output as the brute formulation (the oracle *is*
     the brute formulation), ~10× less join work at sf0.1, and the gap
-    widens with corpus size."""
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    # A small local file scans as ONE split; shingling + the index joins
-    # are CPU-bound, so spread rows across cores first.  On a cluster the
-    # scan's own splits provide this; the repartition keeps the plan
-    # correct in both worlds (and its exchange stops Catalyst from
-    # inlining the shingle transform into downstream generators, which
-    # would re-evaluate it per exploded element).
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    widens with corpus size.
+
+    ``docs`` (optional): a pre-filtered (doc_id, text) frame — the hook
+    ``dedup_lsh_eval``'s ``sample_frac`` production knob uses to run the
+    exact-truth side on a corpus sample."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+        # A small local file scans as ONE split; shingling + the index joins
+        # are CPU-bound, so spread rows across cores first.  On a cluster the
+        # scan's own splits provide this; the repartition keeps the plan
+        # correct in both worlds (and its exchange stops Catalyst from
+        # inlining the shingle transform into downstream generators, which
+        # would re-evaluate it per exploded element).
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     s = docs.withColumn("toks", tokens()).select(
         "doc_id", F.expr(shingles_sql("toks")).alias("sh")
     )
@@ -240,7 +247,9 @@ def _band_cols() -> list[str]:
     FROM ver WHERE inter::DOUBLE / (tot - inter) >= {_JACCARD_THRESHOLD}
     """,
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """MinHash (16 perms) + LSH banding (4 bands × 4 rows) near-dedup.
 
     Candidate generation is O(docs × bands) — docs meet only on equal band
@@ -251,10 +260,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Term ids come straight from a cross-dialect md5-prefix hash
     (``tid_sql``) — no shingle dictionary, no global ``row_number`` sort
     (the r1 single-partition scale-killer).  Signature construction is now
-    a narrow map + one groupBy(doc_id) shuffle, which is the 100 TB shape."""
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    # single-split local scan → spread CPU-bound shingling across cores
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    a narrow map + one groupBy(doc_id) shuffle, which is the 100 TB shape.
+
+    ``docs`` (optional): a pre-filtered (doc_id, text) frame — used by
+    ``dedup_lsh_eval(sample_frac=...)`` to price the banding on a sample."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+        # single-split local scan → spread CPU-bound shingling across cores
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     s = docs.withColumn("toks", tokens()).select(
         "doc_id", F.expr(shingles_sql("toks")).alias("sh")
     )
@@ -671,6 +684,22 @@ _LSH_PAIRS_ORACLE = _get_spec("dedup_minhash_lsh").oracle
 _EXACT_PAIRS_ORACLE = _get_spec("dedup_ngram_jaccard").oracle
 
 
+def _doc_sample_pred(frac: float, salt: str):
+    """Deterministic, portable doc sample: md5-prefix hash of doc_id
+    thresholded at ``frac`` (the ``sample_seeded_fraction`` discipline —
+    no RNG state, identical membership on every engine and every run)."""
+    expr = (
+        f"cast(conv(substring(md5(concat('{salt}:', cast(doc_id as string))), "
+        "1, 15), 16, 10) as bigint) % 1000000"
+    )
+    return F.expr(expr) < int(round(frac * 1_000_000))
+
+
+def _check_frac(frac: float, name: str) -> None:
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"{name} must be in (0, 1], got {frac!r}")
+
+
 @register(
     "dedup_lsh_eval",
     oracle=f"""
@@ -687,16 +716,35 @@ _EXACT_PAIRS_ORACLE = _get_spec("dedup_ngram_jaccard").oracle
                  / (SELECT COUNT(*) FROM truth), 4) AS recall
     """,
 )
-def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lsh_eval(
+    spark: SparkSession, sf_dir: str, sample_frac: float = 1.0
+) -> DataFrame:
     """Precision/recall of MinHash-LSH banding against the exact
     prefix-filtered n-gram-Jaccard pairs — the tuning loop for
     bands×rows: banding trades recall for candidate count, and this
     query IS the measurement (composed from both registered queries AND
-    their oracles, so the metric itself is hash-checked).  At 100 TB
-    the truth side runs on a sample (exact all-pairs is the quadratic
-    thing LSH exists to avoid); the join here is pair-keyed and tiny."""
-    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    truth = dedup_ngram_jaccard(spark, sf_dir).select(
+    their oracles, so the metric itself is hash-checked).
+
+    ``sample_frac`` is the production escape hatch (VERDICT r5 #5): the
+    truth side is the quadratic-ish thing LSH exists to avoid, so at
+    100 TB you price the banding on a deterministic hash-sample of the
+    corpus instead of all of it.  With ``sample_frac < 1`` BOTH sides
+    run on the same md5-thresholded doc subset, so precision/recall stay
+    unbiased estimates of the sub-corpus metric (a pair is measured iff
+    both endpoints sampled — the standard pair-sampling estimator);
+    membership is engine- and run-deterministic, no RNG state.  The
+    registered query keeps ``sample_frac=1.0`` — exact semantics, oracle
+    unchanged; the join here is pair-keyed and tiny either way."""
+    _check_frac(sample_frac, "sample_frac")
+    docs = None
+    if sample_frac < 1.0:
+        docs = (
+            load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+            .where(_doc_sample_pred(sample_frac, "lsheval"))
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+    lsh = dedup_minhash_lsh(spark, sf_dir, docs=docs).select("doc_a", "doc_b")
+    truth = dedup_ngram_jaccard(spark, sf_dir, docs=docs).select(
         F.col("doc_a").alias("ta"), F.col("doc_b").alias("tb")
     )
     hits = lsh.join(
@@ -737,7 +785,9 @@ _CONTAIN_T = 0.85  # containment threshold (quote / near-superset detection)
     WHERE p.inter::DOUBLE / sa.n >= {_CONTAIN_T}
     """,
 )
-def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_containment(
+    spark: SparkSession, sf_dir: str, probe_sample_frac: float = 1.0
+) -> DataFrame:
     """DIRECTIONAL near-dup detection: ordered pairs (a → b) where
     ``|A∩B| / |A| ≥ {_CONTAIN_T}`` on 3-gram shingles — containment
     (Broder's resemblance's asymmetric sibling).  This is the
@@ -753,7 +803,16 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     that occur in at least one probe prefix — rare by construction, which
     keeps hot shingles out of the candidate exchange entirely.  Verify is
     an exact ``array_intersect`` over the full sets, so the pruning is
-    lossless and the brute-force oracle matches exactly."""
+    lossless and the brute-force oracle matches exactly.
+
+    ``probe_sample_frac`` is the production escape hatch (VERDICT r5 #5):
+    containment is directional, so auditing a deterministic hash-sample
+    of PROBE documents against the FULL index is still exact per audited
+    doc — the output is precisely the full result restricted to sampled
+    ``doc_a``.  Document frequencies and the index side stay global, so
+    the prefix filter remains lossless.  The registered query keeps
+    ``probe_sample_frac=1.0`` — exact semantics, oracle unchanged."""
+    _check_frac(probe_sample_frac, "probe_sample_frac")
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     s = docs.withColumn("toks", tokens()).select(
@@ -762,9 +821,14 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = s.withColumn("n", F.size("sh")).cache()
     inv = s.select("doc_id", "n", F.explode("sh").alias("shingle"))
     df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # probe side only — document frequencies and the index stay global so
+    # the prefix filter is still lossless w.r.t. the full corpus
+    probe_inv = inv
+    if probe_sample_frac < 1.0:
+        probe_inv = inv.where(_doc_sample_pred(probe_sample_frac, "containment"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     prefix = (
-        inv.join(df_counts, "shingle")
+        probe_inv.join(df_counts, "shingle")
         .withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= F.floor(F.lit(1.0 - _CONTAIN_T) * F.col("n")) + 1)
         .select(F.col("doc_id").alias("doc_a"), F.col("shingle"))

@@ -2983,7 +2983,9 @@ _CMS_VALUES = ", ".join(f"({j})" for j in range(_CMS_D))
     FROM est
     """,
 )
-def agg_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_cms_audit(
+    spark: SparkSession, sf_dir: str, exact_sample_frac: float = 1.0
+) -> DataFrame:
     """Count-Min Sketch heavy-hitter audit with the overestimate MEASURED.
 
     The sketch is 4x64 counters with portable md5-prefix row hashes, so
@@ -3009,7 +3011,19 @@ def agg_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     so 100 TB of rows shuffles a few hundred counters per partition.
     The 256-cell table is broadcast onto the 10-row probe set; truth is
     one key-keyed aggregate (the exact pass the sketch replaces at
-    scale — kept here precisely so the audit can bill the difference)."""
+    scale — kept here precisely so the audit can bill the difference).
+
+    ``exact_sample_frac`` is the production escape hatch (VERDICT r5 #5):
+    the deliberate exact pass is the one stage that shuffles every key at
+    100 TB, so in production the audit runs it on a deterministic
+    md5-thresholded KEY sample — whole keys are kept or dropped together,
+    so every audited key still bills its EXACT count and ``overestimate
+    >= 0`` still holds; what shrinks is coverage of the key universe
+    (the top-K probe set comes from the sampled keys).  Membership is
+    engine- and run-deterministic, no RNG state.  The registered query
+    keeps ``exact_sample_frac=1.0`` — fully exact, oracle unchanged."""
+    if not (0.0 < exact_sample_frac <= 1.0):
+        raise ValueError(f"exact_sample_frac must be in (0, 1], got {exact_sample_frac!r}")
     li = load_table(
         spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"]
     ).select(F.expr(_cms_key_spark()).alias("k"))
@@ -3020,8 +3034,17 @@ def agg_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    truth_src = li
+    if exact_sample_frac < 1.0:
+        # per-KEY sample: all rows of a key are kept or dropped together,
+        # so kept keys bill exact counts (see docstring)
+        pred = F.expr(
+            "cast(conv(substring(md5(concat('cms-exact:', cast(k as string))), "
+            "1, 15), 16, 10) as bigint) % 1000000"
+        ) < int(round(exact_sample_frac * 1_000_000))
+        truth_src = li.where(pred)
     truth = (
-        li.groupBy("k")
+        truth_src.groupBy("k")
         .agg(F.count(F.lit(1)).alias("true_count"))
         .orderBy(F.col("true_count").desc(), "k")
         .limit(_CMS_TOP)
