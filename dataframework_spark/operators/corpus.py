@@ -932,3 +932,134 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("u03") / F.col("z03") / F.col("p_raw"), 4).alias("upsample_t03"),
         F.round(F.col("u07") / F.col("z07") / F.col("p_raw"), 4).alias("upsample_t07"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter funnel — stage-by-stage attrition accounting for the cleaning chain
+# ---------------------------------------------------------------------------
+
+# the funnel's stages reuse the exact quality signals of text_quality_score /
+# text_filter_verdicts so the attrition report prices the SAME rules the
+# per-doc verdict log explains
+from dataframework_spark.operators.text import _SW_ARRAY as _FUNNEL_SW_ARRAY
+from dataframework_spark.operators.text import _SW_DUCK as _FUNNEL_SW_DUCK
+
+_FUNNEL_STAGES = [
+    "ingest",
+    "min_length",
+    "lexical_diversity",
+    "stopword_band",
+    "exact_dedup",
+]
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             {DUCK_TOKENS_SQL} AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id, fp, len(toks) AS n,
+             len(toks) >= 30 AS p1,
+             len(list_distinct(toks))::DOUBLE / len(toks) >= 0.3 AS p2,
+             len(list_filter(toks, t -> t IN {_FUNNEL_SW_DUCK}))::DOUBLE
+               / len(toks) BETWEEN 0.01 AND 0.5 AS p3
+      FROM t),
+    g AS (
+      SELECT *, p1 AND p2 AS c2, p1 AND p2 AND p3 AS c3 FROM f),
+    k AS (
+      SELECT *, c3 AND doc_id = MIN(CASE WHEN c3 THEN doc_id END)
+                  OVER (PARTITION BY fp) AS c4
+      FROM g),
+    a AS (
+      SELECT COUNT(*) AS d0, CAST(SUM(n) AS BIGINT) AS t0,
+             COUNT(*) FILTER (p1) AS d1, CAST(SUM(n) FILTER (p1) AS BIGINT) AS t1,
+             COUNT(*) FILTER (c2) AS d2, CAST(SUM(n) FILTER (c2) AS BIGINT) AS t2,
+             COUNT(*) FILTER (c3) AS d3, CAST(SUM(n) FILTER (c3) AS BIGINT) AS t3,
+             COUNT(*) FILTER (c4) AS d4, CAST(SUM(n) FILTER (c4) AS BIGINT) AS t4
+      FROM k)
+    SELECT 0::BIGINT AS stage, 'ingest' AS stage_name, d0 AS n_docs, t0 AS n_tokens,
+           ROUND(d0::DOUBLE / d0, 4) AS pct_docs FROM a
+    UNION ALL
+    SELECT 1, 'min_length', d1, t1, ROUND(d1::DOUBLE / d0, 4) FROM a
+    UNION ALL
+    SELECT 2, 'lexical_diversity', d2, t2, ROUND(d2::DOUBLE / d0, 4) FROM a
+    UNION ALL
+    SELECT 3, 'stopword_band', d3, t3, ROUND(d3::DOUBLE / d0, 4) FROM a
+    UNION ALL
+    SELECT 4, 'exact_dedup', d4, t4, ROUND(d4::DOUBLE / d0, 4) FROM a
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage attrition report for the cleaning chain — the funnel
+    chart every pretraining-data run is steered by: after each CUMULATIVE
+    filter stage (length floor → lexical diversity → stopword band →
+    exact dedup keeper), how many documents and tokens survive, and what
+    fraction of the ingest that is.  ``text_filter_verdicts`` explains
+    WHY an individual document dropped; this prices WHERE the corpus
+    goes, which is what decides retuning a threshold (the rules are the
+    same expressions, so the two reports can never disagree).
+
+    Scale shape: one scan computes every per-doc signal narrowly; the
+    only exchange is the exact-dedup keeper window on the md5 digest
+    (16-byte key, same as ``dedup_exact``) — the keeper pick is a
+    conditional ``MIN(doc_id) FILTER (surviving)`` inside that window,
+    so no second pass and no join-back; then ONE constant-size
+    aggregate folds all five stages' doc/token counts at once
+    (conditional sums partial-reduce map-side), exploded to the 5-row
+    funnel.  At 100 TB: one shuffle of digests, one 5-row result."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    t = docs.withColumn("toks", tokens())
+    n = F.size("toks")
+    nd = n.cast("double")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    p1 = n >= 30
+    p2 = (F.size(F.array_distinct("toks")) / nd) >= 0.3
+    p3 = (
+        F.expr(f"size(filter(toks, t -> array_contains({_FUNNEL_SW_ARRAY}, t)))") / nd
+    ).between(0.01, 0.5)
+    g = t.select(
+        "doc_id",
+        fp.alias("fp"),
+        n.alias("n"),
+        p1.alias("p1"),
+        (p1 & p2).alias("c2"),
+        (p1 & p2 & p3).alias("c3"),
+    )
+    w = Window.partitionBy("fp")
+    k = g.withColumn(
+        "c4",
+        F.col("c3")
+        & (F.col("doc_id") == F.min(F.when(F.col("c3"), F.col("doc_id"))).over(w)),
+    )
+    conds = [F.lit(True), F.col("p1"), F.col("c2"), F.col("c3"), F.col("c4")]
+    aggs = []
+    for i, c in enumerate(conds):
+        aggs += [
+            F.count(F.when(c, 1)).alias(f"d{i}"),
+            F.sum(F.when(c, F.col("n"))).cast("bigint").alias(f"t{i}"),
+        ]
+    a = k.agg(*aggs)
+    rows = a.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("stage"),
+                        F.lit(name).alias("stage_name"),
+                        F.col(f"d{i}").alias("n_docs"),
+                        F.col(f"t{i}").alias("n_tokens"),
+                        F.round(F.col(f"d{i}").cast("double") / F.col("d0"), 4).alias(
+                            "pct_docs"
+                        ),
+                    )
+                    for i, name in enumerate(_FUNNEL_STAGES)
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.stage", "s.stage_name", "s.n_docs", "s.n_tokens", "s.pct_docs")

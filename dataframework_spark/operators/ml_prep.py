@@ -2772,3 +2772,82 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("gain", 4).alias("gain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier audit — distance-to-centroid curation flags
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_embedding_outliers",
+    oracle="""
+    WITH f AS (
+      SELECT vec_id,
+             unnest(range(len(embedding)))  AS dim,
+             unnest(embedding)::DOUBLE      AS v
+      FROM embeddings),
+    fi AS (SELECT vec_id, dim, CAST(ROUND(v * 1000000, 0) AS BIGINT) AS vi FROM f),
+    c AS (SELECT dim,
+                 CAST(ROUND(ROUND(AVG(v), 6) * 1000000, 0) AS BIGINT) AS ci
+          FROM f GROUP BY 1),
+    d AS (SELECT vec_id, SUM((vi - ci) * (vi - ci)) AS d2
+          FROM fi JOIN c USING (dim) GROUP BY 1),
+    tot AS (SELECT CAST(SUM(d2) AS HUGEINT) AS sum_d2, COUNT(*) AS nvec FROM d)
+    SELECT vec_id,
+           ROUND(SQRT(d2::DOUBLE / 1000000000000), 4)            AS dist,
+           (CAST(d2 AS HUGEINT) * nvec * 100 > 225 * sum_d2)     AS is_outlier
+    FROM d CROSS JOIN tot
+    """,
+)
+def ml_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-centroid outlier audit over the embedding corpus — the
+    curation pass that flags junk vectors (mis-embedded docs, empty
+    inputs, wrong-modality rows) before they poison contrastive
+    training or ANN index builds.  A vector is flagged when its SQUARED
+    distance to the global centroid exceeds 2.25× the corpus mean
+    squared distance (equivalently: distance > 1.5× the RMS distance —
+    a scale-free threshold that needs no tuning constant per corpus).
+
+    Cross-engine exactness: components and the (6-dp-rounded) centroid
+    are fixed-pointed to 1e-6 integers, so each vector's squared
+    distance is an EXACT int64 (|diff| ≤ ~2e6 ⇒ d² ≤ ~2.6e14 over 64
+    dims) and the threshold verdict is a pure 128-bit integer
+    comparison ``d2·n·100 > 225·Σd2`` — no float ever enters a
+    boundary decision; the reported ``dist`` is one sqrt of an exact
+    rational, identical IEEE on both engines.
+
+    Scale shape: one narrow posexplode feeds a d-row centroid aggregate
+    (map-side combinable — the shuffle carries 64 partials per task,
+    never vectors); the centroid broadcasts back; per-vector reduction
+    is one groupBy(vec_id) on data already keyed by vector; the
+    1-row total broadcasts onto the output.  Corpus vectors cross the
+    wire once, as integers."""
+    e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    flat = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    vi = F.round(F.col("v") * 1_000_000, 0).cast("bigint")
+    cent = flat.groupBy("dim").agg(
+        F.round(F.round(F.avg("v"), 6) * 1_000_000, 0).cast("bigint").alias("ci")
+    )
+    d2 = (
+        flat.join(F.broadcast(cent), "dim")
+        .select("vec_id", ((vi - F.col("ci")) * (vi - F.col("ci"))).alias("sq"))
+        .groupBy("vec_id")
+        .agg(F.sum("sq").alias("d2"))
+    ).cache()  # one (vec_id, int64) row per vector; read by the total AND
+    # the output — without it the `tot` branch re-runs the whole corpus
+    # pass (explode + centroid join) a second time
+    tot = d2.agg(
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("sum_d2"),
+        F.count(F.lit(1)).alias("nvec"),
+    )
+    lhs = F.col("d2").cast("decimal(38,0)") * F.col("nvec") * 100
+    rhs = F.lit(225).cast("decimal(38,0)") * F.col("sum_d2")
+    return d2.crossJoin(F.broadcast(tot)).select(
+        "vec_id",
+        F.round(F.sqrt(F.col("d2").cast("double") / 1e12), 4).alias("dist"),
+        (lhs > rhs).alias("is_outlier"),
+    )

@@ -3227,3 +3227,239 @@ def join_digest_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (fpr <= 2.0 * exp_fpr).alias("fpr_within_2x"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Profile — schema/statistics drift gate between two ingest batches
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT_YEAR = 1998  # old batch: orderdate < 1998; new batch: >= 1998
+_DRIFT_REL_T = 0.05  # |relative delta| above this flags the metric
+
+
+@register(
+    "profile_schema_drift",
+    oracle=f"""
+    WITH a AS (
+      SELECT
+        COUNT(*) FILTER (year(o_orderdate) <  {_DRIFT_SPLIT_YEAR}) AS cnt_old,
+        COUNT(*) FILTER (year(o_orderdate) >= {_DRIFT_SPLIT_YEAR}) AS cnt_new,
+        SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+          FILTER (year(o_orderdate) <  {_DRIFT_SPLIT_YEAR})        AS sum_old,
+        SUM(CAST(o_totalprice AS DECIMAL(38,12)))
+          FILTER (year(o_orderdate) >= {_DRIFT_SPLIT_YEAR})        AS sum_new,
+        COUNT(*) FILTER (year(o_orderdate) <  {_DRIFT_SPLIT_YEAR}
+                         AND o_orderstatus = 'F')                  AS f_old,
+        COUNT(*) FILTER (year(o_orderdate) >= {_DRIFT_SPLIT_YEAR}
+                         AND o_orderstatus = 'F')                  AS f_new,
+        COUNT(DISTINCT o_orderpriority)
+          FILTER (year(o_orderdate) <  {_DRIFT_SPLIT_YEAR})        AS pr_old,
+        COUNT(DISTINCT o_orderpriority)
+          FILTER (year(o_orderdate) >= {_DRIFT_SPLIT_YEAR})        AS pr_new
+      FROM orders),
+    m AS (
+      SELECT 'row_count' AS metric,
+             ROUND(cnt_old::DOUBLE, 4) AS old_val,
+             ROUND(cnt_new::DOUBLE, 4) AS new_val FROM a
+      UNION ALL
+      SELECT 'mean_totalprice',
+             ROUND(sum_old::DOUBLE / cnt_old, 4),
+             ROUND(sum_new::DOUBLE / cnt_new, 4) FROM a
+      UNION ALL
+      SELECT 'pct_status_F',
+             ROUND(f_old::DOUBLE / cnt_old, 4),
+             ROUND(f_new::DOUBLE / cnt_new, 4) FROM a
+      UNION ALL
+      SELECT 'distinct_priorities',
+             ROUND(pr_old::DOUBLE, 4),
+             ROUND(pr_new::DOUBLE, 4) FROM a)
+    SELECT metric, old_val, new_val,
+           ROUND((new_val - old_val) / old_val, 4)            AS rel_delta,
+           ABS(ROUND((new_val - old_val) / old_val, 4)) > {_DRIFT_REL_T}
+                                                              AS drifted
+    FROM m
+    """,
+)
+def profile_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-drift gate between two ingest batches — the pre-ingest
+    check a pipeline runs before appending a new crawl/extract to a
+    100 TB table (the multi-metric sibling of ``ml_psi_drift``, which
+    bins ONE numeric column; this compares summary statistics across a
+    fixed metric panel and verdicts each).  Batches here are the orders
+    before/after 1998 (the series runs 1995–2001): ingest VOLUME genuinely
+    drifts across the split (~20% more orders per year late), so
+    ``row_count`` trips the gate, while the value metrics (mean price,
+    status share, priority cardinality — stationary by construction in
+    this data) stay under the 5% threshold — the panel shows both a
+    firing and a quiet verdict.
+
+    Cross-engine exactness: price means use the q9 decimal discipline
+    (DECIMAL(38,12) sums are exact and order-independent; the single
+    double division afterwards is one IEEE op both engines perform on
+    identical inputs); count ratios are exact-integer divisions; the
+    relative delta is computed from the ROUNDED old/new values so the
+    verdict boolean can never straddle an ulp.
+
+    Scale shape: ONE scan of orders, one multi-conditional aggregate
+    (the two distinct-counts expand map-side, same as
+    ``profile_columns``); output is the constant-size metric panel.
+    At 100 TB the "old" side would be the maintained stats manifest of
+    the existing table — this query is then a scan of the NEW batch
+    only plus a broadcast of the manifest."""
+    y = F.year("o_orderdate")
+    old, new = y < _DRIFT_SPLIT_YEAR, y >= _DRIFT_SPLIT_YEAR
+    orders = load_table(
+        spark, sf_dir, "orders",
+        columns=["o_orderdate", "o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+    dec = F.col("o_totalprice").cast("decimal(38,12)")
+    a = orders.agg(
+        F.count(F.when(old, 1)).alias("cnt_old"),
+        F.count(F.when(new, 1)).alias("cnt_new"),
+        F.sum(F.when(old, dec)).alias("sum_old"),
+        F.sum(F.when(new, dec)).alias("sum_new"),
+        F.count(F.when(old & (F.col("o_orderstatus") == "F"), 1)).alias("f_old"),
+        F.count(F.when(new & (F.col("o_orderstatus") == "F"), 1)).alias("f_new"),
+        F.countDistinct(F.when(old, F.col("o_orderpriority"))).alias("pr_old"),
+        F.countDistinct(F.when(new, F.col("o_orderpriority"))).alias("pr_new"),
+    )
+    metrics = a.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("row_count").alias("metric"),
+                    F.round(F.col("cnt_old").cast("double"), 4).alias("old_val"),
+                    F.round(F.col("cnt_new").cast("double"), 4).alias("new_val"),
+                ),
+                F.struct(
+                    F.lit("mean_totalprice").alias("metric"),
+                    F.round(F.col("sum_old").cast("double") / F.col("cnt_old"), 4).alias("old_val"),
+                    F.round(F.col("sum_new").cast("double") / F.col("cnt_new"), 4).alias("new_val"),
+                ),
+                F.struct(
+                    F.lit("pct_status_F").alias("metric"),
+                    F.round(F.col("f_old").cast("double") / F.col("cnt_old"), 4).alias("old_val"),
+                    F.round(F.col("f_new").cast("double") / F.col("cnt_new"), 4).alias("new_val"),
+                ),
+                F.struct(
+                    F.lit("distinct_priorities").alias("metric"),
+                    F.round(F.col("pr_old").cast("double"), 4).alias("old_val"),
+                    F.round(F.col("pr_new").cast("double"), 4).alias("new_val"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.metric", "m.old_val", "m.new_val")
+    rel = F.round((F.col("new_val") - F.col("old_val")) / F.col("old_val"), 4)
+    return metrics.select(
+        "metric",
+        "old_val",
+        "new_val",
+        rel.alias("rel_delta"),
+        (F.abs(rel) > _DRIFT_REL_T).alias("drifted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window — Bollinger bands over the daily revenue series (exact integer-cents
+# window moments so both engines compute bit-identical bands)
+# ---------------------------------------------------------------------------
+
+_BOLL_N = 20  # trailing window length (days); classic parameterization
+_BOLL_K = 2  # band half-width in standard deviations
+
+
+@register(
+    "window_bollinger_bands",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,12))) * 100, 0)
+                  AS HUGEINT) AS rc
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT day, rc,
+             SUM(rc) OVER (ORDER BY day
+               ROWS BETWEEN {_BOLL_N - 1} PRECEDING AND CURRENT ROW) AS s,
+             SUM(rc * rc) OVER (ORDER BY day
+               ROWS BETWEEN {_BOLL_N - 1} PRECEDING AND CURRENT ROW) AS q,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM daily),
+    b AS (
+      SELECT day, rc, s, q,
+             (s::DOUBLE / {_BOLL_N})                                   AS mc,
+             sqrt((({_BOLL_N}::HUGEINT * q - s * s))::DOUBLE)
+               / {_BOLL_N}                                             AS sdc
+      FROM w WHERE rn >= {_BOLL_N})
+    SELECT day,
+           ROUND(rc::DOUBLE / 100, 2)                        AS revenue,
+           ((s + {_BOLL_N // 2}) // {_BOLL_N})::DOUBLE / 100 AS sma,
+           ROUND(sdc / 100, 2)                               AS sd,
+           ROUND((mc + {_BOLL_K} * sdc) / 100, 2)            AS upper_band,
+           ROUND((mc - {_BOLL_K} * sdc) / 100, 2)            AS lower_band,
+           (rc::DOUBLE > mc + {_BOLL_K} * sdc)               AS above_upper,
+           (rc::DOUBLE < mc - {_BOLL_K} * sdc)               AS below_lower
+    FROM b
+    """,
+)
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily revenue series: trailing-20-day
+    moving average ± 2 population standard deviations, with per-day
+    breakout flags — the volatility-aware companion to the level
+    monitors (z-score family, CUSUM, drawdown): a breakout is a day
+    outside its OWN recent volatility envelope, so calm and noisy
+    regimes get different thresholds automatically.
+
+    Cross-engine exactness (the interesting part): windowed float
+    moments are NOT portable — Spark recomputes sliding frames in frame
+    order while DuckDB uses segment trees, so double accumulation
+    orders differ.  Instead revenue is fixed-pointed to integer CENTS
+    via an exact decimal sum, and the window computes integer s = Σr
+    and q = Σr² (q in 128-bit: DECIMAL(38,0) / HUGEINT — r² alone can
+    pass 2⁶³ at warehouse scale).  Mean and population variance
+    ``(n·q − s²)/n²`` are then exact integers/rationals, and each
+    engine performs the SAME single float conversion, sqrt, and
+    rounding — bit-identical bands with no summation-order exposure.
+    Only full frames emit (row 20 onward): partial-frame bands are
+    statistically meaningless and the n is what makes the algebra
+    fixed.
+
+    Scale shape: orders collapse map-side to one row per day before any
+    window math (the calendar-series discipline); the ordered window
+    runs over the ~2.4k-row daily aggregate only."""
+    orders = load_table(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,12)")) * 100, 0)
+        .cast("decimal(38,0)")
+        .alias("rc")
+    )
+    frame = Window.orderBy("day").rowsBetween(-(_BOLL_N - 1), Window.currentRow)  # _GLOBAL_WINDOW_OK: input is the per-day aggregate (calendar-sized)
+    rn_w = Window.orderBy("day")  # _GLOBAL_WINDOW_OK: calendar-sized
+    w = daily.select(
+        "day",
+        "rc",
+        F.sum("rc").over(frame).alias("s"),
+        F.sum((F.col("rc") * F.col("rc")).cast("decimal(38,0)")).over(frame).alias("q"),
+        F.row_number().over(rn_w).alias("rn"),
+    ).where(F.col("rn") >= _BOLL_N)
+    n = F.lit(_BOLL_N)
+    mc = F.col("s").cast("double") / n
+    sdc = F.sqrt(
+        (n.cast("decimal(38,0)") * F.col("q") - F.col("r2")).cast("double")
+    ) / n
+    w = w.withColumn("r2", (F.col("s") * F.col("s")).cast("decimal(38,0)"))
+    rcd = F.col("rc").cast("double")
+    # sma is the one PURELY RATIONAL output (s/n — no sqrt to break half
+    # ties), so its cent rounding happens in exact integer arithmetic:
+    # (s + n/2) div n is half-up in cents on both engines, immune to the
+    # double-representation half-boundary that ROUND(s/n/100, 2) hits.
+    sma_cents = F.floor((F.col("s") + F.lit(_BOLL_N // 2)) / F.lit(_BOLL_N))
+    return w.select(
+        "day",
+        F.round(rcd / 100, 2).alias("revenue"),
+        (sma_cents.cast("double") / 100).alias("sma"),
+        F.round(sdc / 100, 2).alias("sd"),
+        F.round((mc + _BOLL_K * sdc) / 100, 2).alias("upper_band"),
+        F.round((mc - _BOLL_K * sdc) / 100, 2).alias("lower_band"),
+        (rcd > mc + _BOLL_K * sdc).alias("above_upper"),
+        (rcd < mc - _BOLL_K * sdc).alias("below_lower"),
+    )
