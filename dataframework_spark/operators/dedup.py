@@ -1203,3 +1203,158 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("covered") / F.max("n_tokens"), 6
         ).alias("dup_token_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D9 — SemDeDup: cluster-then-prune semantic dedup (the scalable shape)
+# ---------------------------------------------------------------------------
+
+from dataframework_spark.functions.arrays import cosine_sql as _cos_spark
+from dataframework_spark.functions.arrays import duck_cosine_sql as _cos_duck
+from dataframework_spark.operators.similarity import (
+    _bucket_sql_duck as _sd_bucket_duck,
+)
+from dataframework_spark.operators.similarity import (
+    _bucket_sql_spark as _sd_bucket_spark,
+)
+
+_SEMDEDUP_T = 0.4  # same calibration as dedup_embedding_cosine
+
+
+@register(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {_sd_bucket_duck('embedding')} AS bucket
+      FROM embeddings),
+    p AS (
+      SELECT DISTINCT b.vec_id AS pruned_id
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_cos_duck('a.embedding', 'b.embedding')} >= {_SEMDEDUP_T})
+    SELECT e.vec_id, e.bucket, p.pruned_id IS NULL AS is_kept
+    FROM e LEFT JOIN p ON e.vec_id = p.pruned_id
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup made
+    scalable by CLUSTERING FIRST — pairwise cosine runs only WITHIN a
+    cluster, never across the corpus.  A vector is pruned iff some
+    smaller-id vector in its cluster is within the similarity ball
+    (cos ≥ {_SEMDEDUP_T}); keep-first by vec_id makes the greedy
+    deterministic (the paper keeps a random representative).  This is
+    the production path that ``dedup_embedding_cosine`` (global
+    all-pairs, the correctness baseline) exists to be replaced by.
+
+    Clusters here are the deterministic random-hyperplane buckets shared
+    with ``sim_lsh_topk`` (bit-identical in both engines); at 100 TB
+    you'd use the TRAINED coarse cells (``sim_ivf_kmeans`` /
+    ``ivfpq_persist``) — same query shape, k grows with n so cluster
+    size stays ~constant and the per-cluster all-pairs cost stays
+    bounded (the paper's core argument).  Plan: one bucket-keyed
+    exchange for the in-cluster join, one vec_id-keyed left join for
+    the verdicts; the corpus crosses the wire twice, candidates never
+    leave their cluster.  Excluded from replica sweeps with the same
+    enumerated reason as ``dedup_embedding_cosine``: the M× replica
+    puts M copies of every vector in one bucket, so in-cluster pairs
+    grow ~M² BY CONSTRUCTION — real corpora don't."""
+    e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.withColumn("bucket", F.expr(_sd_bucket_spark("v"))).cache()
+    a = e.select(F.col("bucket").alias("bka"), F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b = e.select(F.col("bucket").alias("bkb"), F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    pruned = (
+        a.hint("shuffle_hash")
+        .join(b, (F.col("bka") == F.col("bkb")) & (F.col("a_id") < F.col("b_id")), "inner")
+        .where(F.expr(_cos_spark("va", "vb")) >= _SEMDEDUP_T)
+        .select(F.col("b_id").alias("pruned_id"))
+        .distinct()
+    )
+    return e.join(
+        pruned, e.vec_id == pruned.pruned_id, "left"
+    ).select("vec_id", "bucket", F.col("pruned_id").isNull().alias("is_kept"))
+
+
+# ---------------------------------------------------------------------------
+# D10 — contamination SEVERITY: longest shared n-gram tier per eval doc
+# ---------------------------------------------------------------------------
+
+_SEV_TIERS = (8, 16, 32)  # doubling lengths — the Lee-et-al binary-search trick
+
+
+def _sev_duck_tier(n: int) -> str:
+    return f"""
+    ev{n} AS (SELECT DISTINCT doc_id, unnest({duck_shingles_sql('toks', n)}) AS sh
+              FROM t WHERE doc_id % 2 = 1),
+    tr{n} AS (SELECT DISTINCT unnest({duck_shingles_sql('toks', n)}) AS sh
+              FROM t WHERE doc_id % 2 = 0),
+    hit{n} AS (SELECT DISTINCT doc_id, {n} AS tier FROM ev{n}
+               JOIN tr{n} USING (sh))"""
+
+
+@register(
+    "dedup_contamination_severity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    {",".join(_sev_duck_tier(n) for n in _SEV_TIERS)},
+    hits AS ({" UNION ALL ".join(f"SELECT * FROM hit{n}" for n in _SEV_TIERS)}),
+    best AS (SELECT doc_id, MAX(tier) AS severity FROM hits GROUP BY 1)
+    SELECT e.doc_id,
+           CAST(len(e.toks) AS BIGINT)           AS n_tokens,
+           CAST(COALESCE(b.severity, 0) AS BIGINT) AS severity
+    FROM (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 1) e
+    LEFT JOIN best b ON e.doc_id = b.doc_id
+    """,
+)
+def dedup_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination SEVERITY tiers: for every eval-split document, the
+    longest n-gram length in {{8, 16, 32}} at which it still shares a
+    shingle with the train split — ``dedup_contamination`` counts 8-gram
+    collisions (is it contaminated?), this grades HOW BADLY (a shared
+    32-gram is verbatim leakage a benchmark must drop; a lone shared
+    8-gram may be an idiom).  Doubling tier lengths bound the true
+    longest-match length within a factor of 2 — the binary-search-over-
+    lengths trick from the exact-substring dedup literature (Lee et al.
+    2022), fixed to three probes so the whole audit is three shingle
+    joins, not an iterative search.
+
+    Scale shape: tokenization happens ONCE (cached); each tier is the
+    ``dedup_contamination`` inverted-index discipline — both sides
+    collapse to distinct (shingle-hash, side) pairs map-side, the only
+    shuffle key is the 64-bit shingle hash, the train side crosses the
+    wire once per tier.  Eval docs shorter than a tier simply have no
+    shingles at that tier (standard semantics).  Severity 0 = clean:
+    the eval side of a real pipeline is benchmark-sized, so all three
+    joins are effectively broadcast there."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    t = docs.withColumn("toks", tokens()).cache()
+    hits = None
+    for n in _SEV_TIERS:
+        sh = F.expr(f"transform({shingles_sql('toks', n)}, x -> xxhash64(x))")
+        ev = (
+            t.where(F.col("doc_id") % 2 == 1)
+            .select("doc_id", F.explode(sh).alias("sh"))
+            .distinct()
+        )
+        tr = (
+            t.where(F.col("doc_id") % 2 == 0)
+            .select(F.explode(sh).alias("sh"))
+            .distinct()
+        )
+        hit = (
+            ev.join(tr, "sh", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("tier", F.lit(n))
+        )
+        hits = hit if hits is None else hits.unionByName(hit)
+    best = hits.groupBy("doc_id").agg(F.max("tier").alias("severity"))
+    ev_docs = t.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    return ev_docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("severity"), F.lit(0)).cast("bigint").alias("severity"),
+    )

@@ -1675,3 +1675,95 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("acf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Additive seasonal decomposition — trend + day-of-week effect + residual,
+# entirely in exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+_SD_HALF = 3  # centered moving-average half-width (7-day trend window)
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events GROUP BY 1),
+    w AS (
+      SELECT day, x,
+             CAST(SUM(x) OVER (ORDER BY day
+               ROWS BETWEEN {_SD_HALF} PRECEDING AND {_SD_HALF} FOLLOWING)
+               AS BIGINT) AS s7,
+             row_number() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM daily),
+    full7 AS (
+      SELECT day, x, s7, 7 * x - s7 AS d, isodow(day) AS dow
+      FROM w WHERE rn BETWEEN {_SD_HALF + 1} AND n - {_SD_HALF}),
+    eff AS (
+      SELECT dow, CAST(SUM(d) AS BIGINT) AS sd, COUNT(*) AS cnt
+      FROM full7 GROUP BY 1)
+    SELECT f.day,
+           CAST(f.x AS BIGINT)                                   AS volume,
+           ROUND(f.s7 / 7.0, 4)                                  AS trend,
+           ROUND(e.sd / (7.0 * e.cnt), 4)                        AS seasonal,
+           ROUND(f.d / 7.0 - e.sd / (7.0 * e.cnt), 4)            AS residual
+    FROM full7 f JOIN eff e USING (dow)
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily event volume —
+    ``volume = trend + day-of-week effect + residual`` (the STL-lite
+    every capacity forecast starts from; ``events_seasonality_profile``
+    ASSUMES the weekly pattern and ``events_autocorrelation`` detects
+    it — this op SUBTRACTS it, leaving the residual that anomaly
+    monitors should actually watch).
+
+    Cross-engine exactness: everything is integer until the final
+    prints.  Trend is the centered 7-day sum ``s7`` (exact BIGINT);
+    the detrended series is kept ×7 as ``d = 7x − s7`` (exact); the
+    day-of-week effect is the exact integer pair (Σd, count) per dow;
+    the only float ops are the single divisions in the output
+    expressions, performed on identical exact integers by both engines
+    and rounded to 4 dp.  Spark ``weekday()+1`` pins ISO dow against
+    DuckDB's ``isodow`` (the ``events_seasonality_profile`` idiom).
+    Only days with a FULL 7-day window emit — partial-window trends
+    would make the decomposition asymmetric at the edges.
+
+    Scale shape: the raw scan collapses map-side to one row per DAY
+    before any window math; the centered window, the 7-row dow
+    aggregate (broadcast back), and the final join all run on the
+    calendar-sized series — the repo's standard discipline."""
+    ev = load_table(spark, sf_dir, "events", columns=["ts"])
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("x"))
+    frame = Window.orderBy("day").rowsBetween(-_SD_HALF, _SD_HALF)  # _GLOBAL_WINDOW_OK: input is the per-day aggregate (calendar-sized)
+    rn_w = Window.orderBy("day")  # _GLOBAL_WINDOW_OK: calendar-sized
+    cnt_w = Window.partitionBy()  # _GLOBAL_WINDOW_OK: calendar-sized
+    w = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(frame).cast("bigint").alias("s7"),
+        F.row_number().over(rn_w).alias("rn"),
+        F.count(F.lit(1)).over(cnt_w).alias("n"),
+    )
+    full7 = w.where(
+        (F.col("rn") >= _SD_HALF + 1) & (F.col("rn") <= F.col("n") - _SD_HALF)
+    ).select(
+        "day",
+        "x",
+        "s7",
+        (7 * F.col("x") - F.col("s7")).alias("d"),
+        (F.weekday("day") + F.lit(1)).alias("dow"),
+    )
+    eff = full7.groupBy("dow").agg(
+        F.sum("d").cast("bigint").alias("sd"), F.count(F.lit(1)).alias("cnt")
+    )
+    seasonal = F.col("sd") / (7.0 * F.col("cnt"))
+    return full7.join(F.broadcast(eff), "dow").select(
+        "day",
+        F.col("x").cast("bigint").alias("volume"),
+        F.round(F.col("s7") / 7.0, 4).alias("trend"),
+        F.round(seasonal, 4).alias("seasonal"),
+        F.round(F.col("d") / 7.0 - seasonal, 4).alias("residual"),
+    )

@@ -55,6 +55,12 @@ EXCLUSIONS: dict[str, str] = {
         "~M^2 near-dup pairs per original doc (output-driven, not a plan "
         "bug; blocked/banded siblings are swept)"
     ),
+    "dedup_semdedup": (
+        "SemDeDup in-cluster pairwise cosine: the M-x replica puts M "
+        "copies of every vector in one bucket, so in-cluster pairs grow "
+        "~M^2 by construction (real corpora don't; at scale k grows with "
+        "n keeping cluster size ~constant — the paper's core argument)"
+    ),
     "dedup_simhash": (
         "near-dup pair emitter (simhash band buckets): every doc is an "
         "M-way dup on the replica, so the OUTPUT is ~M^2 pairs"
