@@ -1318,38 +1318,47 @@ def dedup_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     2022), fixed to three probes so the whole audit is three shingle
     joins, not an iterative search.
 
-    Scale shape: tokenization happens ONCE (cached); each tier is the
-    ``dedup_contamination`` inverted-index discipline — both sides
-    collapse to distinct (shingle-hash, side) pairs map-side, the only
-    shuffle key is the 64-bit shingle hash, the train side crosses the
-    wire once per tier.  Eval docs shorter than a tier simply have no
-    shingles at that tier (standard semantics).  Severity 0 = clean:
-    the eval side of a real pipeline is benchmark-sized, so all three
-    joins are effectively broadcast there."""
+    Scale shape (1000x-probed): all three tiers fold into ONE
+    (tier, xxhash64) struct array inside the row — shingle STRINGS never
+    leave the row (the ``dedup_contamination`` wire discipline; a draft
+    that cached raw token arrays and exploded strings three times OOM'd
+    the 1000x replica), the single cached table carries 8-byte hashes,
+    and one tier-tagged semi-join on (tier, sh) replaces three joins.
+    Eval docs shorter than a tier simply have no shingles at that tier
+    (standard semantics).  Severity 0 = clean: the eval side of a real
+    pipeline is benchmark-sized, so the semi-join is effectively
+    broadcast there."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    t = docs.withColumn("toks", tokens()).cache()
-    hits = None
-    for n in _SEV_TIERS:
-        sh = F.expr(f"transform({shingles_sql('toks', n)}, x -> xxhash64(x))")
-        ev = (
-            t.where(F.col("doc_id") % 2 == 1)
-            .select("doc_id", F.explode(sh).alias("sh"))
-            .distinct()
-        )
-        tr = (
-            t.where(F.col("doc_id") % 2 == 0)
-            .select(F.explode(sh).alias("sh"))
-            .distinct()
-        )
-        hit = (
-            ev.join(tr, "sh", "left_semi")
-            .select("doc_id")
-            .distinct()
-            .withColumn("tier", F.lit(n))
-        )
-        hits = hit if hits is None else hits.unionByName(hit)
-    best = hits.groupBy("doc_id").agg(F.max("tier").alias("severity"))
+    t = docs.withColumn("toks", tokens())
+    # Hash EARLY, inside the row: the first draft cached the raw token
+    # arrays and ran three string-shingle explodes over the cache — at the
+    # 1000x replica that OOM'd the heap (strings dominated both the cache
+    # and the explode buffers).  This shape folds all three tiers into ONE
+    # (tier, xxhash64) struct array per doc, so strings never leave the
+    # row, the single cached table is (doc_id, tier, 8-byte hash), and one
+    # tier-tagged semi-join replaces three joins.
+    tier_structs = F.concat(
+        *[
+            F.expr(
+                f"transform({shingles_sql('toks', n)}, "
+                f"x -> struct({n} as tier, xxhash64(x) as sh))"
+            )
+            for n in _SEV_TIERS
+        ]
+    )
+    flat = (
+        t.select("doc_id", F.explode(tier_structs).alias("p"))
+        .select("doc_id", "p.tier", "p.sh")
+        .cache()  # hashes + ints only; both join sides read it
+    )
+    tr = flat.where(F.col("doc_id") % 2 == 0).select("tier", "sh").distinct()
+    best = (
+        flat.where(F.col("doc_id") % 2 == 1)
+        .join(tr, ["tier", "sh"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.max("tier").alias("severity"))
+    )
     ev_docs = t.where(F.col("doc_id") % 2 == 1).select(
         "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
     )
