@@ -946,7 +946,7 @@ from dataframework_spark.operators.text import _SW_DUCK as _FUNNEL_SW_DUCK
 
 _FUNNEL_STAGES = [
     "ingest",
-    "min_length",
+    "length_band",
     "lexical_diversity",
     "stopword_band",
     "exact_dedup",
@@ -963,10 +963,10 @@ _FUNNEL_STAGES = [
       FROM documents),
     f AS (
       SELECT doc_id, fp, len(toks) AS n,
-             len(toks) >= 30 AS p1,
-             len(list_distinct(toks))::DOUBLE / len(toks) >= 0.3 AS p2,
-             len(list_filter(toks, t -> t IN {_FUNNEL_SW_DUCK}))::DOUBLE
-               / len(toks) BETWEEN 0.01 AND 0.5 AS p3
+             len(toks) BETWEEN 30 AND 400 AS p1,
+             ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4) >= 0.3 AS p2,
+             ROUND(len(list_filter(toks, t -> t IN {_FUNNEL_SW_DUCK}))::DOUBLE
+                   / len(toks), 4) BETWEEN 0.01 AND 0.5 AS p3
       FROM t),
     g AS (
       SELECT *, p1 AND p2 AS c2, p1 AND p2 AND p3 AS c3 FROM f),
@@ -984,7 +984,7 @@ _FUNNEL_STAGES = [
     SELECT 0::BIGINT AS stage, 'ingest' AS stage_name, d0 AS n_docs, t0 AS n_tokens,
            ROUND(d0::DOUBLE / d0, 4) AS pct_docs FROM a
     UNION ALL
-    SELECT 1, 'min_length', d1, t1, ROUND(d1::DOUBLE / d0, 4) FROM a
+    SELECT 1, 'length_band', d1, t1, ROUND(d1::DOUBLE / d0, 4) FROM a
     UNION ALL
     SELECT 2, 'lexical_diversity', d2, t2, ROUND(d2::DOUBLE / d0, 4) FROM a
     UNION ALL
@@ -996,12 +996,17 @@ _FUNNEL_STAGES = [
 def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-by-stage attrition report for the cleaning chain — the funnel
     chart every pretraining-data run is steered by: after each CUMULATIVE
-    filter stage (length floor → lexical diversity → stopword band →
+    filter stage (length band → lexical diversity → stopword band →
     exact dedup keeper), how many documents and tokens survive, and what
     fraction of the ingest that is.  ``text_filter_verdicts`` explains
     WHY an individual document dropped; this prices WHERE the corpus
-    goes, which is what decides retuning a threshold (the rules are the
-    same expressions, so the two reports can never disagree).
+    goes, which is what decides retuning a threshold.  The stages apply
+    the IDENTICAL rules the verdict log applies — the full 30..400 token
+    band (too_long is a reject reason there, so it must cost docs here)
+    and the SAME 4-dp-rounded ratios the verdicts compare — so stage-3
+    survivors equal ``COUNT(*) FILTER (keep)`` from the verdict log
+    exactly (reconciled by test; r6 ADVICE closed the >400-token and
+    rounding-boundary divergence channels).
 
     Scale shape: one scan computes every per-doc signal narrowly; the
     only exchange is the exact-dedup keeper window on the md5 digest
@@ -1017,10 +1022,11 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size("toks")
     nd = n.cast("double")
     fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
-    p1 = n >= 30
-    p2 = (F.size(F.array_distinct("toks")) / nd) >= 0.3
-    p3 = (
-        F.expr(f"size(filter(toks, t -> array_contains({_FUNNEL_SW_ARRAY}, t)))") / nd
+    p1 = n.between(30, 400)
+    p2 = F.round(F.size(F.array_distinct("toks")) / nd, 4) >= 0.3
+    p3 = F.round(
+        F.expr(f"size(filter(toks, t -> array_contains({_FUNNEL_SW_ARRAY}, t)))") / nd,
+        4,
     ).between(0.01, 0.5)
     g = t.select(
         "doc_id",

@@ -710,10 +710,12 @@ def _check_frac(frac: float, name: str) -> None:
     SELECT (SELECT COUNT(*) FROM lsh)   AS n_candidates,
            (SELECT COUNT(*) FROM truth) AS n_truth,
            (SELECT COUNT(*) FROM hits)  AS n_hits,
-           round((SELECT COUNT(*) FROM hits) * 1.0
-                 / (SELECT COUNT(*) FROM lsh), 4)   AS precision,
-           round((SELECT COUNT(*) FROM hits) * 1.0
-                 / (SELECT COUNT(*) FROM truth), 4) AS recall
+           CASE WHEN (SELECT COUNT(*) FROM lsh) <> 0 THEN
+             round((SELECT COUNT(*) FROM hits) * 1.0
+                   / (SELECT COUNT(*) FROM lsh), 4) END   AS precision,
+           CASE WHEN (SELECT COUNT(*) FROM truth) <> 0 THEN
+             round((SELECT COUNT(*) FROM hits) * 1.0
+                   / (SELECT COUNT(*) FROM truth), 4) END AS recall
     """,
 )
 def dedup_lsh_eval(
@@ -734,7 +736,10 @@ def dedup_lsh_eval(
     both endpoints sampled — the standard pair-sampling estimator);
     membership is engine- and run-deterministic, no RNG state.  The
     registered query keeps ``sample_frac=1.0`` — exact semantics, oracle
-    unchanged; the join here is pair-keyed and tiny either way."""
+    unchanged; the join here is pair-keyed and tiny either way.
+    NULL-on-empty: a sample with zero candidates (or zero truth pairs)
+    reports NULL precision (recall) explicitly on both engines rather
+    than relying on Spark's non-ANSI x/0."""
     _check_frac(sample_frac, "sample_frac")
     docs = None
     if sample_frac < 1.0:
@@ -755,12 +760,23 @@ def dedup_lsh_eval(
         .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
         .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
     )
+    # guard the ratios: with a small sample_frac the sampled sub-corpus can
+    # legitimately yield zero candidates or zero truth pairs, and Spark's
+    # non-ANSI x/0 would emit NULL silently while the intent is explicit
+    # NULL-on-empty semantics on BOTH engines (r6 ADVICE; mirrors the
+    # events_autocorrelation den<>0 discipline)
     return counts.select(
         "n_candidates",
         "n_truth",
         "n_hits",
-        F.round(F.col("n_hits") * 1.0 / F.col("n_candidates"), 4).alias("precision"),
-        F.round(F.col("n_hits") * 1.0 / F.col("n_truth"), 4).alias("recall"),
+        F.when(
+            F.col("n_candidates") != 0,
+            F.round(F.col("n_hits") * 1.0 / F.col("n_candidates"), 4),
+        ).alias("precision"),
+        F.when(
+            F.col("n_truth") != 0,
+            F.round(F.col("n_hits") * 1.0 / F.col("n_truth"), 4),
+        ).alias("recall"),
     )
 
 

@@ -2789,8 +2789,10 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings),
     fi AS (SELECT vec_id, dim, CAST(ROUND(v * 1000000, 0) AS BIGINT) AS vi FROM f),
     c AS (SELECT dim,
-                 CAST(ROUND(ROUND(AVG(v), 6) * 1000000, 0) AS BIGINT) AS ci
-          FROM f GROUP BY 1),
+                 CAST((CASE WHEN SUM(vi) < 0 THEN -1 ELSE 1 END)
+                      * ((2 * ABS(SUM(vi)) + COUNT(*)) // (2 * COUNT(*)))
+                      AS BIGINT) AS ci
+          FROM fi GROUP BY 1),
     d AS (SELECT vec_id, SUM((vi - ci) * (vi - ci)) AS d2
           FROM fi JOIN c USING (dim) GROUP BY 1),
     tot AS (SELECT CAST(SUM(d2) AS HUGEINT) AS sum_d2, COUNT(*) AS nvec FROM d)
@@ -2809,13 +2811,15 @@ def ml_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared distance (equivalently: distance > 1.5× the RMS distance —
     a scale-free threshold that needs no tuning constant per corpus).
 
-    Cross-engine exactness: components and the (6-dp-rounded) centroid
-    are fixed-pointed to 1e-6 integers, so each vector's squared
-    distance is an EXACT int64 (|diff| ≤ ~2e6 ⇒ d² ≤ ~2.6e14 over 64
-    dims) and the threshold verdict is a pure 128-bit integer
-    comparison ``d2·n·100 > 225·Σd2`` — no float ever enters a
-    boundary decision; the reported ``dist`` is one sqrt of an exact
-    rational, identical IEEE on both engines.
+    Cross-engine exactness: components are fixed-pointed to 1e-6
+    integers and the centroid is computed FROM those integers — half-up
+    integer division of Σvi by n, never a float AVG (a float mean near
+    a 5e-7 rounding boundary could flip a dimension by 1 between
+    engines; r6 ADVICE) — so each vector's squared distance is an EXACT
+    int64 (|diff| ≤ ~2e6 ⇒ d² ≤ ~2.6e14 over 64 dims) and the threshold
+    verdict is a pure 128-bit integer comparison ``d2·n·100 > 225·Σd2``
+    — no float ever enters a boundary decision; the reported ``dist``
+    is one sqrt of an exact rational, identical IEEE on both engines.
 
     Scale shape: one narrow posexplode feeds a d-row centroid aggregate
     (map-side combinable — the shuffle carries 64 partials per task,
@@ -2829,8 +2833,22 @@ def ml_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
     )
     vi = F.round(F.col("v") * 1_000_000, 0).cast("bigint")
+    # centroid from the fixed-pointed INTEGERS, not a float AVG: half-up
+    # (away-from-zero) integer division of Σvi by n — with positives,
+    # DuckDB's floor `//` and Spark's truncating `div` agree, so no
+    # summation-order-dependent float aggregate feeds the verdict
+    # (r6 ADVICE: a float mean near a 5e-7 boundary could flip ci by 1)
     cent = flat.groupBy("dim").agg(
-        F.round(F.round(F.avg("v"), 6) * 1_000_000, 0).cast("bigint").alias("ci")
+        F.sum(vi).alias("sv"), F.count(F.lit(1)).alias("nv")
+    )
+    cent = cent.select(
+        "dim",
+        (
+            F.when(F.col("sv") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr("(2 * abs(sv) + nv) div (2 * nv)")
+        )
+        .cast("bigint")
+        .alias("ci"),
     )
     d2 = (
         flat.join(F.broadcast(cent), "dim")

@@ -3443,10 +3443,8 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("rn") >= _BOLL_N)
     n = F.lit(_BOLL_N)
     mc = F.col("s").cast("double") / n
-    sdc = F.sqrt(
-        (n.cast("decimal(38,0)") * F.col("q") - F.col("r2")).cast("double")
-    ) / n
-    w = w.withColumn("r2", (F.col("s") * F.col("s")).cast("decimal(38,0)"))
+    r2 = (F.col("s") * F.col("s")).cast("decimal(38,0)")
+    sdc = F.sqrt((n.cast("decimal(38,0)") * F.col("q") - r2).cast("double")) / n
     rcd = F.col("rc").cast("double")
     # sma is the one PURELY RATIONAL output (s/n — no sqrt to break half
     # ties), so its cent rounding happens in exact integer arithmetic:
