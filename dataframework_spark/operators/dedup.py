@@ -1136,7 +1136,9 @@ _ESS_W = 8  # span width in tokens (the paper uses 50 BPE tokens at web scale)
     LEFT JOIN per_cov c ON c.doc_id = t.doc_id
     """,
 )
-def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact_substring(
+    spark: SparkSession, sf_dir: str, sample_frac: float = 1.0
+) -> DataFrame:
     """Exact-substring (span-level) dedup accounting, the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" semantics:
     a {_ESS_W}-token span that occurs anywhere else in the corpus is
@@ -1162,7 +1164,21 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Short docs (< {_ESS_W} tokens) have zero spans and an honest 0.0
     fraction — kept via explode_outer + null-aware counts rather than a
     join back onto the base table (one pipeline, no extra doc_id
-    exchange before the final agg)."""
+    exchange before the final agg).
+
+    ``sample_frac`` is the production escape hatch (VERDICT r6 #3,
+    completing the eval-tier knob family): a doc-level md5-deterministic
+    sample of WHICH documents get audited, while span frequencies stay
+    GLOBAL — a sampled doc's span is duplicated iff it repeats anywhere
+    in the FULL corpus, so the sampled output is provably EQUAL to the
+    full result restricted to sampled docs (the containment knob's
+    lossless construction).  The knob also improves the plan shape: the
+    full-corpus pass collapses from a per-row span-hash window to a
+    ``groupBy(h)`` with map-side partial aggregation (only duplicated
+    hashes survive the filter), and the per-row window work runs on the
+    sampled docs only.  The registered query keeps ``sample_frac=1.0``
+    — exact semantics, oracle unchanged."""
+    _check_frac(sample_frac, "sample_frac")
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     span_sql = (
         f"case when size({TOKENS_SQL}) < {_ESS_W} then array() "
@@ -1175,13 +1191,36 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer(F.expr(span_sql)).alias("s"),
     ).select("doc_id", "n_tokens", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
 
-    # ONE exchange on the span hash; null h (short docs) is excluded from
-    # the frequency window so the all-short-docs null partition can never
-    # become the skew key at scale.
-    wh = Window.partitionBy("h")
-    marked = spans.withColumn(
-        "dup", F.when(F.col("h").isNotNull(), F.count(F.lit(1)).over(wh) >= 2).otherwise(F.lit(False))
-    )
+    if sample_frac < 1.0:
+        # Knob path: frequencies from ALL spans (groupBy(h) partial-
+        # aggregates map-side, so the exchange carries per-partition
+        # distinct hashes, not every span row), billed spans from the
+        # sampled docs only; a null-h short doc joins nothing and stays
+        # honestly dup=false.
+        dup_h = (
+            spans.where(F.col("h").isNotNull())
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+            .select("h", F.lit(True).alias("dup_"))
+        )
+        marked = (
+            spans.where(_doc_sample_pred(sample_frac, "exactsub"))
+            .join(dup_h, "h", "left")
+            .withColumn("dup", F.coalesce(F.col("dup_"), F.lit(False)))
+            .drop("dup_")
+        )
+    else:
+        # ONE exchange on the span hash; null h (short docs) is excluded
+        # from the frequency window so the all-short-docs null partition
+        # can never become the skew key at scale.
+        wh = Window.partitionBy("h")
+        marked = spans.withColumn(
+            "dup",
+            F.when(
+                F.col("h").isNotNull(), F.count(F.lit(1)).over(wh) >= 2
+            ).otherwise(F.lit(False)),
+        )
     # Interval sweep per doc: tokens covered by >=1 dup span, overlaps
     # merged via the running max of DUP span ends over preceding rows
     # (non-dup rows pass through the window as nulls MAX ignores, so the

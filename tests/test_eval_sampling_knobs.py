@@ -1,11 +1,12 @@
-"""Guard tests for the eval-tier sampling knobs (VERDICT r5 #5).
+"""Guard tests for the eval-tier sampling knobs (VERDICT r5 #5, r6 #3).
 
-The three eval tiers deliberately compute an exact truth set that is
-infeasible at 100 TB (`dedup_lsh_eval`'s exact-Jaccard pairs,
-`dedup_ngram_containment`'s directional audit, `agg_cms_audit`'s exact
-frequency pass).  Each now carries a sampling parameter as the production
-escape hatch; the registered queries keep the default (exact) semantics so
-their oracles are unchanged.  These tests pin:
+The exact tiers deliberately compute a truth set that is infeasible at
+100 TB (`dedup_lsh_eval`'s exact-Jaccard pairs, `dedup_ngram_containment`'s
+directional audit, `agg_cms_audit`'s exact frequency pass, and — since r7 —
+`dedup_exact_substring`'s corpus-wide span accounting).  Each carries a
+sampling parameter as the production escape hatch; the registered queries
+keep the default (exact) semantics so their oracles are unchanged.  These
+tests pin:
 
 * defaults are exact (knob absent == knob at 1.0),
 * the sampled path is deterministic (same result twice — md5 membership,
@@ -20,6 +21,7 @@ from __future__ import annotations
 import pytest
 
 from dataframework_spark.operators.dedup import (
+    dedup_exact_substring,
     dedup_lsh_eval,
     dedup_ngram_containment,
 )
@@ -38,6 +40,7 @@ def _rows(df):
         (dedup_lsh_eval, "sample_frac"),
         (dedup_ngram_containment, "probe_sample_frac"),
         (agg_cms_audit, "exact_sample_frac"),
+        (dedup_exact_substring, "sample_frac"),
     ],
 )
 @pytest.mark.parametrize("bad", [0.0, -0.1, 1.5])
@@ -98,3 +101,32 @@ def test_cms_audit_sampled_keys_bill_exact_counts(spark):
             assert r.cms_est == full[r.item_key].cms_est
     again = agg_cms_audit(spark, ORACLE_SF_DIR, exact_sample_frac=0.5).collect()
     assert sorted(map(tuple, sampled)) == sorted(map(tuple, again))
+
+
+def test_exact_substring_sample_is_exact_restriction(spark):
+    """VERDICT r6 #3: doc-level sample with GLOBAL span frequencies —
+    sampled output must EQUAL the full result restricted to the sampled
+    doc set (lossless per audited doc, the containment-knob contract),
+    and be run-deterministic."""
+    from dataframework_spark.operators.dedup import _doc_sample_pred
+    from dataframework_spark.catalog import load_table
+
+    full = dedup_exact_substring(spark, ORACLE_SF_DIR)
+    sampled = dedup_exact_substring(spark, ORACLE_SF_DIR, sample_frac=0.5)
+    kept = {
+        r.doc_id
+        for r in load_table(spark, ORACLE_SF_DIR, "documents", columns=["doc_id"])
+        .where(_doc_sample_pred(0.5, "exactsub"))
+        .collect()
+    }
+    expected = sorted(tuple(r) for r in full.collect() if r.doc_id in kept)
+    got = _rows(sampled)
+    assert got == expected
+    again = _rows(dedup_exact_substring(spark, ORACLE_SF_DIR, sample_frac=0.5))
+    assert got == again, "md5-threshold sample must be run-deterministic"
+
+
+def test_exact_substring_default_equals_explicit_one(spark):
+    a = _rows(dedup_exact_substring(spark, ORACLE_SF_DIR))
+    b = _rows(dedup_exact_substring(spark, ORACLE_SF_DIR, sample_frac=1.0))
+    assert a == b
