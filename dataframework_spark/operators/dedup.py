@@ -1290,7 +1290,9 @@ _SEMDEDUP_T = 0.4  # same calibration as dedup_embedding_cosine
     FROM e LEFT JOIN p ON e.vec_id = p.pruned_id
     """,
 )
-def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semdedup(
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup made
     scalable by CLUSTERING FIRST — pairwise cosine runs only WITHIN a
     cluster, never across the corpus.  A vector is pruned iff some
@@ -1311,11 +1313,23 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave their cluster.  Excluded from replica sweeps with the same
     enumerated reason as ``dedup_embedding_cosine``: the M× replica
     puts M copies of every vector in one bucket, so in-cluster pairs
-    grow ~M² BY CONSTRUCTION — real corpora don't."""
+    grow ~M² BY CONSTRUCTION — real corpora don't.
+
+    ``n_planes`` is the k-grows-with-n production knob (VERDICT r6 #2):
+    the paper's cost bound holds because cluster COUNT scales with the
+    corpus, keeping cluster size ~constant — at M× data pass
+    ``8 + ceil(log2 M)`` planes and the in-cluster pair count stays
+    ~linear in n.  The registered query keeps ``n_planes=None`` (the
+    shared 8-plane bucket; oracle unchanged).
+    ``tools/probe_semdedup_scale.py`` measures exactly this on a
+    perturbed NON-replica corpus (SCALEPROBE_SEMDEDUP_r7.json)."""
+    bucket_sql = (
+        _sd_bucket_spark("v") if n_planes is None else _sd_bucket_spark("v", n_planes)
+    )
     e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    e = e.withColumn("bucket", F.expr(_sd_bucket_spark("v"))).cache()
+    e = e.withColumn("bucket", F.expr(bucket_sql)).cache()
     a = e.select(F.col("bucket").alias("bka"), F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
     b = e.select(F.col("bucket").alias("bkb"), F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
     pruned = (

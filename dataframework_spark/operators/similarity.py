@@ -108,9 +108,9 @@ def _plane_coef(p: int, i: int) -> int:
     return ((1 + p * 131 + i * 31) % 13) - 6
 
 
-def _bucket_sql_spark(vcol: str) -> str:
+def _bucket_sql_spark(vcol: str, n_planes: int = _N_PLANES) -> str:
     bits = []
-    for p in range(_N_PLANES):
+    for p in range(n_planes):
         coefs = ", ".join(f"{_plane_coef(p, i)}D" for i in range(_DIM))
         dot = (
             f"aggregate(zip_with({vcol}, array({coefs}), (x, y) -> x * y), "
@@ -120,9 +120,9 @@ def _bucket_sql_spark(vcol: str) -> str:
     return " + ".join(bits)
 
 
-def _bucket_sql_duck(vcol: str) -> str:
+def _bucket_sql_duck(vcol: str, n_planes: int = _N_PLANES) -> str:
     bits = []
-    for p in range(_N_PLANES):
+    for p in range(n_planes):
         coefs = ", ".join(str(_plane_coef(p, i)) for i in range(_DIM))
         dot = f"list_dot_product(({vcol})::DOUBLE[], [{coefs}]::DOUBLE[])"
         bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
@@ -1953,4 +1953,134 @@ def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit2).alias("n_hit_h2"),
         F.round(F.sum(hit2) / _MIPS_K, 4).alias("recall_h2"),
         F.max(F.when(F.col("rnk") == 1, F.col("ip"))).alias("top_ip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal rank fusion of BM25 (lexical) and exact
+# cosine (dense) rankings over the SAME aligned corpus (doc_id == vec_id)
+# ---------------------------------------------------------------------------
+
+from dataframework_spark.operators.text import _BM25_NQ as _RRF_NQ
+from dataframework_spark.operators.text import _BM25_SCORED_DUCK, _bm25_scored
+
+_RRF_K = 60  # the standard Cormack/Clarke/Buettcher constant
+_RRF_N = 20  # per-system list depth fed into the fusion
+_RRF_TOPK = 10
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_SCORED_DUCK},
+    lex AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT)
+               AS lex_rank
+      FROM bm25_scored WHERE doc_id <> query_id
+      QUALIFY lex_rank <= {_RRF_N}),
+    dense AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND({duck_cosine_sql('q.embedding', 'e.embedding')}, 4)
+                          DESC,
+                        e.vec_id) AS BIGINT) AS dense_rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < {_RRF_NQ}) q
+      JOIN embeddings e ON e.vec_id <> q.vec_id
+      QUALIFY dense_rank <= {_RRF_N}),
+    fused AS (
+      SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.doc_id, d.doc_id)     AS doc_id,
+             l.lex_rank, d.dense_rank,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+                   + COALESCE(1.0 / ({_RRF_K} + d.dense_rank), 0), 6)
+               AS rrf_score
+      FROM lex l
+      FULL OUTER JOIN dense d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+    SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM fused
+    QUALIFY rank <= {_RRF_TOPK}
+    """,
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher 2009): each of the first {_RRF_NQ} documents queries BOTH
+    retrieval systems — BM25 over its tokens (lexical; shares
+    ``text_bm25_topk``'s scoring verbatim) and exact cosine over its
+    embedding (dense; the testdata aligns ``doc_id == vec_id``) — and the
+    two top-{_RRF_N} lists fuse by ``Σ 1/({_RRF_K} + rank)``.  This is
+    the production hybrid-search shape (RRF is what OpenSearch/Vespa/
+    Azure AI Search run): rank-based fusion needs no score calibration
+    between systems, and a document missing from one list simply
+    contributes nothing.  Self-matches are excluded on both sides
+    ("more-like-this", consistent with ``sim_cosine_topk``).
+
+    Cross-engine exactness: per-system ranks are integers derived from
+    already-disciplined keys (BM25 scores fixed-pointed before summing;
+    cosine rounded to 4 dp; ties on id), and the fused score is a sum of
+    AT MOST TWO doubles — order-independent by construction — rounded to
+    6 dp before the final rank.
+
+    Scale shape (100 TB): the lexical side reuses the BM25 plan (one
+    corpus explode, broadcast df/query-term joins); the dense side
+    broadcasts {_RRF_NQ} query vectors and scans the corpus once; both
+    per-system top-{_RRF_N} windows partition by query; the fusion join
+    touches ≤ 2·{_RRF_N} rows per query — driver-free, shuffle-light,
+    and each system's list can be swapped for its ANN/IVF variant
+    without changing the fusion."""
+    lex_scored = _bm25_scored(spark, sf_dir).where(F.col("doc_id") != F.col("query_id"))
+    wl = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(wl).cast("bigint"))
+        .where(F.col("lex_rank") <= _RRF_N)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    e = _corpus(spark, sf_dir)
+    q = e.where(F.col("vec_id") < _RRF_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    wd = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    dense = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos"),
+        )
+        .withColumn("dense_rank", F.row_number().over(wd).cast("bigint"))
+        .where(F.col("dense_rank") <= _RRF_N)
+        .select(
+            F.col("qid").alias("d_query_id"),
+            F.col("vec_id").alias("d_doc_id"),
+            "dense_rank",
+        )
+    )
+    fused = lex.join(
+        dense,
+        (F.col("query_id") == F.col("d_query_id"))
+        & (F.col("doc_id") == F.col("d_doc_id")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("query_id"), F.col("d_query_id")).alias("query_id"),
+        F.coalesce(F.col("doc_id"), F.col("d_doc_id")).alias("doc_id"),
+        "lex_rank",
+        "dense_rank",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("dense_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rank") <= _RRF_TOPK)
+        .select("query_id", "doc_id", "lex_rank", "dense_rank", "rrf_score", "rank")
     )

@@ -1258,3 +1258,147 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(-F.log("p")), 4).alias("cross_entropy"),
         F.round(F.avg("hit"), 4).alias("bigram_hit_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the scoring every corpus search / eval loop uses
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_NQ = 5  # query docs = doc_id < 5 ("more-like-this" retrieval)
+_BM25_TOPK = 5
+
+# full BM25 scoring as a reusable CTE chain: (query_id, doc_id, score) for
+# every document with >=1 query-term hit; shared by text_bm25_topk and the
+# hybrid fusion in similarity.py so the two oracles can never drift
+_BM25_SCORED_DUCK = f"""
+    toks AS (
+      SELECT doc_id, unnest({DUCK_TOKENS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT SUM(dl)::DOUBLE / COUNT(*) AS avgdl,
+                     COUNT(*) AS n_docs FROM dl),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    qterm AS (SELECT DISTINCT doc_id AS query_id, term
+              FROM toks WHERE doc_id < {_BM25_NQ}),
+    hit AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(ROUND(
+               LN(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                        + {_BM25_B} * dl.dl / s.avgdl))
+               * 1000000, 0) AS BIGINT) AS ci
+      FROM tf
+      JOIN qterm q USING (term)
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s),
+    bm25_scored AS (
+      SELECT query_id, doc_id,
+             ROUND(SUM(ci) / 1000000.0, 6) AS score
+      FROM hit GROUP BY 1, 2)"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score) for every doc with >=1 query-term hit —
+    the Spark twin of ``_BM25_SCORED_DUCK`` (see ``text_bm25_topk`` for
+    the exactness and plan-shape discussion).
+
+    Everything derives from the ONE (doc, term) tf aggregate: dl is the
+    per-doc sum of tfs, df is the per-term row count (tf rows are
+    distinct (doc, term) pairs by construction), and the query-term
+    table is tf's doc_id<NQ slice.  tf is CACHED because Catalyst's
+    exchange reuse cannot fire here — per-branch column pruning makes
+    the four subtrees structurally different, so without the cache the
+    corpus is scanned and exploded four times (plan-audited; with it,
+    one scan + one (doc,term) exchange feed every branch via
+    InMemoryTableScan).  At 100 TB the cached table is the classic
+    inverted-index materialization — (doc, term, tf) triples,
+    MEMORY_AND_DISK, far smaller than the token stream."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select("doc_id", F.explode(tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterm = tf.where(F.col("doc_id") < _BM25_NQ).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    contrib = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    hit = (
+        tf.join(F.broadcast(qterm), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(contrib * 1_000_000, 0).cast("bigint").alias("ci"),
+        )
+    )
+    return hit.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("ci") / 1_000_000.0, 6).alias("score")
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_DUCK}
+    SELECT query_id, doc_id, score,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM bm25_scored
+    QUALIFY rank <= {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009; Lucene's
+    ``LN(1 + (N - df + 0.5)/(df + 0.5))`` IDF), k1={_BM25_K1},
+    b={_BM25_B}: each of the first {_BM25_NQ} documents acts as a
+    "more-like-this" query (its distinct terms are the query terms) and
+    every corpus document is scored; top-{_BM25_TOPK} per query.  This is
+    the lexical ranking every corpus search / eval-retrieval loop
+    actually runs — TF-IDF's saturation-aware, length-normalized
+    successor (tf saturates at k1; long documents are discounted by
+    b·dl/avgdl), and the lexical baseline dense retrieval (``sim_*``) is
+    graded against.
+
+    Cross-engine exactness: per-(query,term,doc) contributions are
+    computed with the identical float expression on both engines, then
+    FIXED-POINTED to integer micros BEFORE the per-(query,doc) sum —
+    integer addition is order-independent, so Spark's partial aggregates
+    and DuckDB's single-threaded sum cannot diverge (the repo's windowed
+    Σ discipline, applied to a scoring aggregate); avgdl is an exact
+    integer sum over an exact count, identical IEEE on both engines.
+    Ranks tie-break on doc_id.
+
+    Scale shape (100 TB): ONE explode feeds tf, dl, and df (Catalyst
+    reuses the scan); df and the query-term table are vocabulary- and
+    query-sized → broadcast; the corpus-sized tf table is first
+    broadcast-semi-filtered to query terms (hits only — the inverted-
+    index access pattern), so the only corpus-wide exchanges are the
+    (doc,term) aggregate and the narrow dl join; the top-k window
+    partitions by query over hit rows only."""
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score", "rank")
+    )

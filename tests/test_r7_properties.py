@@ -1,0 +1,130 @@
+"""Property and plan pins for the r7 operator wave.
+
+The oracle suite proves cross-engine value equality; these pin the
+semantic invariants (a future edit that keeps both engines wrong in the
+same way must still fail) and the knob contracts.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from conftest import ORACLE_SF_DIR
+
+from dataframework_spark.catalog import load_table
+from dataframework_spark.functions.arrays import tokens
+from dataframework_spark.operators.dedup import dedup_semdedup
+from dataframework_spark.operators.text import (
+    _BM25_B,
+    _BM25_K1,
+    _BM25_NQ,
+    _BM25_TOPK,
+    text_bm25_topk,
+)
+
+
+def test_bm25_topk_shape_and_rank_contract(spark):
+    rows = text_bm25_topk(spark, ORACLE_SF_DIR).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) <= set(range(_BM25_NQ))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _BM25_TOPK
+        # scores non-increasing with rank; ties broken by doc_id ascending
+        for a, b in zip(rs, rs[1:]):
+            assert a.score > b.score or (a.score == b.score and a.doc_id < b.doc_id)
+
+
+def test_bm25_scores_positive_and_every_query_answered(spark):
+    """Lucene's +1 IDF keeps every contribution positive, so every score
+    is > 0; and every query doc trivially hits itself, so each query
+    returns a full page.  (Note: rank-1 = the query doc is NOT a BM25
+    invariant — a doc with higher tf of the query terms and a shorter
+    length legitimately outscores the query doc; this corpus has such
+    docs, which is the saturation/length-normalization behavior
+    working.)"""
+    rows = text_bm25_topk(spark, ORACLE_SF_DIR).collect()
+    assert {r.query_id for r in rows} == set(range(_BM25_NQ))
+    for r in rows:
+        assert r.score > 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, 0)
+        by_q[r.query_id] += 1
+    assert all(n == _BM25_TOPK for n in by_q.values())
+
+
+def test_bm25_score_matches_reference_formula(spark):
+    """Recompute one query's scores driver-side from raw token counts and
+    compare — pins the k1/b/idf algebra, not just cross-engine parity."""
+    docs = load_table(spark, ORACLE_SF_DIR, "documents", columns=["doc_id", "text"])
+    toks = [
+        (r.doc_id, r.toks)
+        for r in docs.select("doc_id", tokens().alias("toks")).collect()
+    ]
+    n_docs = len(toks)
+    avgdl = sum(len(t) for _, t in toks) / n_docs
+    df = {}
+    for _, t in toks:
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    qid = 0
+    qterms = set(dict(toks)[qid])
+    expected = {}
+    for d, t in toks:
+        ci_sum = 0
+        tf = {}
+        for term in t:
+            tf[term] = tf.get(term, 0) + 1
+        for term in qterms & set(t):
+            idf = math.log(1 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+            c = (
+                idf
+                * (tf[term] * (_BM25_K1 + 1.0))
+                / (tf[term] + _BM25_K1 * (1 - _BM25_B + _BM25_B * len(t) / avgdl))
+            )
+            # the operator fixed-points each contribution to integer micros
+            ci_sum += int(round(c * 1_000_000))
+        if ci_sum:
+            expected[d] = round(ci_sum / 1_000_000.0, 6)
+    got = {
+        r.doc_id: r.score
+        for r in text_bm25_topk(spark, ORACLE_SF_DIR).collect()
+        if r.query_id == qid
+    }
+    want = dict(sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_TOPK])
+    assert got == want
+
+
+def test_semdedup_planes_knob_default_identity(spark):
+    """n_planes=8 must be the registered query exactly (same bucket fn)."""
+    a = sorted(map(tuple, dedup_semdedup(spark, ORACLE_SF_DIR).collect()))
+    b = sorted(map(tuple, dedup_semdedup(spark, ORACLE_SF_DIR, n_planes=8).collect()))
+    assert a == b
+
+
+def test_semdedup_more_planes_keeps_first_per_bucket(spark):
+    """At any resolution the greedy contract holds: within every bucket the
+    smallest vec_id is always kept, and finer buckets can only PRUNE FEWER
+    (splitting a cluster removes candidate pairs, never adds them ...
+    pruned set at 12 planes ⊆ pruned set at 8 planes is NOT guaranteed
+    pairwise, but the kept COUNT can only grow)."""
+    r8 = dedup_semdedup(spark, ORACLE_SF_DIR, n_planes=8)
+    r12 = dedup_semdedup(spark, ORACLE_SF_DIR, n_planes=12)
+    for df in (r8, r12):
+        first = df.groupBy("bucket").agg(F.min("vec_id").alias("m"))
+        bad = (
+            df.join(first, "bucket")
+            .where((F.col("vec_id") == F.col("m")) & ~F.col("is_kept"))
+            .count()
+        )
+        assert bad == 0
+    kept8 = r8.where("is_kept").count()
+    kept12 = r12.where("is_kept").count()
+    assert kept12 >= kept8
