@@ -105,7 +105,24 @@ _N_PLANES = 8
 
 def _plane_coef(p: int, i: int) -> int:
     # deterministic integer "random" hyperplanes, identical in both dialects
-    return ((1 + p * 131 + i * 31) % 13) - 6
+    # (the coefs are baked as literals into the generated SQL, so any
+    # deterministic Python formula is automatically cross-engine-exact)
+    if p < _N_PLANES:
+        # the registered 8-plane bucket function — NEVER change: every
+        # sim_*/dedup_semdedup oracle hashes these buckets
+        return ((1 + p * 131 + i * 31) % 13) - 6
+    # extended planes for the k-grows-with-n knob (dedup_semdedup
+    # n_planes > 8): the affine formula above is linear in (p, i) mod 13,
+    # so its planes for different p are SHIFTS of one pattern — nearly
+    # parallel, adding almost no splitting power (measured: 18 "planes"
+    # gave only ~8k occupied buckets over 2M vectors).  A multiplicative
+    # integer mix decorrelates them (same corpus: ~207k buckets, mean
+    # occupancy 9.7, in-bucket pairs down 85x).
+    h = (p * 2654435761 + i * 2246822519 + p * i * 40503) & 0xFFFFFFFF
+    h ^= h >> 16
+    h = (h * 2654435761) & 0xFFFFFFFF
+    h ^= h >> 16
+    return (h % 13) - 6
 
 
 def _bucket_sql_spark(vcol: str, n_planes: int = _N_PLANES) -> str:

@@ -128,3 +128,20 @@ def test_semdedup_more_planes_keeps_first_per_bucket(spark):
     kept8 = r8.where("is_kept").count()
     kept12 = r12.where("is_kept").count()
     assert kept12 >= kept8
+
+
+def test_extended_planes_add_real_splitting_power(spark):
+    """The r7 probe found the affine _plane_coef formula produces nearly
+    parallel planes for p >= 8 (shifts of one mod-13 pattern), so extra
+    planes added almost no buckets.  Pin the fix: going 8 -> 14 planes
+    must multiply occupied buckets (real splitting), not merely add a
+    few."""
+    from dataframework_spark.operators.similarity import _plane_coef
+
+    b8 = dedup_semdedup(spark, ORACLE_SF_DIR, n_planes=8).select("bucket").distinct()
+    b14 = dedup_semdedup(spark, ORACLE_SF_DIR, n_planes=14).select("bucket").distinct()
+    n8, n14 = b8.count(), b14.count()
+    assert n14 >= 2 * n8, (n8, n14)
+    # and the first 8 planes are STILL the registered affine formula
+    # (the oracles hash those buckets; the mix applies to p >= 8 only)
+    assert _plane_coef(3, 7) == ((1 + 3 * 131 + 7 * 31) % 13) - 6

@@ -8,10 +8,17 @@ measured.  This probe measures it under the paper's actual operating
 condition (Abbas et al. 2023: cluster COUNT grows with the corpus, so
 cluster size stays ~constant):
 
-* corpus: M× the sf0.1 embeddings, each copy PERTURBED with seeded
-  Gaussian noise (σ = ‖v‖-relative 1.0 ⇒ cos(v, v′) ≈ 0.707 to the base
-  vector — a realistic near-dup mass, not clones), so copies spread over
-  buckets instead of stacking in one;
+* corpus: M× the sf0.1 embeddings, each copy passed through a SEEDED
+  RANDOM ROTATION plus small relative noise (σ_rel = 0.1).  A rotation
+  preserves every within-copy pairwise cosine — each copy is a
+  structurally faithful image of the base corpus, dense clusters
+  included — while pointing its clusters in fresh directions, so the
+  corpus's CLUSTER COUNT grows ~M and every cluster keeps its base
+  size.  (A pure additive-noise synthesis was tried first and is the
+  documented failure mode: the base corpus has a direction-concentrated
+  81-vector cluster, and noise keeps its 81·M copies stacked in a few
+  hyperplane buckets — in-bucket pairs grew super-linearly BY
+  SYNTHESIS, the very degeneracy the replica exclusion exists for.)
 * clustering: ``n_planes = 8 + ceil(log2 M)`` random hyperplanes — the
   k-grows-with-n knob ``dedup_semdedup`` exposes — keeping mean bucket
   occupancy ~constant as n grows;
@@ -51,16 +58,18 @@ SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "SCALEPROBE_SEMDEDUP_r7.json")
 OFFSET = 10_000_000_000
-SIGMA_REL = 1.0  # noise scale relative to per-vector norm (cos≈1/sqrt(2))
+SIGMA_REL = 0.1  # small jitter on top of the per-copy rotation
 
 
 def build_corpus(m: int) -> str:
-    """M perturbed copies of the base embeddings, written once and cached
-    on disk.  Copy 0 is the base verbatim; copy j>0 adds seeded Gaussian
-    noise scaled to SIGMA_REL × the vector's own norm — deterministic
-    (seed = j), non-degenerate (copies occupy different buckets), and
-    semantically realistic (each copy is a ~0.707-cosine near-dup of its
-    base, the near-dup mass SemDeDup exists to prune)."""
+    """M rotated-and-jittered copies of the base embeddings, written once
+    and cached on disk.  Copy 0 is the base verbatim; copy j>0 applies a
+    seeded random rotation (QR of a seeded Gaussian matrix — orthonormal,
+    deterministic) plus SIGMA_REL relative noise.  Rotations preserve all
+    within-copy cosines, so each copy carries the base corpus's full
+    cluster structure pointed in a fresh direction: cluster count grows
+    ~M, cluster sizes stay ~constant — the non-degenerate scale-up the
+    replica exclusion says real corpora look like."""
     out_dir = os.path.join(SCRATCH, f"m{m}")
     out = os.path.join(out_dir, "embeddings.parquet")
     if os.path.exists(out):
@@ -87,9 +96,10 @@ def build_corpus(m: int) -> str:
                 v = emb
             else:
                 rng = np.random.default_rng(j)
+                q, _ = np.linalg.qr(rng.standard_normal((emb.shape[1],) * 2))
                 noise = rng.standard_normal(emb.shape).astype(np.float32)
                 noise /= np.linalg.norm(noise, axis=1, keepdims=True)
-                v = emb + SIGMA_REL * norms * noise
+                v = (emb @ q.astype(np.float32)) + SIGMA_REL * norms * noise
             writer.write_table(
                 pa.table(
                     {
