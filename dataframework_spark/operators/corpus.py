@@ -1069,3 +1069,78 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return rows.select("s.stage", "s.stage_name", "s.n_docs", "s.n_tokens", "s.pct_docs")
+
+
+# ---------------------------------------------------------------------------
+# Epoch planning under a token budget — the repetition-exposure guardrail
+# ---------------------------------------------------------------------------
+
+_EPOCH_BUDGET_X = 4  # training budget as a multiple of the corpus tokens
+_EPOCH_ALPHA_SQRT = True  # mixture = sqrt-share (temperature alpha = 0.5)
+_EPOCH_CAP = 4.0  # Muennighoff et al. 2023: ~4 epochs before returns decay
+
+
+@register(
+    "corpus_epoch_plan",
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+      SELECT source, CAST(SUM(len({DUCK_TOKENS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    f AS (SELECT source, n_tokens,
+                 CAST(ROUND(SQRT(n_tokens) * 1000000, 0) AS BIGINT) AS si
+          FROM s),
+    z AS (SELECT SUM(si) AS zt, SUM(n_tokens) AS tt FROM f)
+    SELECT f.source, f.n_tokens,
+           ROUND(f.si * 1.0 / z.zt, 6)  AS weight,
+           CAST(ROUND({_EPOCH_BUDGET_X} * z.tt * (f.si * 1.0 / z.zt), 0)
+                AS BIGINT)              AS planned_tokens,
+           ROUND({_EPOCH_BUDGET_X} * z.tt * (f.si * 1.0 / z.zt)
+                 / f.n_tokens, 4)       AS epochs,
+           ROUND({_EPOCH_BUDGET_X} * z.tt * (f.si * 1.0 / z.zt)
+                 / f.n_tokens, 4) > {_EPOCH_CAP} AS over_exposed
+    FROM f CROSS JOIN z
+    """,
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch plan under a fixed training-token budget — the budgeting
+    report a pretraining run is provisioned from: given a budget of
+    {_EPOCH_BUDGET_X}× the corpus and sqrt-share mixture weights
+    (temperature α = 0.5, between ``corpus_temperature_mixture``'s two
+    published operating points), how many tokens each source is asked
+    for, how many EPOCHS of that source that implies, and whether it
+    crosses the ~{_EPOCH_CAP}-epoch repetition cap (Muennighoff et al.
+    2023, "Scaling Data-Constrained Language Models": returns from
+    repeated data decay rapidly past ~4 epochs).  The sibling mixture
+    query prices relative weights; this one prices the ABSOLUTE
+    consequence of a budget — the over_exposed flag is what forces a
+    mixture retune or more data acquisition.
+
+    Cross-engine exactness: sqrt weights are fixed-pointed to 1e-6
+    integers and normalized by their EXACT integer sum (no float
+    accumulation across sources); every published float is a single
+    identical expression over exact integers, rounded before compare —
+    the over_exposed verdict compares the 4-dp-ROUNDED epochs value so
+    it can never straddle an ulp.
+
+    Scale shape: one documents scan collapses map-side to a
+    |sources|-row aggregate; everything downstream is constant-size
+    with a broadcast 1-row normalizer."""
+    docs = load_table(spark, sf_dir, "documents", columns=["source", "text"])
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.expr(TOKENS_SQL))).cast("bigint").alias("n_tokens")
+    )
+    f = s.withColumn(
+        "si", F.round(F.sqrt(F.col("n_tokens")) * 1_000_000, 0).cast("bigint")
+    )
+    z = f.agg(F.sum("si").alias("zt"), F.sum("n_tokens").alias("tt"))
+    w = F.col("si") * 1.0 / F.col("zt")
+    planned = _EPOCH_BUDGET_X * F.col("tt") * w
+    epochs = F.round(planned / F.col("n_tokens"), 4)
+    return f.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(planned, 0).cast("bigint").alias("planned_tokens"),
+        epochs.alias("epochs"),
+        (epochs > _EPOCH_CAP).alias("over_exposed"),
+    )

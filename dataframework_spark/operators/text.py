@@ -1402,3 +1402,112 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _BM25_TOPK)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared keyword extraction — exact-integer term <-> source association
+# ---------------------------------------------------------------------------
+
+_CHI2_DF_MIN = 20  # document-frequency floor: rare terms make chi2 unstable
+_CHI2_TOPK = 5
+
+
+@register(
+    "text_chi2_keywords",
+    oracle=f"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, source, unnest({DUCK_TOKENS_SQL}) AS term
+      FROM documents),
+    a_tbl AS (SELECT term, source, CAST(COUNT(*) AS BIGINT) AS a
+              FROM pres GROUP BY 1, 2),
+    df_tbl AS (SELECT term, CAST(SUM(a) AS BIGINT) AS df
+               FROM a_tbl GROUP BY 1),
+    cls AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+            FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    cells AS (
+      SELECT a_tbl.source, a_tbl.term, df_tbl.df, a_tbl.a,
+             (df_tbl.df - a_tbl.a)           AS b,
+             (cls.ns - a_tbl.a)              AS c,
+             (tot.n - df_tbl.df - cls.ns + a_tbl.a) AS d,
+             tot.n AS n
+      FROM a_tbl
+      JOIN df_tbl USING (term)
+      JOIN cls USING (source)
+      CROSS JOIN tot
+      WHERE df_tbl.df >= {_CHI2_DF_MIN}),
+    scored AS (
+      SELECT source, term, df, a,
+             ROUND(n::DOUBLE * (a::DOUBLE * d - b::DOUBLE * c)
+                             * (a::DOUBLE * d - b::DOUBLE * c)
+                   / ((a + b)::DOUBLE * (c + d) * (a + c) * (b + d)), 4)
+               AS chi2
+      FROM cells)
+    SELECT source, term, df, a AS n_docs_in_source, chi2,
+           CAST(row_number() OVER (
+             PARTITION BY source ORDER BY chi2 DESC, term) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {_CHI2_TOPK}
+    """,
+)
+def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared keyword extraction per source: for every (term, source)
+    cell with corpus document frequency >= {_CHI2_DF_MIN}, the one-vs-rest
+    2x2 presence chi² statistic ``N(ad-bc)² / ((a+b)(c+d)(a+c)(b+d))``,
+    top-{_CHI2_TOPK} terms per source — the classic feature-selection /
+    domain-signature operator (Yang & Pedersen 1997 rank chi² the
+    strongest selector for text classification; corpus curators read the
+    same table as "what vocabulary makes this source distinctive").
+    Complements ``ml_mutual_information`` (embedding features) with the
+    term-level, count-based sibling.
+
+    Cross-engine exactness: a/b/c/d are EXACT integers from presence
+    counts (one-vs-rest margins derived from the same aggregate, so the
+    2x2 table is consistent by construction); chi² is a single identical
+    float expression over those integers, rounded to 4 dp before the
+    rank; ties break on the term.  Only observed (term, source) cells
+    are candidates — a term never seen in a source scores its absence
+    elsewhere, which one-vs-rest already prices in d.
+
+    Scale shape (100 TB): ``array_distinct`` inside the row makes
+    presence rows (doc, source, term) without a distinct shuffle; ONE
+    (term, source) aggregate carries the corpus; df derives from that
+    |vocab×sources|-sized table; class counts and N are broadcast; the
+    top-k window partitions by source over the vocabulary-sized scored
+    table.  The corpus crosses the wire once."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    pres = docs.select(
+        "source", F.explode(F.array_distinct(tokens())).alias("term")
+    )
+    a_tbl = pres.groupBy("term", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    df_tbl = a_tbl.groupBy("term").agg(F.sum("a").cast("bigint").alias("df"))
+    cls = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cells = (
+        a_tbl.join(df_tbl.where(F.col("df") >= _CHI2_DF_MIN), "term")
+        .join(F.broadcast(cls), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    ad, bd, cd, dd = (
+        F.col("a").cast("double"),
+        (F.col("df") - F.col("a")).cast("double"),
+        (F.col("ns") - F.col("a")).cast("double"),
+        (F.col("n") - F.col("df") - F.col("ns") + F.col("a")).cast("double"),
+    )
+    num = F.col("n").cast("double") * (ad * dd - bd * cd) * (ad * dd - bd * cd)
+    den = (ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)
+    scored = cells.select(
+        "source",
+        "term",
+        "df",
+        F.col("a").alias("n_docs_in_source"),
+        F.round(num / den, 4).alias("chi2"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("chi2").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _CHI2_TOPK)
+        .select("source", "term", "df", "n_docs_in_source", "chi2", "rank")
+    )

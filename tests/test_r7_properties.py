@@ -145,3 +145,75 @@ def test_extended_planes_add_real_splitting_power(spark):
     # and the first 8 planes are STILL the registered affine formula
     # (the oracles hash those buckets; the mix applies to p >= 8 only)
     assert _plane_coef(3, 7) == ((1 + 3 * 131 + 7 * 31) % 13) - 6
+
+
+def test_epoch_plan_conserves_budget_and_flags_consistently(spark):
+    from dataframework_spark.operators.corpus import (
+        _EPOCH_BUDGET_X,
+        _EPOCH_CAP,
+        corpus_epoch_plan,
+    )
+
+    rows = corpus_epoch_plan(spark, ORACLE_SF_DIR).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    planned = sum(r.planned_tokens for r in rows)
+    # planned tokens sum to the budget up to per-source rounding
+    assert abs(planned - _EPOCH_BUDGET_X * total) <= len(rows)
+    # weights normalize; epochs = planned/n_tokens; flag matches the value
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.epochs - r.planned_tokens / r.n_tokens) < 1e-3
+        assert r.over_exposed == (r.epochs > _EPOCH_CAP)
+    # sqrt mixture upsamples the tail: the smallest source must be asked
+    # for MORE epochs than the largest
+    by_size = sorted(rows, key=lambda r: r.n_tokens)
+    assert by_size[0].epochs > by_size[-1].epochs
+
+
+def test_chi2_keywords_match_driver_recompute(spark):
+    """Recompute the full chi2 table driver-side from raw presence counts
+    — pins the 2x2 algebra and the one-vs-rest margins."""
+    from dataframework_spark.operators.text import (
+        _CHI2_DF_MIN,
+        _CHI2_TOPK,
+        text_chi2_keywords,
+    )
+
+    docs = load_table(
+        spark, ORACLE_SF_DIR, "documents", columns=["doc_id", "source", "text"]
+    ).collect()
+    pres = {}
+    ns = {}
+    for r in docs:
+        ns[r.source] = ns.get(r.source, 0) + 1
+        for term in set(r.text.strip().split()):
+            pres.setdefault(term, {}).setdefault(r.source, 0)
+            pres[term][r.source] += 1
+    n = len(docs)
+    expected = {}
+    for term, per_src in pres.items():
+        df = sum(per_src.values())
+        if df < _CHI2_DF_MIN:
+            continue
+        for src, a in per_src.items():
+            b, c = df - a, ns[src] - a
+            d = n - df - ns[src] + a
+            chi2 = round(
+                n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d)), 4
+            )
+            expected.setdefault(src, []).append((chi2, term, df, a))
+    want = {}
+    for src, lst in expected.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        want[src] = [
+            (t[1], t[2], t[3], t[0], i + 1) for i, t in enumerate(lst[:_CHI2_TOPK])
+        ]
+    got = {}
+    for r in text_chi2_keywords(spark, ORACLE_SF_DIR).collect():
+        got.setdefault(r.source, []).append(
+            (r.term, r.df, r.n_docs_in_source, r.chi2, r.rank)
+        )
+    for src in got:
+        got[src].sort(key=lambda t: t[4])
+    assert got == want
