@@ -1435,7 +1435,7 @@ _CHI2_TOPK = 5
       JOIN df_tbl USING (term)
       JOIN cls USING (source)
       CROSS JOIN tot
-      WHERE df_tbl.df >= {_CHI2_DF_MIN}),
+      WHERE df_tbl.df >= {_CHI2_DF_MIN} AND df_tbl.df < tot.n),
     scored AS (
       SELECT source, term, df, a,
              ROUND(n::DOUBLE * (a::DOUBLE * d - b::DOUBLE * c)
@@ -1467,7 +1467,10 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     float expression over those integers, rounded to 4 dp before the
     rank; ties break on the term.  Only observed (term, source) cells
     are candidates — a term never seen in a source scores its absence
-    elsewhere, which one-vs-rest already prices in d.
+    elsewhere, which one-vs-rest already prices in d.  Terms present in
+    EVERY document are excluded on both engines (margin c+d = 0 makes
+    chi2 an engine-divergent 0/0; such a term carries zero class signal
+    by definition).
 
     Scale shape (100 TB): ``array_distinct`` inside the row makes
     presence rows (doc, source, term) without a distinct shuffle; ONE
@@ -1489,6 +1492,10 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_tbl.join(df_tbl.where(F.col("df") >= _CHI2_DF_MIN), "term")
         .join(F.broadcast(cls), "source")
         .crossJoin(F.broadcast(tot))
+        # a term present in EVERY document has margin (c+d) = 0 — chi2 is
+        # undefined (0/0) with engine-divergent x/0 semantics, and such a
+        # term carries zero class signal anyway; exclude it explicitly
+        .where(F.col("df") < F.col("n"))
     )
     ad, bd, cd, dd = (
         F.col("a").cast("double"),

@@ -991,3 +991,33 @@ def test_exact_substring_single_scan_two_exchanges(spark, sf_dir):
     assert p.count("documents.parquet") == 1, p
     assert exchange_count(df) == 2, p
     assert "Join" not in p, p
+
+
+def test_bm25_reads_tf_from_cache_everywhere(spark, sf_dir):
+    """Catalyst cannot reuse exchanges across bm25's four column-pruned
+    branches (plan-audited in r7), so tf is cached; every branch must
+    read the InMemoryRelation, making the corpus explode once at
+    runtime."""
+    from dataframework_spark.operators.text import text_bm25_topk
+
+    p = plan_string(text_bm25_topk(spark, sf_dir))
+    assert p.count("InMemoryTableScan") >= 4, p
+
+
+def test_rrf_broadcasts_queries_and_small_tables(spark, sf_dir):
+    from dataframework_spark.operators.similarity import sim_rrf_fusion
+
+    df = sim_rrf_fusion(spark, sf_dir)
+    assert has_broadcast_join(df), plan_string(df)
+
+
+def test_chi2_single_corpus_pass_and_broadcast_margins(spark, sf_dir):
+    """The corpus crosses the wire once: one (term, source) aggregate;
+    class counts and N broadcast back onto the vocabulary-sized table."""
+    from dataframework_spark.operators.text import text_chi2_keywords
+
+    df = text_chi2_keywords(spark, sf_dir)
+    p = plan_string(df)
+    assert has_broadcast_join(df), p
+    # presence explode feeds exactly one corpus-wide explode Generate
+    assert p.count("Generate explode") <= 3, p

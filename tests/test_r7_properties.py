@@ -194,7 +194,7 @@ def test_chi2_keywords_match_driver_recompute(spark):
     expected = {}
     for term, per_src in pres.items():
         df = sum(per_src.values())
-        if df < _CHI2_DF_MIN:
+        if df < _CHI2_DF_MIN or df >= n:  # df==n excluded (c+d margin = 0)
             continue
         for src, a in per_src.items():
             b, c = df - a, ns[src] - a
