@@ -670,3 +670,50 @@ def sink_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("batch_id") - F.min("batch_id") + 1 == F.count(F.lit(1))).alias("contiguous"),
         F.round(F.sum("bytes") / F.lit(float(_COMPACT_TARGET)), 4).alias("fill_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# XML (Spark 4 built-in XML source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_xml_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*)                   AS n_customers,
+           ROUND(SUM(c_acctbal), 2)   AS sum_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer → XML (rowTag records) → read back with an explicit
+    schema → agg.  XML is the remaining enterprise ingest format the
+    sink family lacked (Spark 4 ships the former spark-xml as a
+    built-in source); like the CSV/JSON roundtrips, the read declares
+    its schema (inference = an extra full scan) and the aggregate over
+    the read-back data must hash-match the same aggregate over the
+    original parquet — the roundtrip itself is what the oracle proves
+    (arbitrary comment text survives via XML entity escaping).
+
+    Scale shape: format conversion is embarrassingly parallel (one task
+    per partition, no shuffle); the verification aggregate is one
+    map-side-combinable groupBy on the segment key."""
+    cols = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
+    customer = load_table(spark, sf_dir, "customer", columns=cols)
+    path = _scratch(sf_dir, "customer_xml")
+    customer.write.mode("overwrite").format("xml").option("rowTag", "customer").save(
+        path
+    )
+    back = (
+        spark.read.schema(
+            "c_custkey bigint, c_name string, c_acctbal double, c_mktsegment string"
+        )
+        .option("rowTag", "customer")
+        .format("xml")
+        .load(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
