@@ -99,6 +99,18 @@ def main() -> None:
         ".scratch",
         f"scale{m}x",
     )
+    # Heap sized to the workload, not to luck: the 100x sweep is a
+    # 600M-row, 32-thread, ~260-query marathon in ONE JVM.  At the 8g
+    # default it ran at the GCLocker-warning edge for rounds 4-6 and in
+    # r7 — after the verdict-aware interleave moved the heavy
+    # never-graded queries to the front and two cache-using ops joined
+    # the registry — it OOM'd mid-sweep at two DIFFERENT queries on two
+    # runs (read-ahead heap exhaustion; box-state roulette, not a plan
+    # regression: every query involved passes in isolation and at 10x).
+    # 16g is 12.5% of this box and BELOW any real executor sizing for
+    # this data volume; recorded in the artifact for reproducibility.
+    if m >= 100:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark(app_name=f"scale-sweep-{m}x", cpus=os.cpu_count() or 8)
     build_replica(spark, m, out_dir)
     specs = all_queries()
@@ -151,6 +163,7 @@ def main() -> None:
                 "n_swept_ok": len(times),
                 "n_failed": len(fails),
                 "n_excluded": len(EXCLUSIONS),
+                "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
                 "fails": fails,
                 "excluded": EXCLUSIONS,
                 "slowest": slowest,
