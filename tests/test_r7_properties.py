@@ -217,3 +217,24 @@ def test_chi2_keywords_match_driver_recompute(spark):
     for src in got:
         got[src].sort(key=lambda t: t[4])
     assert got == want
+
+
+def test_xml_roundtrip_survives_special_characters(spark, tmp_path):
+    """sink_xml_roundtrip's docstring claims arbitrary text survives via
+    XML entity escaping — pin it on the characters that break naive XML
+    writers (&, <, >, quotes, unicode)."""
+    rows = [
+        (1, 'a & b < c > d "quoted" it’s', 1.5),
+        (2, "<tag>not markup</tag> && more", -2.25),
+        (3, "plain", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, txt string, val double")
+    path = str(tmp_path / "xml_special")
+    df.write.mode("overwrite").format("xml").option("rowTag", "r").save(path)
+    back = (
+        spark.read.schema("id bigint, txt string, val double")
+        .option("rowTag", "r")
+        .format("xml")
+        .load(path)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
