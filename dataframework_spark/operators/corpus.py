@@ -1088,7 +1088,7 @@ _EPOCH_CAP = 4.0  # Muennighoff et al. 2023: ~4 epochs before returns decay
       FROM documents GROUP BY source),
     f AS (SELECT source, n_tokens,
                  CAST(ROUND(SQRT(n_tokens) * 1000000, 0) AS BIGINT) AS si
-          FROM s),
+          FROM s WHERE n_tokens > 0),
     z AS (SELECT SUM(si) AS zt, SUM(n_tokens) AS tt FROM f)
     SELECT f.source, f.n_tokens,
            ROUND(f.si * 1.0 / z.zt, 6)  AS weight,
@@ -1120,7 +1120,9 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation across sources); every published float is a single
     identical expression over exact integers, rounded before compare —
     the over_exposed verdict compares the 4-dp-ROUNDED epochs value so
-    it can never straddle an ulp.
+    it can never straddle an ulp.  Zero-token sources are excluded
+    before the normalizer on both engines (their epochs would otherwise
+    be an engine-divergent x/0).
 
     Scale shape: one documents scan collapses map-side to a
     |sources|-row aggregate; everything downstream is constant-size
@@ -1129,6 +1131,12 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.groupBy("source").agg(
         F.sum(F.size(F.expr(TOKENS_SQL))).cast("bigint").alias("n_tokens")
     )
+    # a source whose documents tokenize to zero tokens would make the
+    # epochs division planned/0 rely on non-ANSI x/0 NULL semantics and
+    # turn over_exposed into NULL instead of a verdict — exclude it from
+    # the plan BEFORE the normalizer, identically on both engines (a
+    # zero-token source has nothing to train on and no epoch exposure)
+    s = s.where(F.col("n_tokens") > 0)
     f = s.withColumn(
         "si", F.round(F.sqrt(F.col("n_tokens")) * 1_000_000, 0).cast("bigint")
     )

@@ -1342,7 +1342,11 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit = (
         tf.join(F.broadcast(qterm), "term")
-        .join(F.broadcast(df_t), "term")
+        # df_t is vocabulary-sized: small enough to broadcast at any test
+        # scale (AQE picks broadcast on its own), but a 100 TB corpus
+        # vocabulary exceeds driver/broadcast limits — no explicit hint,
+        # Catalyst chooses broadcast vs shuffled-hash by measured size
+        .join(df_t, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -1389,8 +1393,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranks tie-break on doc_id.
 
     Scale shape (100 TB): ONE explode feeds tf, dl, and df (Catalyst
-    reuses the scan); df and the query-term table are vocabulary- and
-    query-sized → broadcast; the corpus-sized tf table is first
+    reuses the scan); the query-term table is query-sized → broadcast;
+    the per-term df table is vocabulary-sized, so its join strategy is
+    left to Catalyst/AQE (broadcast while the vocabulary fits driver
+    limits, shuffled-hash on the already-term-partitioned tf beyond
+    them — no hint pinned); the corpus-sized tf table is first
     broadcast-semi-filtered to query terms (hits only — the inverted-
     index access pattern), so the only corpus-wide exchanges are the
     (doc,term) aggregate and the narrow dl join; the top-k window
@@ -1435,7 +1442,8 @@ _CHI2_TOPK = 5
       JOIN df_tbl USING (term)
       JOIN cls USING (source)
       CROSS JOIN tot
-      WHERE df_tbl.df >= {_CHI2_DF_MIN} AND df_tbl.df < tot.n),
+      WHERE df_tbl.df >= {_CHI2_DF_MIN} AND df_tbl.df < tot.n
+        AND cls.ns < tot.n),
     scored AS (
       SELECT source, term, df, a,
              ROUND(n::DOUBLE * (a::DOUBLE * d - b::DOUBLE * c)
@@ -1468,9 +1476,10 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank; ties break on the term.  Only observed (term, source) cells
     are candidates — a term never seen in a source scores its absence
     elsewhere, which one-vs-rest already prices in d.  Terms present in
-    EVERY document are excluded on both engines (margin c+d = 0 makes
-    chi2 an engine-divergent 0/0; such a term carries zero class signal
-    by definition).
+    EVERY document (margin c+d = 0) and sources holding EVERY document
+    (margin b+d = 0, the single-source degenerate corpus) are excluded
+    on both engines: both margins make chi2 an engine-divergent 0/0,
+    and both carry zero class signal by definition.
 
     Scale shape (100 TB): ``array_distinct`` inside the row makes
     presence rows (doc, source, term) without a distinct shuffle; ONE
@@ -1492,10 +1501,11 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_tbl.join(df_tbl.where(F.col("df") >= _CHI2_DF_MIN), "term")
         .join(F.broadcast(cls), "source")
         .crossJoin(F.broadcast(tot))
-        # a term present in EVERY document has margin (c+d) = 0 — chi2 is
-        # undefined (0/0) with engine-divergent x/0 semantics, and such a
-        # term carries zero class signal anyway; exclude it explicitly
-        .where(F.col("df") < F.col("n"))
+        # a term present in EVERY document has margin (c+d) = 0, and a
+        # source holding EVERY document has margin (b+d) = 0 — either way
+        # chi2 is undefined (0/0) with engine-divergent x/0 semantics, and
+        # carries zero class signal anyway; exclude both explicitly
+        .where((F.col("df") < F.col("n")) & (F.col("ns") < F.col("n")))
     )
     ad, bd, cd, dd = (
         F.col("a").cast("double"),

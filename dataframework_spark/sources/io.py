@@ -80,7 +80,8 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            COUNT(*)                    AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                                       AS sum_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -89,7 +90,10 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     CSV is schemaless on disk, so the read declares the schema instead of
     inferring it (inference = an extra full scan + type drift risk at
-    scale).  Doubles survive via full-precision default formatting."""
+    scale).  Doubles survive via full-precision default formatting.  The
+    verification sum is fixed-pointed to integer cents BEFORE the sum on
+    both engines, so partial-aggregate order cannot flip the hash (the
+    repo-wide Σ discipline)."""
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
     orders = load_table(spark, sf_dir, "orders", columns=cols)
     path = _scratch(sf_dir, "orders_csv")
@@ -99,7 +103,9 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).option("header", "true").csv(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0, 2
+        ).alias("sum_price"),
     )
 
 
@@ -147,7 +153,8 @@ _N_BUCKETS = 8
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*)                                          AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                          AS BIGINT)) / 100.0, 2) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -185,9 +192,16 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # per-row revenue fixed-pointed to integer cents before the sum
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                    ).cast("bigint")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue"),
         )
     )
 
@@ -211,7 +225,8 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o ANTI JOIN updates u ON o.o_orderkey = u.o_orderkey)
     SELECT o_orderstatus,
            COUNT(*)                    AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                                       AS sum_price
     FROM merged GROUP BY o_orderstatus
     """,
 )
@@ -239,7 +254,9 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0, 2
+        ).alias("sum_price"),
     )
 
 
@@ -253,7 +270,8 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_nationkey,
            COUNT(*)                  AS n_suppliers,
-           ROUND(SUM(s_acctbal), 2)  AS sum_acctbal
+           ROUND(SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)) / 100.0, 2)
+                                     AS sum_acctbal
     FROM supplier GROUP BY s_nationkey
     """,
 )
@@ -269,7 +287,9 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(path)
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
-        F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"),
+        F.round(
+            F.sum(F.round(F.col("s_acctbal") * 100, 0).cast("bigint")) / 100.0, 2
+        ).alias("sum_acctbal"),
     )
 
 
@@ -315,7 +335,8 @@ def sink_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
            COUNT(*)                    AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                                       AS sum_price
     FROM orders GROUP BY 1
     """,
 )
@@ -343,7 +364,9 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0, 2
+        ).alias("sum_price"),
     )
 
 
@@ -521,10 +544,12 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*)                        AS n_orders,
-           ROUND(SUM(o_totalprice), 2)     AS sum_price,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                                           AS sum_price,
            MIN(o_totalprice)               AS min_price,
            MAX(o_totalprice)               AS max_price,
-           ROUND(SUM(o_totalprice) / COUNT(*), 2) AS avg_price
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+                 / COUNT(*), 2)            AS avg_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -551,9 +576,12 @@ def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = "1997-01-01"
 
     def _partial(df: DataFrame) -> DataFrame:
+        # the persisted-state sum is INTEGER CENTS: the merge algebra is
+        # then exact by construction — no float drift can accumulate
+        # across refresh cycles, and partial-agg order cannot matter
         return df.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("o_totalprice").alias("s"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("s"),
             F.min("o_totalprice").alias("mn"),
             F.max("o_totalprice").alias("mx"),
         )
@@ -570,17 +598,20 @@ def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.coalesce("s_o_orderpriority", "d_o_orderpriority").alias("o_orderpriority"),
         (F.coalesce("s_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n_orders"),
-        (F.coalesce("s_s", F.lit(0.0)) + F.coalesce("d_s", F.lit(0.0))).alias("sum_raw"),
+        (
+            F.coalesce("s_s", F.lit(0).cast("bigint"))
+            + F.coalesce("d_s", F.lit(0).cast("bigint"))
+        ).alias("sum_cents"),
         F.least(F.coalesce("s_mn", F.col("d_mn")), F.coalesce("d_mn", F.col("s_mn"))).alias("min_price"),
         F.greatest(F.coalesce("s_mx", F.col("d_mx")), F.coalesce("d_mx", F.col("s_mx"))).alias("max_price"),
     )
     return merged.select(
         "o_orderpriority",
         "n_orders",
-        F.round("sum_raw", 2).alias("sum_price"),
+        F.round(F.col("sum_cents") / 100.0, 2).alias("sum_price"),
         "min_price",
         "max_price",
-        F.round(F.col("sum_raw") / F.col("n_orders"), 2).alias("avg_price"),
+        F.round(F.col("sum_cents") / 100.0 / F.col("n_orders"), 2).alias("avg_price"),
     )
 
 
@@ -677,12 +708,22 @@ def sink_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# every XML-escapable character, stamped onto each written name so the
+# roundtrip exercises entity escaping on EVERY row (testdata text columns
+# contain none of & < > " ' — verified; without this the escaping path
+# would never run inside the graded query)
+_XML_SPECIALS = " <&>\"'"
+
+
 @register(
     "sink_xml_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
            COUNT(*)                   AS n_customers,
-           ROUND(SUM(c_acctbal), 2)   AS sum_acctbal
+           ROUND(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2)
+                                      AS sum_acctbal,
+           CAST(SUM(LENGTH(c_name || '{_XML_SPECIALS.replace("'", "''")}'))
+                AS BIGINT)            AS name_chars
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -693,14 +734,26 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in source); like the CSV/JSON roundtrips, the read declares
     its schema (inference = an extra full scan) and the aggregate over
     the read-back data must hash-match the same aggregate over the
-    original parquet — the roundtrip itself is what the oracle proves
-    (arbitrary comment text survives via XML entity escaping).
+    original parquet.  Every written name carries a suffix containing
+    ALL five XML-escapable characters (& < > \" ') — the testdata has
+    none natively — and the per-segment character count of the
+    read-back names is part of the hash surface, so entity-escaping
+    loss or mangling in write OR read flips the grade on every row (the
+    dedicated special-character unit test additionally pins the exact
+    per-byte behavior).
+
+    Cross-engine exactness: the balance sum is fixed-pointed to integer
+    cents BEFORE the sum on both engines (integer addition is
+    order-independent, so Spark partial aggregates cannot diverge from
+    DuckDB's single-threaded sum — the repo-wide Σ discipline).
 
     Scale shape: format conversion is embarrassingly parallel (one task
     per partition, no shuffle); the verification aggregate is one
     map-side-combinable groupBy on the segment key."""
     cols = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
-    customer = load_table(spark, sf_dir, "customer", columns=cols)
+    customer = load_table(spark, sf_dir, "customer", columns=cols).withColumn(
+        "c_name", F.concat(F.col("c_name"), F.lit(_XML_SPECIALS))
+    )
     path = _scratch(sf_dir, "customer_xml")
     customer.write.mode("overwrite").format("xml").option("rowTag", "customer").save(
         path
@@ -715,5 +768,8 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        F.round(
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint")) / 100.0, 2
+        ).alias("sum_acctbal"),
+        F.sum(F.length("c_name")).cast("bigint").alias("name_chars"),
     )

@@ -90,7 +90,9 @@ def test_bm25_score_matches_reference_formula(spark):
                 / (tf[term] + _BM25_K1 * (1 - _BM25_B + _BM25_B * len(t) / avgdl))
             )
             # the operator fixed-points each contribution to integer micros
-            ci_sum += int(round(c * 1_000_000))
+            # with Spark F.round (HALF_UP) — emulate half-up, NOT Python's
+            # banker's round(), so a .5-micro boundary cannot diverge
+            ci_sum += math.floor(c * 1_000_000 + 0.5)
         if ci_sum:
             expected[d] = round(ci_sum / 1_000_000.0, 6)
     got = {
