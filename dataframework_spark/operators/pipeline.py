@@ -189,3 +189,156 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qb, "doc_b")
         .select("doc_a", "doc_b", "cos_sim", keeper.alias("keeper_doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search capstone — ONE shared BM25 scan feeding both products
+# ---------------------------------------------------------------------------
+
+_HYBRID_K = 60  # Cormack/Clarke/Buettcher RRF constant (same as sim_rrf_fusion)
+_HYBRID_N = 20  # per-system list depth fed into the fusion
+_HYBRID_TOPK = 10
+
+
+def _hybrid_oracle() -> str:
+    from dataframework_spark.operators.text import _BM25_NQ, _BM25_SCORED_DUCK
+    from dataframework_spark.functions.arrays import duck_cosine_sql
+
+    return f"""
+    WITH {_BM25_SCORED_DUCK},
+    scored AS (SELECT * FROM bm25_scored WHERE doc_id <> query_id),
+    lex_full AS (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT)
+               AS lex_rank
+      FROM scored),
+    bm25_list AS (
+      SELECT 'bm25' AS system, query_id, doc_id, score, lex_rank AS rank
+      FROM lex_full WHERE lex_rank <= {_HYBRID_TOPK}),
+    lex AS (SELECT query_id, doc_id, lex_rank
+            FROM lex_full WHERE lex_rank <= {_HYBRID_N}),
+    dense AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND({duck_cosine_sql('q.embedding', 'e.embedding')}, 4)
+                          DESC,
+                        e.vec_id) AS BIGINT) AS dense_rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < {_BM25_NQ}) q
+      JOIN embeddings e ON e.vec_id <> q.vec_id
+      QUALIFY dense_rank <= {_HYBRID_N}),
+    fused AS (
+      SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.doc_id, d.doc_id)     AS doc_id,
+             ROUND(COALESCE(1.0 / ({_HYBRID_K} + l.lex_rank), 0)
+                   + COALESCE(1.0 / ({_HYBRID_K} + d.dense_rank), 0), 6)
+               AS score
+      FROM lex l
+      FULL OUTER JOIN dense d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+    rrf_list AS (
+      SELECT 'rrf' AS system, query_id, doc_id, score,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+      FROM fused
+      QUALIFY rank <= {_HYBRID_TOPK})
+    SELECT system, query_id, doc_id, score, rank FROM bm25_list
+    UNION ALL
+    SELECT system, query_id, doc_id, score, rank FROM rrf_list
+    """
+
+
+@register("pipeline_hybrid_search", oracle=_hybrid_oracle())
+def pipeline_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid-search SERVING capstone: one shared BM25 scoring pass
+    feeds BOTH retrieval products a production stack publishes — the
+    standalone lexical top-{_HYBRID_TOPK} ranking AND the RRF fusion of
+    lexical + dense lists (``Σ 1/({_HYBRID_K} + rank)``, Cormack/Clarke/
+    Buettcher 2009).  ``sim_rrf_fusion`` recomputes its BM25 side under
+    the standalone-query discipline (ROUND7.md note 5); HERE the cached
+    (doc, term, tf) inverted index inside ``_bm25_scored`` is built once
+    and both rankings derive from the SAME scored DataFrame — the corpus
+    tokenizes exactly once (plan-pinned by
+    ``tests/test_r8_properties.py``), which is what production runs and
+    halves the fusion's lexical cost.
+
+    Output: one row per (system, query, rank) — system 'bm25' carries
+    the BM25 score, system 'rrf' the fused score.  Self-matches are
+    excluded from both products ("more-like-this" retrieval, consistent
+    with ``sim_cosine_topk``).
+
+    Cross-engine exactness: inherited wholesale — BM25 contributions are
+    fixed-pointed to integer micros before summing, cosine is rounded to
+    4 dp before ranking, the fused score is a sum of at most two doubles
+    (order-independent), and every rank ties on doc_id.
+
+    Scale shape (100 TB): identical to the standalone queries it fuses —
+    one corpus explode builds the cached inverted index; the dense side
+    broadcasts the query vectors over one embeddings scan; every window
+    partitions by query over hit rows; the fusion join touches
+    ≤ 2·{_HYBRID_N} rows per query.  Serving both products from one scan
+    is the capstone's point: adding a ranking variant costs one more
+    window over the shared scored table, not another corpus pass."""
+    from pyspark.sql.window import Window
+
+    from dataframework_spark.functions.arrays import cosine_sql
+    from dataframework_spark.operators.similarity import _corpus
+    from dataframework_spark.operators.text import _BM25_NQ, _bm25_scored
+
+    scored = _bm25_scored(spark, sf_dir).where(F.col("doc_id") != F.col("query_id"))
+    wl = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    lex_full = scored.withColumn("lex_rank", F.row_number().over(wl).cast("bigint"))
+    bm25_list = lex_full.where(F.col("lex_rank") <= _HYBRID_TOPK).select(
+        F.lit("bm25").alias("system"),
+        "query_id",
+        "doc_id",
+        "score",
+        F.col("lex_rank").alias("rank"),
+    )
+    lex = lex_full.where(F.col("lex_rank") <= _HYBRID_N).select(
+        "query_id", "doc_id", "lex_rank"
+    )
+    e = _corpus(spark, sf_dir)
+    q = e.where(F.col("vec_id") < _BM25_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    wd = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    dense = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos"),
+        )
+        .withColumn("dense_rank", F.row_number().over(wd).cast("bigint"))
+        .where(F.col("dense_rank") <= _HYBRID_N)
+        .select(
+            F.col("qid").alias("d_query_id"),
+            F.col("vec_id").alias("d_doc_id"),
+            "dense_rank",
+        )
+    )
+    fused = lex.join(
+        dense,
+        (F.col("query_id") == F.col("d_query_id"))
+        & (F.col("doc_id") == F.col("d_doc_id")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("query_id"), F.col("d_query_id")).alias("query_id"),
+        F.coalesce(F.col("doc_id"), F.col("d_doc_id")).alias("doc_id"),
+        F.round(
+            F.coalesce(1.0 / (_HYBRID_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_HYBRID_K + F.col("dense_rank")), F.lit(0.0)),
+            6,
+        ).alias("score"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    rrf_list = (
+        fused.withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rank") <= _HYBRID_TOPK)
+        .select(F.lit("rrf").alias("system"), "query_id", "doc_id", "score", "rank")
+    )
+    return bm25_list.unionByName(rrf_list)

@@ -1,0 +1,111 @@
+"""Property tests for the round-8 operators.
+
+- pipeline_hybrid_search: the shared-scan capstone must (a) tokenize the
+  corpus exactly once — every explode in the plan lives inside the one
+  cached inverted-index relation — and (b) reproduce sim_rrf_fusion's
+  fusion product EXACTLY from the shared scan (same ranks, same scores),
+  and its bm25 product must agree with text_bm25_topk on every non-self
+  hit.
+- mm_png_decode: driver-side recompute of one doc's features from the
+  closed-form pixels (pins the feature algebra, not just parity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from conftest import ORACLE_SF_DIR
+
+from dataframework_spark.operators.pipeline import pipeline_hybrid_search
+from dataframework_spark.operators.similarity import sim_rrf_fusion
+from dataframework_spark.operators.text import text_bm25_topk
+
+
+def test_hybrid_search_corpus_tokenizes_once(spark):
+    """The capstone's reason to exist: every `Generate explode` in the
+    optimized plan must be a reprint of the ONE cached (doc, term, tf)
+    InMemoryRelation — no un-cached corpus explode may survive.  If the
+    cache were dropped, InMemoryRelation would print 0 times while the
+    explodes remained, and this assertion fails."""
+    df = pipeline_hybrid_search(spark, ORACLE_SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    n_cached = opt.count("InMemoryRelation")
+    n_explode = opt.count("Generate explode")
+    n_docscan = opt.count("documents.parquet")
+    assert n_cached > 0, "shared tf cache missing from the plan"
+    assert n_explode == n_cached, (
+        f"{n_explode} explodes vs {n_cached} cached-relation prints — "
+        "an un-cached corpus tokenization crept in"
+    )
+    assert n_docscan == n_cached, (
+        f"{n_docscan} documents scans vs {n_cached} cached-relation prints"
+    )
+
+
+def test_hybrid_rrf_product_equals_standalone_fusion(spark):
+    """The fused ranking served from the shared scan must be IDENTICAL to
+    sim_rrf_fusion's standalone recompute — same (query, doc, score,
+    rank) set."""
+    hybrid = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in pipeline_hybrid_search(spark, ORACLE_SF_DIR)
+        .where(F.col("system") == "rrf")
+        .collect()
+    }
+    standalone = {
+        (r.query_id, r.doc_id, r.rrf_score, r.rank)
+        for r in sim_rrf_fusion(spark, ORACLE_SF_DIR).collect()
+    }
+    assert hybrid == standalone
+
+
+def test_hybrid_bm25_product_agrees_with_standalone_topk(spark):
+    """The lexical product must agree with text_bm25_topk wherever the
+    two are comparable: for every (query, doc) the standalone top-k
+    ranks that is NOT a self-match, the hybrid list carries the same
+    score, and ranks agree up to the self-match shift (the hybrid list
+    excludes doc == query, so ranks below a self-match close up by 1)."""
+    standalone = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in text_bm25_topk(spark, ORACLE_SF_DIR).collect()
+        if r.query_id != r.doc_id
+    }
+    hybrid = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in pipeline_hybrid_search(spark, ORACLE_SF_DIR)
+        .where(F.col("system") == "bm25")
+        .collect()
+    }
+    assert standalone, "standalone top-k unexpectedly empty"
+    for key, (score, rank) in standalone.items():
+        assert key in hybrid, f"{key} missing from hybrid bm25 list"
+        hscore, hrank = hybrid[key]
+        assert hscore == score
+        assert hrank in (rank, rank - 1)  # self-match removal shifts by <= 1
+
+
+def test_png_decode_features_match_driver_recompute(spark):
+    """Recompute one doc's features from the closed-form pixels and
+    compare against the operator's output — pins the feature algebra."""
+    out = {
+        r.doc_id: r
+        for r in __import__(
+            "dataframework_spark.operators.multimodal", fromlist=["mm_png_decode"]
+        ).mm_png_decode(spark, ORACLE_SF_DIR).collect()
+    }
+    for d in (0, 7, 123):
+        w, h = 9 + d % 12, 7 + (d * 5) % 11
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        px = np.stack(
+            [(d + 3 * xs + 7 * ys + 11 * c) % 256 for c in range(3)], axis=2
+        )
+        r = out[d]
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_r == round(float(px[:, :, 0].mean()), 4)
+        assert r.mean_g == round(float(px[:, :, 1].mean()), 4)
+        assert r.mean_b == round(float(px[:, :, 2].mean()), 4)
+        assert r.corner_tl_r == d % 256
+        assert r.corner_br_b == (d + 3 * (w - 1) + 7 * (h - 1) + 22) % 256
+        assert r.filter_types == "0,1,2,3,4"
