@@ -407,7 +407,9 @@ _COS_THRESHOLD = 0.4  # calibrated: synthetic embeddings max-cos ≈ 0.51
     WHERE {duck_cosine_sql('a.embedding', 'b.embedding')} >= {_COS_THRESHOLD}
     """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, n_blocks: int = 4
+) -> DataFrame:
     """Embedding near-dup pairs: pairwise cosine ≥ 0.4 (threshold
     calibrated to the synthetic corpus, which has no true vector dups).
 
@@ -426,8 +428,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. each ``applyInPandas`` group holds exactly two blocks (one on the
        diagonal) and runs a single f64 GEMM over them.
 
-    Per-task memory is O((n/B)·d) — tune B so a block pair fits an
-    executor, independent of corpus size.  Exact all-pairs is inherently
+    Per-task memory is O((n/B)·d) for the inputs and O((n/B)²) for the
+    similarity tile — ``n_blocks`` is the exposed knob (r8): the default
+    4 is the registered sf-test sizing; a scale caller sizes
+    B ≈ n / rows_per_block so a tile fits an executor, independent of
+    corpus size.  Blocking is a PARTITION of the pair space, so the
+    result is EXACT and identical for every B (guard-tested).  Exact
+    all-pairs is inherently
     O(n²·d) compute; at 100 TB the *approximate* tier (LSH buckets /
     IVF cells, ``sim_lsh_topk`` partitioning) bounds candidates instead —
     this operator is the exact-correctness tier that the approximate ones
@@ -436,7 +443,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    n_blocks = 4  # sf-test sizing; at scale: ceil(corpus_rows·d·8 / task_mem) per block
     e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     participate = (
         f"concat("

@@ -144,7 +144,9 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN q qb ON qb.doc_id = p.doc_b
     """,
 )
-def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_semantic_dedup(
+    spark: SparkSession, sf_dir: str, n_blocks: int = 4
+) -> DataFrame:
     """Cross-modal semantic dedup: embedding cosine decides *duplicate*
     (pairs ≥ 0.4 from the BLAS-blocked ``dedup_embedding_cosine``), text
     quality decides *keeper* (higher heuristic quality wins, ties to the
@@ -161,7 +163,7 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly."""
     from dataframework_spark.operators.dedup import dedup_embedding_cosine
 
-    pairs = dedup_embedding_cosine(spark, sf_dir)
+    pairs = dedup_embedding_cosine(spark, sf_dir, n_blocks=n_blocks)
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     t = docs.withColumn("toks", tokens())
     n = F.size("toks").cast("double")

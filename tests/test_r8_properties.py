@@ -109,3 +109,33 @@ def test_png_decode_features_match_driver_recompute(spark):
         assert r.corner_tl_r == d % 256
         assert r.corner_br_b == (d + 3 * (w - 1) + 7 * (h - 1) + 22) % 256
         assert r.filter_types == "0,1,2,3,4"
+
+
+def test_embedding_cosine_blocking_is_partition_invariant(spark):
+    """The r8 n_blocks knob: blocking partitions the pair space, so the
+    EXACT pair set (ids and 4-dp cosines) must be identical for every
+    block count — the property that makes the knob safe to size to
+    executor memory at any corpus scale."""
+    from dataframework_spark.operators.dedup import dedup_embedding_cosine
+
+    def key(df):
+        return sorted((r.vec_a, r.vec_b, r.cos_sim) for r in df.collect())
+
+    b4 = key(dedup_embedding_cosine(spark, ORACLE_SF_DIR))  # registered default
+    b7 = key(dedup_embedding_cosine(spark, ORACLE_SF_DIR, n_blocks=7))
+    b1 = key(dedup_embedding_cosine(spark, ORACLE_SF_DIR, n_blocks=1))
+    assert b4 == b7 == b1
+    assert b4, "pair set unexpectedly empty"
+
+
+def test_semantic_dedup_forwards_blocking_knob(spark):
+    """pipeline_semantic_dedup(n_blocks=7) must equal the registered
+    default — same pairs, same keepers."""
+    from dataframework_spark.operators.pipeline import pipeline_semantic_dedup
+
+    def key(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert key(pipeline_semantic_dedup(spark, ORACLE_SF_DIR)) == key(
+        pipeline_semantic_dedup(spark, ORACLE_SF_DIR, n_blocks=7)
+    )

@@ -51,9 +51,12 @@ EXCLUSIONS: dict[str, str] = {
         "pairwise-Jaccard truth set (the eval tier it exists to price)"
     ),
     "dedup_embedding_cosine": (
-        "all-pairs cosine inside LSH blocks: replica-dense blocks emit "
-        "~M^2 near-dup pairs per original doc (output-driven, not a plan "
-        "bug; blocked/banded siblings are swept)"
+        "all-pairs cosine: replica-dense blocks emit ~M^2 near-dup pairs "
+        "per original doc by construction.  MEASURED on the non-replica "
+        "rotated corpus instead (SCALEPROBE_ROTATION_r8.json): within-copy "
+        "pairs grow exactly ~M and the r8 n_blocks knob bounds the GEMM "
+        "tile at any corpus size; the exact tier's compute is O(n^2 d) "
+        "by design — the swept approximate tier is the 100 TB path"
     ),
     "dedup_semdedup": (
         "SemDeDup in-cluster pairwise cosine: the M-x replica puts M "
@@ -76,7 +79,9 @@ EXCLUSIONS: dict[str, str] = {
     ),
     "pipeline_semantic_dedup": (
         "capstone composing the embedding near-dup pair stage (see "
-        "dedup_embedding_cosine)"
+        "dedup_embedding_cosine) — MEASURED on the rotated non-replica "
+        "corpus in SCALEPROBE_ROTATION_r8.json; the quality-join overhead "
+        "over the pair stage is pair-sized (~linear)"
     ),
     "pipeline_pretrain_corpus": (
         "capstone composing dedup_clusters: the replica's 100-way dups "
