@@ -111,6 +111,37 @@ def run_session_window(spark, path, schema) -> list[dict]:
     return _profile(q)
 
 
+def run_exactly_once_merge(spark, path, schema) -> list[dict]:
+    """The r5-r6 exactly-once MERGE path (VERDICT r7 #8): drain the same
+    file-per-trigger stream through the versioned-commit foreachBatch
+    writer.  recentProgress has no state operator here (state lives in
+    the parquet versions), so the series records trigger duration and
+    the committed state's row count per batch via the ledger."""
+    import shutil
+
+    from dataframework_spark.sources.io import _scratch
+    from dataframework_spark.streaming import exactly_once_merge_writer
+
+    base = _scratch(BASE, "events_eo_profile")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    writer = exactly_once_merge_writer(base)
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    q = ev.writeStream.foreachBatch(writer).trigger(availableNow=True).start()
+    series = _profile(q)
+    # committed state size: the per-user totals row count of the final version
+    _, applied, totals = writer.read_latest(spark)
+    n_state = totals.count() if totals is not None else 0
+    for r in series:
+        r["committed_batches"] = len(applied)
+        r["final_state_rows"] = n_state
+    return series
+
+
 def main() -> None:
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     nfiles = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -128,7 +159,8 @@ def main() -> None:
         sf_dir = BASE
     path, schema = _stage_files(spark, sf_dir, nfiles, f"{m}x_{nfiles}")
     for name, fn in (("stateful_user_totals", run_stateful),
-                     ("session_window", run_session_window)):
+                     ("session_window", run_session_window),
+                     ("exactly_once_merge", run_exactly_once_merge)):
         series = fn(spark, path, schema)
         print(json.dumps({"workload": name, "m": m, "nfiles": nfiles,
                           "batches": series}))
