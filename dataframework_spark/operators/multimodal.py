@@ -16,11 +16,14 @@ Decode tiers:
 * **PNG decodes for real too** — `mm_png_decode` / `mm_png_resize`
   inflate with stdlib ``zlib`` and defilter (None/Sub/Up/Average/Paeth)
   in numpy; PNG needs no external codec library.
-* **DCT/transform codecs (jpeg/mp3-class) remain a stub** — the
-  container ships no PIL/ffmpeg, so `mm_decode_features` uses a
-  clearly-marked deterministic fake (`_fake_decode`) behind the same
-  signature, which still hash-verifies the Arrow mapInPandas path
-  end-to-end.
+* **Baseline JPEG decodes for real as well** — `mm_jpeg_decode` runs
+  genuine huffman entropy decoding + dequantization + 8x8 IDCT in pure
+  numpy (ITU-T T.81 baseline is huffman + math, not a library
+  dependency).
+* **Only mp3-class codecs remain a stub** — the container ships no
+  ffmpeg, so `mm_decode_features` uses a clearly-marked deterministic
+  fake (`_fake_decode`) behind the same signature, which still
+  hash-verifies the Arrow mapInPandas path end-to-end.
 
 Scale design: decode is embarrassingly parallel per-partition Python with
 Arrow transfer (the one legitimate Pandas-UDF hot path in this engine —
@@ -121,11 +124,12 @@ def _fake_decode(payload: pd.Series) -> pd.DataFrame:
 
 def _real_decode(payload: pd.Series) -> pd.DataFrame:  # pragma: no cover
     raise NotImplementedError(
-        "DCT/transform codecs (jpeg/mp3) are not installed in this "
-        "container; wire PIL/ffmpeg here and keep _DECODE_SCHEMA "
-        "unchanged.  Uncompressed containers decode for real (decode_wav/"
-        "decode_bmp) and so does PNG — stdlib zlib inflate + numpy "
-        "defiltering, see png_pixels/decode_png below"
+        "mp3-class audio codecs are not installed in this container; wire "
+        "ffmpeg here and keep _DECODE_SCHEMA unchanged.  Everything else "
+        "decodes for real: WAV/BMP (decode_wav/decode_bmp), PNG (stdlib "
+        "zlib + numpy defiltering, png_pixels), and baseline greyscale "
+        "JPEG (huffman + IDCT in numpy, jpeg_pixels) — for production "
+        "JPEG breadth (subsampled color, progressive) wire PIL for speed"
     )
 
 
@@ -1204,6 +1208,486 @@ def mm_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = pd.DataFrame(
                 feats,
                 columns=["out_w", "out_h", "mean_r", "mean_g", "mean_b", "checksum"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# M10 — REAL transform-codec decode: baseline JPEG (huffman + IDCT in numpy)
+# ---------------------------------------------------------------------------
+#
+# The r7/r8 stub history: r7's stub claimed jpeg/png/mp3 all need external
+# libraries; r8 showed PNG needs only stdlib zlib.  JPEG needs no library
+# either — only MATH: the baseline process (ITU-T T.81) is huffman
+# entropy-decoding + dequantization + an 8x8 inverse DCT, all expressible
+# in numpy.  What external libs buy is speed and format breadth (subsampled
+# color, progressive scans, EXIF); a baseline greyscale decoder is ~150
+# lines.  This closes the overclaim the same way PNG did: synthesize real
+# JPEG bytes (real quant tables, real Annex-K huffman codes, real
+# byte-stuffing), genuinely entropy-decode + IDCT them back, and grade
+# against a closed form.
+#
+# Verification design: the synthesized image is BLOCK-CONSTANT — block
+# (bx, by) has value v = (doc_id + 11*bx + 23*by) % 256.  A constant 8x8
+# block has one nonzero DCT coefficient (DC = 8*(v-128)), so the decoded
+# block is the closed form
+#     clip(rnd(rnd(8*(v-128)/Q00) * Q00 / 8) + 128, 0, 255)
+# (rnd = half away from zero; Q00 = 16 from the Annex-K luminance table),
+# which DuckDB can compute per block — while the DECODER still runs the
+# full general path (huffman trees, DC differences across blocks, EOB,
+# byte-stuffing, dequant, full 2D IDCT).  Unit tests exercise the general
+# path on random images: decode(encode(img)) must equal an independent
+# dequant+IDCT reference applied to the same quantized coefficients.
+
+_JPEG_QTABLE = [  # ITU-T T.81 Annex K.1 luminance, quality 50 (unscaled)
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# Annex K.3.1 / K.3.2: standard luminance huffman tables as
+# (BITS[1..16], HUFFVAL) — public constants from the JPEG spec.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits, vals):
+    """Canonical huffman code assignment (T.81 Annex C): symbol ->
+    (code, length)."""
+    out, code = {}, 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _rnd_away(x):
+    """Half-away-from-zero rounding — the rounding both the encoder and
+    the oracle use (numpy round is banker's; keep them off this path)."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_basis():
+    """(basis[u, x] = cos((2x+1)uπ/16), S2[u, v] = 0.25·C(u)·C(v)) — the
+    JPEG DCT scale as an OUTER matrix with the DC entry pinned to the
+    exact dyadic 0.125: computing it as (0.5/√2)² lands one ulp low
+    (0.12499999999999997), which flips half-boundary quantization (a
+    constant block's -58.5 rounding to -58 instead of -59) and would
+    silently diverge encoder, decoder, and oracle."""
+    import numpy as np
+
+    k = np.arange(8)
+    basis = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)  # [u, x]
+    scale = np.full(8, 0.5)
+    scale[0] = 0.5 / np.sqrt(2.0)
+    s2 = np.outer(scale, scale)
+    s2[0, 0] = 0.125
+    return basis, s2
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("entropy stream exhausted")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                raise ValueError("unexpected marker inside entropy stream")
+            self.pos += 1  # skip the stuffed 0x00
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _encode_gray_jpeg(img, qtable=None) -> bytes:
+    """Baseline greyscale JPEG encoder (the synthesis side): real FDCT,
+    real quantization, real Annex-K huffman coding, real byte stuffing.
+    Dimensions must be multiples of 8 (no padding logic — the synthesis
+    controls them)."""
+    import struct
+
+    import numpy as np
+
+    q = np.array(qtable or _JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("encoder expects multiple-of-8 dimensions")
+    basis, s2 = _dct_basis()
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    shifted = img.astype(np.float64) - 128.0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            # 2D DCT-II: F = S2 ∘ (B blk B^T)
+            coef = s2 * (basis @ blk @ basis.T)
+            qc = _rnd_away(coef / q).astype(np.int64)
+            zz = qc.reshape(-1)[_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+
+            def _amp(v: int) -> tuple[int, int]:
+                t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+                return (t, (v if v >= 0 else v + (1 << t) - 1))
+
+            t, amp = _amp(diff) if diff else (0, 0)
+            code, ln = dc_codes[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(amp, t)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    if run == 16:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run = 0
+                    continue
+                t, amp = _amp(int(zz[i]))
+                code, ln = ac_codes[(run << 4) | t]
+                bw.write(code, ln)
+                bw.write(amp, t)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qz = np.array(qtable or _JPEG_QTABLE, dtype=np.int64)
+    dqt = seg(0xFFDB, bytes([0]) + bytes(int(qz[z]) for z in _ZIGZAG))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def synth_jpeg(doc_id: int):
+    """Block-constant greyscale image for doc_id: block (bx, by) has value
+    ``(doc_id + 11*bx + 23*by) % 256``; 2-4 blocks per side.  Returns
+    (payload, w, h)."""
+    import numpy as np
+
+    wb, hb = 2 + doc_id % 3, 2 + (doc_id * 7) % 3
+    bys, bxs = np.meshgrid(np.arange(hb), np.arange(wb), indexing="ij")
+    vals = ((doc_id + 11 * bxs + 23 * bys) % 256).astype(np.float64)
+    img = np.kron(vals, np.ones((8, 8)))
+    return _encode_gray_jpeg(img), wb * 8, hb * 8
+
+
+def jpeg_pixels(payload: bytes):
+    """REAL baseline JPEG decode (greyscale, T.81 baseline process):
+    marker walk, DQT/DHT/SOF0/SOS parse, huffman entropy decode with
+    byte-destuffing, DC-difference accumulation, dequantize, inverse
+    zigzag, 8x8 IDCT, level shift, clip.  Returns (h, w) uint8 pixels.
+    Progressive scans, multi-component images, and 16-bit tables are
+    REJECTED, not mis-decoded."""
+    import struct
+
+    import numpy as np
+
+    if payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, object] = {}
+    dc_tree: dict[int, dict] = {}
+    ac_tree: dict[int, dict] = {}
+    dims = None
+    qsel = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if pos + 2 + size > len(payload):
+            # a declared segment length past EOF is a truncated container —
+            # reject rather than hand a short table to the huffman builder
+            raise ValueError(f"segment {marker:#x} overruns payload")
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xFFDB:
+            if body[0] >> 4:
+                raise ValueError("16-bit quant tables unsupported")
+            tid = body[0] & 0x0F
+            tq = np.zeros(64, dtype=np.int64)
+            for i, z in enumerate(_ZIGZAG):
+                tq[z] = body[1 + i]
+            qtables[tid] = tq.reshape(8, 8)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("only baseline (SOF0) JPEG is supported")
+        elif marker == 0xFFC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    f"unsupported SOF0: precision={prec} components={ncomp}"
+                )
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported for greyscale")
+            qsel = body[8]
+            dims = (h, w)
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                tree: dict = {}
+                for sym, (code, ln) in _huff_codes(bits, vals).items():
+                    node = tree
+                    for b in format(code, f"0{ln}b"):
+                        node = node.setdefault(b, {})
+                    node["leaf"] = sym
+                (dc_tree if tc == 0 else ac_tree)[th] = tree
+                off += 17 + nv
+        elif marker == 0xFFDA:
+            scan = payload[pos + 2 + size :]
+            break
+        pos += 2 + size
+    if dims is None or scan is None or qsel not in qtables:
+        raise ValueError("missing SOF0/SOS/DQT")
+    if not dc_tree or not ac_tree:
+        raise ValueError("missing huffman tables")
+    h, w = dims
+    if h % 8 or w % 8:
+        raise ValueError("non-multiple-of-8 dims unsupported (no edge pad)")
+    end = scan.rfind(b"\xff\xd9")
+    br = _BitReader(scan[: end if end >= 0 else len(scan)])
+    q = qtables[qsel]
+    basis, s2 = _dct_basis()
+
+    def _huffdec(tree: dict) -> int:
+        node = tree
+        for _ in range(16):
+            node = node.get(str(br.bit()))
+            if node is None:
+                raise ValueError("invalid huffman code")
+            if "leaf" in node:
+                return node["leaf"]
+        raise ValueError("huffman code longer than 16 bits")
+
+    def _extend(amp: int, t: int) -> int:
+        return amp if amp >= (1 << (t - 1)) else amp - (1 << t) + 1
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev_dc = 0
+    dtree, atree = dc_tree[0], ac_tree[0]
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = np.zeros(64, dtype=np.int64)
+            t = _huffdec(dtree)
+            diff = _extend(br.bits(t), t) if t else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = _huffdec(atree)
+                if sym == 0x00:  # EOB
+                    break
+                run, t = sym >> 4, sym & 0x0F
+                if t == 0:
+                    if run != 15:
+                        raise ValueError(f"invalid AC symbol {sym:#x}")
+                    i += 16  # ZRL
+                    continue
+                i += run
+                if i >= 64:
+                    raise ValueError("AC run overflows block")
+                zz[i] = _extend(br.bits(t), t)
+                i += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = zz
+            deq = coef.reshape(8, 8) * q
+            # inverse of F = S2 ∘ (B f B^T)  =>  f = B^T (S2 ∘ F) B
+            blk = basis.T @ (s2 * deq) @ basis
+            px = np.clip(_rnd_away(blk + 128.0), 0, 255).astype(np.uint8)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    return out
+
+
+_JPEG_Q00 = _JPEG_QTABLE[0]  # 16 — the only coefficient a constant block uses
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int, int]:
+    """Decode a baseline greyscale JPEG and extract
+    (width, height, mean, corner_tl, corner_br, n_blocks)."""
+    px = jpeg_pixels(payload)
+    h, w = px.shape
+    return (
+        w,
+        h,
+        round(float(px.mean()), 4),
+        int(px[0, 0]),
+        int(px[h - 1, w - 1]),
+        (h // 8) * (w // 8),
+    )
+
+
+# the closed form for a constant block: half-away rounding both times
+_DEC_SQL = (
+    "CAST(LEAST(GREATEST("
+    "  CASE WHEN d2 >= 0 THEN FLOOR(d2 + 0.5) ELSE -FLOOR(-d2 + 0.5) END + 128,"
+    "  0), 255) AS BIGINT)"
+)
+
+
+@register(
+    "mm_jpeg_decode",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, 2 + doc_id % 3 AS wb, 2 + (doc_id * 7) % 3 AS hb
+               FROM documents),
+    blk AS (
+      SELECT doc_id, wb, hb, bx, by,
+             (doc_id + 11 * bx + 23 * by) % 256 AS v
+      FROM p, UNNEST(range(wb)) AS t1(bx), UNNEST(range(hb)) AS t2(by)),
+    q AS (
+      SELECT doc_id, wb, hb, bx, by, v,
+             CASE WHEN d1 >= 0 THEN FLOOR(d1 + 0.5)
+                  ELSE -FLOOR(-d1 + 0.5) END * {_JPEG_Q00} / 8.0 AS d2
+      FROM (SELECT *, 8.0 * (v - 128) / {_JPEG_Q00} AS d1 FROM blk)),
+    dec AS (SELECT doc_id, wb, hb, bx, by, {_DEC_SQL} AS pix FROM q)
+    SELECT doc_id,
+           CAST(wb * 8 AS INT) AS width, CAST(hb * 8 AS INT) AS height,
+           ROUND(AVG(pix), 4) AS mean_px,
+           CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN pix END) AS BIGINT)
+             AS corner_tl,
+           CAST(MAX(CASE WHEN bx = wb - 1 AND by = hb - 1 THEN pix END)
+                AS BIGINT) AS corner_br,
+           CAST(wb * hb AS BIGINT) AS n_blocks
+    FROM dec GROUP BY doc_id, wb, hb
+    """,
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL transform-codec decode: synthesize a baseline greyscale JPEG
+    per doc (real FDCT + Annex-K quantization, real canonical huffman
+    coding with DC differences / EOB / byte-stuffing), then genuinely
+    entropy-decode + dequantize + IDCT it back — pure numpy, no codec
+    library (ITU-T T.81 baseline is huffman + math; what PIL/ffmpeg add
+    is speed and format breadth, not feasibility).
+
+    The synthesized image is BLOCK-CONSTANT, so each decoded block has
+    the closed form ``clip(rnd(rnd(8(v-128)/Q00)·Q00/8)+128, 0, 255)``
+    the DuckDB oracle computes per block — while the decoder still runs
+    the full general machinery (huffman trees parsed from the DHT
+    segment, DC-difference accumulation across blocks, EOB handling,
+    FF00 destuffing, full 2D IDCT).  ``corner_tl``/``corner_br`` pin
+    block order; the mean covers every block's quantization roundtrip.
+    The general (non-constant) path is unit-tested against an
+    independent dequant+IDCT reference on random images, plus rejection
+    tests (progressive SOF2, multi-component, 16-bit tables, truncated
+    streams).  Same Arrow mapInPandas scale shape as every decode stage.
+
+    The codec stub now claims externals-only for mp3 alone."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id bigint, width int, height int, mean_px double, "
+        "corner_tl bigint, corner_br bigint, n_blocks bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_jpeg(synth_jpeg(int(d))[0]) for d in pdf["doc_id"]]
+            out = pd.DataFrame(
+                feats,
+                columns=[
+                    "width", "height", "mean_px", "corner_tl", "corner_br",
+                    "n_blocks",
+                ],
             )
             out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
             yield out
