@@ -9,6 +9,8 @@ Probes, on the cached .scratch/scale1000x replica (2M-doc documents /
   claim is pure linearity (decode cost ~ docs), the same shape already
   measured for the WAV/BMP tier.
 * ``mm_png_resize`` — the same chain + an O(pixels) block downsample.
+* ``mm_jpeg_decode`` — same embarrassingly-parallel shape; per doc a
+  huffman entropy decode + dequant + 8x8 IDCT over 4-9 blocks.
 * ``pipeline_hybrid_search`` — the shared-scan capstone: ONE cached
   (doc, term, tf) inverted index feeds both the BM25 ranking and the RRF
   fusion.  BM25 alone measured 22.2x at 1000x in r7 and rrf 33.1x; the
@@ -48,6 +50,7 @@ OUT = os.path.join(
 PROBE = [
     "mm_png_decode",
     "mm_png_resize",
+    "mm_jpeg_decode",
     "pipeline_hybrid_search",
 ]
 
