@@ -1,0 +1,106 @@
+"""Media ingest audit — the multimodal decode tier end-to-end, every
+codec parsed for REAL with zero external libraries.
+
+A web-scale training-data pipeline receives opaque binary payloads and
+must (a) route them by container format without decoding, (b) decode
+what it can, (c) extract the features curation runs on, and (d) find
+near-duplicate media.  This example walks that exact flow over the test
+corpus using the registered, oracle-checked operators:
+
+1. ROUTE    — metadata-only pass (``mm_binary_metadata``): byte length,
+   sha256 content address, magic bytes.  Pure JVM; Python never runs.
+2. AUDIO    — real RIFF/PCM16 parse (``mm_wav_decode``): sample rate,
+   duration, RMS, zero crossings; then VAD segmentation
+   (``mm_audio_vad_segments``) — the pre-transcription filter.
+3. IMAGES   — the three image tiers, all genuinely parsed:
+   * BMP — uncompressed byte layout (``mm_bmp_decode``),
+   * PNG — stdlib zlib inflate + numpy defiltering of all five RFC 2083
+     filter types (``mm_png_decode``),
+   * JPEG — baseline huffman entropy decode + dequant + 8x8 IDCT in
+     pure numpy (``mm_jpeg_decode``).
+4. RESIZE   — decode → 2x box downsample through the compressed tier
+   (``mm_png_resize``) — the thumbnail stage.
+5. NEAR-DUP — perceptual dHash clusters over decoded pixels
+   (``mm_image_dhash``) — the image-level dedup curation applies.
+
+Runnable as-is (~30 s on local[4]):
+
+    python examples/media_ingest.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from dataframework_spark.registry import all_queries  # noqa: E402
+from dataframework_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    spark = get_spark(app_name="media-ingest", cpus=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    q = {s.name: s.fn for s in all_queries().values()}
+
+    print("== 1. route by container metadata (JVM-only, no decode) ==")
+    meta = q["mm_binary_metadata"](spark, SF_DIR)
+    for r in meta.orderBy("doc_id").limit(3).collect():
+        print(f"  doc={r.doc_id} bytes={r.n_bytes} magic={r.magic_hex} "
+              f"sha256={r.sha256_hex[:16]}…")
+
+    print("== 2. audio: RIFF/PCM16 decode + VAD segmentation ==")
+    wav = q["mm_wav_decode"](spark, SF_DIR)
+    for r in wav.orderBy("doc_id").limit(3).collect():
+        print(f"  doc={r.doc_id} {r.sample_rate} Hz {r.duration_ms} ms "
+              f"rms={r.rms} zero_cross={r.n_zero_cross}")
+    vad = q["mm_audio_vad_segments"](spark, SF_DIR)
+    agg = vad.agg(
+        F.count(F.lit(1)).alias("segs"),
+        F.countDistinct("doc_id").alias("docs"),
+    ).collect()[0]
+    print(f"  VAD: {agg.segs} voiced segments across {agg.docs} docs")
+
+    print("== 3. images: BMP / PNG / JPEG, all genuinely parsed ==")
+    for name, label in (
+        ("mm_bmp_decode", "BMP  (uncompressed layout)"),
+        ("mm_png_decode", "PNG  (zlib + 5-filter defilter)"),
+        ("mm_jpeg_decode", "JPEG (huffman + IDCT)"),
+    ):
+        df = q[name](spark, SF_DIR)
+        r = df.orderBy("doc_id").limit(1).collect()[0]
+        dims = f"{r.width}x{r.height}"
+        extra = (
+            f"filters={r.filter_types}" if name == "mm_png_decode"
+            else f"blocks={r.n_blocks}" if name == "mm_jpeg_decode"
+            else f"corner_r={r.corner_tl_r}"
+        )
+        print(f"  {label}: doc0 {dims} {extra} (n={df.count()})")
+
+    print("== 4. thumbnail stage: PNG decode -> 2x box downsample ==")
+    rz = q["mm_png_resize"](spark, SF_DIR)
+    for r in rz.orderBy("doc_id").limit(3).collect():
+        print(f"  doc={r.doc_id} -> {r.out_w}x{r.out_h} "
+              f"means=({r.mean_r}, {r.mean_g}, {r.mean_b})")
+
+    print("== 5. near-duplicate media: perceptual dHash clusters ==")
+    dh = q["mm_image_dhash"](spark, SF_DIR)
+    clusters = (
+        dh.groupBy("dhash").count().where(F.col("count") > 1)
+        .orderBy(F.col("count").desc())
+    )
+    n_clusters = clusters.count()
+    print(f"  {n_clusters} dHash buckets hold more than one image")
+    for r in clusters.limit(3).collect():
+        print(f"  dhash={r.dhash} holds {r['count']} images")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
