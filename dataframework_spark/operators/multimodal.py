@@ -431,31 +431,42 @@ def _bmp_pixels(payload: bytes):
     return bgr[:, :, ::-1]  # RGB
 
 
-def decode_bmp(payload: bytes) -> tuple[int, int, float, float, float, int, int]:
-    """Decode a 24bpp BMP and extract (width, height, mean_r, mean_g,
-    mean_b, corner_tl_r, n_bytes)."""
+def decode_bmp(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Decode a 24bpp BMP and extract (width, height, mean_r_e4,
+    mean_g_e4, mean_b_e4, corner_tl_r, n_bytes) — means are half-up
+    1e4 fixed-point integers from the exact pixel sums (see _mean_e4)."""
     px = _bmp_pixels(payload)
     h, w = px.shape[:2]
-    mean_r, mean_g, mean_b = (round(float(px[:, :, i].mean()), 4) for i in range(3))
+    n = h * w
+    mean_r, mean_g, mean_b = (
+        _mean_e4(int(px[:, :, i].astype("int64").sum()), n) for i in range(3)
+    )
     return w, h, mean_r, mean_g, mean_b, int(px[0, 0, 0]), len(payload)
 
 
-def resize_bmp_2x(payload: bytes) -> tuple[int, int, float, float, float, float]:
+def resize_bmp_2x(payload: bytes) -> tuple[int, int, int, int, int, float]:
     """Decode a 24bpp BMP and 2× box-downsample it (mean of each 2×2
     block; trailing odd row/column dropped) — returns (out_w, out_h,
-    mean_r, mean_g, mean_b, checksum) of the RESIZED image.  All block
-    means are exact dyadic rationals (sums of 4 uint8 / 4), so the
-    aggregate values are bit-identical regardless of summation order."""
+    mean_r_e4, mean_g_e4, mean_b_e4, checksum) of the RESIZED image.
+    Block means are exact dyadic rationals (sums of 4 uint8 / 4): the
+    checksum (a sum of quarters) is bit-identical across engines and
+    summation orders, while the channel MEANS divide by the block count
+    and are published as half-up 1e4 fixed-point integers computed from
+    the exact integer quarter-sums (r8 ADVICE divergence class)."""
     import numpy as np
 
-    px = _bmp_pixels(payload).astype(np.float64)
+    px = _bmp_pixels(payload).astype(np.int64)
     h, w = px.shape[:2]
     ow, oh = w // 2, h // 2
     if ow == 0 or oh == 0:
         raise ValueError(f"image too small to downsample: {w}x{h}")
-    blocks = px[: oh * 2, : ow * 2].reshape(oh, 2, ow, 2, 3).mean(axis=(1, 3))
-    means = [round(float(blocks[:, :, c].mean()), 4) for c in range(3)]
-    return ow, oh, means[0], means[1], means[2], round(float(blocks.sum()), 4)
+    # s4[i, j, c] = sum of the 2×2 block = 4 × block mean, exact integer
+    s4 = px[: oh * 2, : ow * 2].reshape(oh, 2, ow, 2, 3).sum(axis=(1, 3))
+    n = oh * ow
+    means = [
+        int((int(s4[:, :, c].sum()) * 20000 + 4 * n) // (8 * n)) for c in range(3)
+    ]
+    return ow, oh, means[0], means[1], means[2], round(float(s4.sum()) / 4.0, 4)
 
 
 @register(
@@ -468,9 +479,12 @@ def resize_bmp_2x(payload: bytes) -> tuple[int, int, float, float, float, float]
       FROM p, UNNEST(range(w)) AS t1(x), UNNEST(range(h)) AS t2(y))
     SELECT doc_id,
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-           ROUND(AVG((doc_id + 3 * x + 7 * y) % 256), 4)      AS mean_r,
-           ROUND(AVG((doc_id + 3 * x + 7 * y + 11) % 256), 4) AS mean_g,
-           ROUND(AVG((doc_id + 3 * x + 7 * y + 22) % 256), 4) AS mean_b,
+           CAST((SUM((doc_id + 3 * x + 7 * y) % 256) * 20000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT)                  AS mean_r_e4,
+           CAST((SUM((doc_id + 3 * x + 7 * y + 11) % 256) * 20000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT)                  AS mean_g_e4,
+           CAST((SUM((doc_id + 3 * x + 7 * y + 22) % 256) * 20000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT)                  AS mean_b_e4,
            CAST(MAX(doc_id % 256) AS INT)                     AS corner_tl_r,
            CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS BIGINT)    AS n_bytes
     FROM px GROUP BY doc_id, w, h
@@ -490,8 +504,8 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     schema = (
-        "doc_id bigint, width int, height int, mean_r double, mean_g double, "
-        "mean_b double, corner_tl_r int, n_bytes bigint"
+        "doc_id bigint, width int, height int, mean_r_e4 bigint, "
+        "mean_g_e4 bigint, mean_b_e4 bigint, corner_tl_r int, n_bytes bigint"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -500,7 +514,7 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = pd.DataFrame(
                 feats,
                 columns=[
-                    "width", "height", "mean_r", "mean_g", "mean_b",
+                    "width", "height", "mean_r_e4", "mean_g_e4", "mean_b_e4",
                     "corner_tl_r", "n_bytes",
                 ],
             )
@@ -520,15 +534,18 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              (((doc_id + 3*(2*j)   + 7*(2*i)   + 11*c) % 256)
             + ((doc_id + 3*(2*j+1) + 7*(2*i)   + 11*c) % 256)
             + ((doc_id + 3*(2*j)   + 7*(2*i+1) + 11*c) % 256)
-            + ((doc_id + 3*(2*j+1) + 7*(2*i+1) + 11*c) % 256)) / 4.0 AS v
+            + ((doc_id + 3*(2*j+1) + 7*(2*i+1) + 11*c) % 256)) AS v4
       FROM p, UNNEST(range(h // 2)) AS t1(i), UNNEST(range(w // 2)) AS t2(j),
            UNNEST(range(3)) AS t3(c))
     SELECT doc_id,
            CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
-           ROUND(AVG(v) FILTER (c = 0), 4) AS mean_r,
-           ROUND(AVG(v) FILTER (c = 1), 4) AS mean_g,
-           ROUND(AVG(v) FILTER (c = 2), 4) AS mean_b,
-           ROUND(SUM(v), 4) AS checksum
+           CAST((SUM(v4) FILTER (c = 0) * 20000 + 4 * COUNT(*) FILTER (c = 0))
+                // (8 * COUNT(*) FILTER (c = 0)) AS BIGINT) AS mean_r_e4,
+           CAST((SUM(v4) FILTER (c = 1) * 20000 + 4 * COUNT(*) FILTER (c = 1))
+                // (8 * COUNT(*) FILTER (c = 1)) AS BIGINT) AS mean_g_e4,
+           CAST((SUM(v4) FILTER (c = 2) * 20000 + 4 * COUNT(*) FILTER (c = 2))
+                // (8 * COUNT(*) FILTER (c = 2)) AS BIGINT) AS mean_b_e4,
+           ROUND(SUM(v4) / 4.0, 4) AS checksum
     FROM px GROUP BY doc_id, ow, oh
     """,
 )
@@ -551,8 +568,8 @@ def mm_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     schema = (
-        "doc_id bigint, out_w int, out_h int, mean_r double, mean_g double, "
-        "mean_b double, checksum double"
+        "doc_id bigint, out_w int, out_h int, mean_r_e4 bigint, mean_g_e4 bigint, "
+        "mean_b_e4 bigint, checksum double"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -560,7 +577,7 @@ def mm_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             feats = [resize_bmp_2x(synth_bmp(int(d))) for d in pdf["doc_id"]]
             out = pd.DataFrame(
                 feats,
-                columns=["out_w", "out_h", "mean_r", "mean_g", "mean_b", "checksum"],
+                columns=["out_w", "out_h", "mean_r_e4", "mean_g_e4", "mean_b_e4", "checksum"],
             )
             out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
             yield out
@@ -1063,14 +1080,26 @@ def png_pixels(payload: bytes):
     return out.reshape(h, w, 3), sorted(filters_seen)
 
 
-def decode_png(payload: bytes) -> tuple[int, int, float, float, float, int, int, str]:
-    """Decode a PNG and extract (width, height, mean_r, mean_g, mean_b,
-    corner_tl_r, corner_br_b, filter_types) — the corners pin row order
-    top-down, the means pin every defiltered byte, and filter_types
-    reports what the decoder actually reconstructed through."""
+def _mean_e4(total: int, n: int) -> int:
+    """Half-up integer mean scaled by 1e4: both engines compute
+    ``(S*20000 + n) // (2n)`` on exact integer operands (positive, so
+    Spark/Python floor and DuckDB ``//`` agree) — no float AVG, no
+    ROUND-vs-round() tie divergence (r8 ADVICE)."""
+    return (total * 20000 + n) // (2 * n)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, int, int, int, int, str]:
+    """Decode a PNG and extract (width, height, mean_r_e4, mean_g_e4,
+    mean_b_e4, corner_tl_r, corner_br_b, filter_types) — the corners pin
+    row order top-down, the integer-scaled means pin every defiltered
+    byte, and filter_types reports what the decoder actually
+    reconstructed through."""
     px, fts = png_pixels(payload)
     h, w = px.shape[:2]
-    mean_r, mean_g, mean_b = (round(float(px[:, :, i].mean()), 4) for i in range(3))
+    n = h * w
+    mean_r, mean_g, mean_b = (
+        _mean_e4(int(px[:, :, i].sum()), n) for i in range(3)
+    )
     return (
         w,
         h,
@@ -1093,9 +1122,12 @@ def decode_png(payload: bytes) -> tuple[int, int, float, float, float, int, int,
       FROM p, UNNEST(range(w)) AS t1(x), UNNEST(range(h)) AS t2(y))
     SELECT doc_id,
            CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-           ROUND(AVG((doc_id + 3 * x + 7 * y) % 256), 4)      AS mean_r,
-           ROUND(AVG((doc_id + 3 * x + 7 * y + 11) % 256), 4) AS mean_g,
-           ROUND(AVG((doc_id + 3 * x + 7 * y + 22) % 256), 4) AS mean_b,
+           CAST((SUM((doc_id + 3 * x + 7 * y) % 256) * 20000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT)                  AS mean_r_e4,
+           CAST((SUM((doc_id + 3 * x + 7 * y + 11) % 256) * 20000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT)                  AS mean_g_e4,
+           CAST((SUM((doc_id + 3 * x + 7 * y + 22) % 256) * 20000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT)                  AS mean_b_e4,
            CAST(MAX(doc_id % 256) AS INT)                     AS corner_tl_r,
            CAST(MAX((doc_id + 3 * (w - 1) + 7 * (h - 1) + 22) % 256) AS INT)
                                                               AS corner_br_b,
@@ -1115,8 +1147,9 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the synthesis guarantee.
 
     This retires the r7 stub's overclaim that every compressed codec
-    needs an external library: PNG's only compression is stdlib zlib;
-    jpeg (DCT) and mp3 remain the documented externals-only tier.  Same
+    needs an external library: PNG's only compression is stdlib zlib —
+    and ``mm_jpeg_decode`` (same round, below) did the same for baseline
+    JPEG, leaving mp3 as the sole documented externals-only codec.  Same
     Arrow mapInPandas scale shape as every decode stage — embarrassingly
     parallel, memory = batch x payload."""
     import pandas as pd
@@ -1124,8 +1157,9 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     schema = (
-        "doc_id bigint, width int, height int, mean_r double, mean_g double, "
-        "mean_b double, corner_tl_r int, corner_br_b int, filter_types string"
+        "doc_id bigint, width int, height int, mean_r_e4 bigint, "
+        "mean_g_e4 bigint, mean_b_e4 bigint, corner_tl_r int, "
+        "corner_br_b int, filter_types string"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1134,7 +1168,7 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = pd.DataFrame(
                 feats,
                 columns=[
-                    "width", "height", "mean_r", "mean_g", "mean_b",
+                    "width", "height", "mean_r_e4", "mean_g_e4", "mean_b_e4",
                     "corner_tl_r", "corner_br_b", "filter_types",
                 ],
             )
@@ -1144,23 +1178,28 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=schema)
 
 
-def resize_png_2x(payload: bytes) -> tuple[int, int, float, float, float, float]:
+def resize_png_2x(payload: bytes) -> tuple[int, int, int, int, int, float]:
     """Decode a PNG and 2x box-downsample (mean of each 2x2 block, odd
-    edges dropped) — (out_w, out_h, mean_r, mean_g, mean_b, checksum) of
-    the RESIZED image.  Block means are exact dyadic rationals (4 x uint8
-    / 4), so the aggregates are bit-identical across engines and
-    summation orders — the same exactness argument as resize_bmp_2x."""
+    edges dropped) — (out_w, out_h, mean_r_e4, mean_g_e4, mean_b_e4,
+    checksum) of the RESIZED image.  The checksum (a sum of exact dyadic
+    quarters) is bit-identical across engines and summation orders; the
+    channel means divide by the block count and are published as half-up
+    1e4 fixed-point integers from the exact integer quarter-sums — the
+    same exactness argument as resize_bmp_2x."""
     import numpy as np
 
     px, _ = png_pixels(payload)
-    px = px.astype(np.float64)
+    px = px.astype(np.int64)
     h, w = px.shape[:2]
     ow, oh = w // 2, h // 2
     if ow == 0 or oh == 0:
         raise ValueError(f"image too small to downsample: {w}x{h}")
-    blocks = px[: oh * 2, : ow * 2].reshape(oh, 2, ow, 2, 3).mean(axis=(1, 3))
-    means = [round(float(blocks[:, :, c].mean()), 4) for c in range(3)]
-    return ow, oh, means[0], means[1], means[2], round(float(blocks.sum()), 4)
+    s4 = px[: oh * 2, : ow * 2].reshape(oh, 2, ow, 2, 3).sum(axis=(1, 3))
+    n = oh * ow
+    means = [
+        int((int(s4[:, :, c].sum()) * 20000 + 4 * n) // (8 * n)) for c in range(3)
+    ]
+    return ow, oh, means[0], means[1], means[2], round(float(s4.sum()) / 4.0, 4)
 
 
 @register(
@@ -1173,15 +1212,18 @@ def resize_png_2x(payload: bytes) -> tuple[int, int, float, float, float, float]
              (((doc_id + 3*(2*j)   + 7*(2*i)   + 11*c) % 256)
             + ((doc_id + 3*(2*j+1) + 7*(2*i)   + 11*c) % 256)
             + ((doc_id + 3*(2*j)   + 7*(2*i+1) + 11*c) % 256)
-            + ((doc_id + 3*(2*j+1) + 7*(2*i+1) + 11*c) % 256)) / 4.0 AS v
+            + ((doc_id + 3*(2*j+1) + 7*(2*i+1) + 11*c) % 256)) AS v4
       FROM p, UNNEST(range(h // 2)) AS t1(i), UNNEST(range(w // 2)) AS t2(j),
            UNNEST(range(3)) AS t3(c))
     SELECT doc_id,
            CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
-           ROUND(AVG(v) FILTER (c = 0), 4) AS mean_r,
-           ROUND(AVG(v) FILTER (c = 1), 4) AS mean_g,
-           ROUND(AVG(v) FILTER (c = 2), 4) AS mean_b,
-           ROUND(SUM(v), 4) AS checksum
+           CAST((SUM(v4) FILTER (c = 0) * 20000 + 4 * COUNT(*) FILTER (c = 0))
+                // (8 * COUNT(*) FILTER (c = 0)) AS BIGINT) AS mean_r_e4,
+           CAST((SUM(v4) FILTER (c = 1) * 20000 + 4 * COUNT(*) FILTER (c = 1))
+                // (8 * COUNT(*) FILTER (c = 1)) AS BIGINT) AS mean_g_e4,
+           CAST((SUM(v4) FILTER (c = 2) * 20000 + 4 * COUNT(*) FILTER (c = 2))
+                // (8 * COUNT(*) FILTER (c = 2)) AS BIGINT) AS mean_b_e4,
+           ROUND(SUM(v4) / 4.0, 4) AS checksum
     FROM px GROUP BY doc_id, ow, oh
     """,
 )
@@ -1198,8 +1240,8 @@ def mm_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     schema = (
-        "doc_id bigint, out_w int, out_h int, mean_r double, mean_g double, "
-        "mean_b double, checksum double"
+        "doc_id bigint, out_w int, out_h int, mean_r_e4 bigint, mean_g_e4 bigint, "
+        "mean_b_e4 bigint, checksum double"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1207,7 +1249,7 @@ def mm_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             feats = [resize_png_2x(synth_png(int(d))) for d in pdf["doc_id"]]
             out = pd.DataFrame(
                 feats,
-                columns=["out_w", "out_h", "mean_r", "mean_g", "mean_b", "checksum"],
+                columns=["out_w", "out_h", "mean_r_e4", "mean_g_e4", "mean_b_e4", "checksum"],
             )
             out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
             yield out
@@ -1370,7 +1412,12 @@ class _BitReader:
         if self.n == 0:
             self._fill()
         self.n -= 1
-        return (self.acc >> self.n) & 1
+        b = (self.acc >> self.n) & 1
+        # trim the consumed high bit so acc stays bounded (≤ n bits) —
+        # an unmasked acc grows with the whole scan and turns every shift
+        # into O(scan-length) bigint work (quadratic overall)
+        self.acc &= (1 << self.n) - 1
+        return b
 
     def bits(self, k: int) -> int:
         v = 0
@@ -1484,6 +1531,7 @@ def jpeg_pixels(payload: bytes):
     ac_tree: dict[int, dict] = {}
     dims = None
     qsel = 0
+    td = ta = 0
     scan = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1533,17 +1581,23 @@ def jpeg_pixels(payload: bytes):
                 (dc_tree if tc == 0 else ac_tree)[th] = tree
                 off += 17 + nv
         elif marker == 0xFFDA:
+            if body[0] != 1:
+                raise ValueError(f"unsupported SOS: {body[0]} scan components")
+            td, ta = body[2] >> 4, body[2] & 0x0F
             scan = payload[pos + 2 + size :]
             break
         pos += 2 + size
     if dims is None or scan is None or qsel not in qtables:
         raise ValueError("missing SOF0/SOS/DQT")
-    if not dc_tree or not ac_tree:
-        raise ValueError("missing huffman tables")
+    if td not in dc_tree or ta not in ac_tree:
+        raise ValueError(f"SOS selects absent huffman tables (Td={td}, Ta={ta})")
     h, w = dims
     if h % 8 or w % 8:
         raise ValueError("non-multiple-of-8 dims unsupported (no edge pad)")
-    end = scan.rfind(b"\xff\xd9")
+    # byte stuffing guarantees FF D9 cannot occur inside valid entropy
+    # data, so the FIRST occurrence is the true EOI — rfind would let
+    # trailing garbage containing FF D9 silently extend the stream
+    end = scan.find(b"\xff\xd9")
     br = _BitReader(scan[: end if end >= 0 else len(scan)])
     q = qtables[qsel]
     basis, s2 = _dct_basis()
@@ -1563,7 +1617,7 @@ def jpeg_pixels(payload: bytes):
 
     out = np.zeros((h, w), dtype=np.uint8)
     prev_dc = 0
-    dtree, atree = dc_tree[0], ac_tree[0]
+    dtree, atree = dc_tree[td], ac_tree[ta]
     for by in range(h // 8):
         for bx in range(w // 8):
             zz = np.zeros(64, dtype=np.int64)
@@ -1600,15 +1654,17 @@ def jpeg_pixels(payload: bytes):
 _JPEG_Q00 = _JPEG_QTABLE[0]  # 16 — the only coefficient a constant block uses
 
 
-def decode_jpeg(payload: bytes) -> tuple[int, int, float, int, int, int]:
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int, int]:
     """Decode a baseline greyscale JPEG and extract
-    (width, height, mean, corner_tl, corner_br, n_blocks)."""
+    (width, height, mean_px_e4, corner_tl, corner_br, n_blocks) — the
+    mean is a half-up 1e4 fixed-point integer from the exact pixel sum
+    (see _mean_e4)."""
     px = jpeg_pixels(payload)
     h, w = px.shape
     return (
         w,
         h,
-        round(float(px.mean()), 4),
+        _mean_e4(int(px.astype("int64").sum()), h * w),
         int(px[0, 0]),
         int(px[h - 1, w - 1]),
         (h // 8) * (w // 8),
@@ -1640,7 +1696,8 @@ _DEC_SQL = (
     dec AS (SELECT doc_id, wb, hb, bx, by, {_DEC_SQL} AS pix FROM q)
     SELECT doc_id,
            CAST(wb * 8 AS INT) AS width, CAST(hb * 8 AS INT) AS height,
-           ROUND(AVG(pix), 4) AS mean_px,
+           CAST((SUM(pix) * 20000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS mean_px_e4,
            CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN pix END) AS BIGINT)
              AS corner_tl,
            CAST(MAX(CASE WHEN bx = wb - 1 AND by = hb - 1 THEN pix END)
@@ -1675,7 +1732,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     schema = (
-        "doc_id bigint, width int, height int, mean_px double, "
+        "doc_id bigint, width int, height int, mean_px_e4 bigint, "
         "corner_tl bigint, corner_br bigint, n_blocks bigint"
     )
 
@@ -1685,7 +1742,7 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = pd.DataFrame(
                 feats,
                 columns=[
-                    "width", "height", "mean_px", "corner_tl", "corner_br",
+                    "width", "height", "mean_px_e4", "corner_tl", "corner_br",
                     "n_blocks",
                 ],
             )

@@ -86,7 +86,7 @@ def main() -> None:
     rz = q["mm_png_resize"](spark, SF_DIR)
     for r in rz.orderBy("doc_id").limit(3).collect():
         print(f"  doc={r.doc_id} -> {r.out_w}x{r.out_h} "
-              f"means=({r.mean_r}, {r.mean_g}, {r.mean_b})")
+              f"means_e4=({r.mean_r_e4}, {r.mean_g_e4}, {r.mean_b_e4})")
 
     print("== 5. near-duplicate media: perceptual dHash clusters ==")
     dh = q["mm_image_dhash"](spark, SF_DIR)

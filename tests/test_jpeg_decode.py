@@ -129,9 +129,10 @@ def test_rejects_truncated_entropy_stream():
 
 def test_decode_jpeg_features():
     payload, w, h = synth_jpeg(4)
-    fw, fh, mean, tl, br, nb = decode_jpeg(payload)
+    fw, fh, mean_e4, tl, br, nb = decode_jpeg(payload)
     assert (fw, fh) == (w, h)
     assert nb == (w // 8) * (h // 8)
     px = jpeg_pixels(payload)
-    assert mean == round(float(px.mean()), 4)
+    n = w * h
+    assert mean_e4 == (int(px.astype(np.int64).sum()) * 20000 + n) // (2 * n)
     assert tl == px[0, 0] and br == px[-1, -1]

@@ -91,9 +91,9 @@ def test_wav_chunk_walk_skips_unknown_chunks():
 
 def test_bmp_round_trip_known_values():
     w, h, mr, mg, mb, tl, nb = decode_bmp(synth_bmp(0))
-    # pinned against the DuckDB oracle
+    # pinned against the DuckDB oracle (means are 1e4 fixed-point ints)
     assert (w, h) == (8, 8)
-    assert (mr, mg, mb) == (35.0, 46.0, 57.0)
+    assert (mr, mg, mb) == (350000, 460000, 570000)
     assert tl == 0 and nb == 246
 
 

@@ -103,9 +103,10 @@ def test_png_decode_features_match_driver_recompute(spark):
         )
         r = out[d]
         assert (r.width, r.height) == (w, h)
-        assert r.mean_r == round(float(px[:, :, 0].mean()), 4)
-        assert r.mean_g == round(float(px[:, :, 1].mean()), 4)
-        assert r.mean_b == round(float(px[:, :, 2].mean()), 4)
+        n = int(px[:, :, 0].size)
+        for c, col in enumerate(("mean_r_e4", "mean_g_e4", "mean_b_e4")):
+            # half-up 1e4 fixed-point from the exact integer pixel sum
+            assert getattr(r, col) == (int(px[:, :, c].sum()) * 20000 + n) // (2 * n)
         assert r.corner_tl_r == d % 256
         assert r.corner_br_b == (d + 3 * (w - 1) + 7 * (h - 1) + 22) % 256
         assert r.filter_types == "0,1,2,3,4"
