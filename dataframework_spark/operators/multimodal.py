@@ -1750,3 +1750,197 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return docs.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# M11 — mixed-format ingest: magic-byte router over every real parser
+# ---------------------------------------------------------------------------
+
+
+def synth_mp3_stub(doc_id: int) -> bytes:
+    """Deterministic ID3v2-tagged payload standing in for an mp3 file.
+    The router must RECOGNIZE it (magic bytes) and route it to the
+    documented externals-only tier — never attempt a decode."""
+    body = bytes((doc_id * 13 + i * 7) % 256 for i in range(64))
+    # ID3v2 header: "ID3", version 2.3.0, no flags, syncsafe size
+    return b"ID3\x03\x00\x00" + bytes([0, 0, 0, len(body) & 0x7F]) + body
+
+
+def synth_media(doc_id: int) -> bytes:
+    """Synthesize the payload whose container format is ``doc_id % 5``:
+    0 → WAV, 1 → BMP, 2 → PNG, 3 → JPEG, 4 → mp3 (externals-only)."""
+    f = doc_id % 5
+    if f == 0:
+        return synth_wav(doc_id)
+    if f == 1:
+        return synth_bmp(doc_id)
+    if f == 2:
+        return synth_png(doc_id)
+    if f == 3:
+        return synth_jpeg(doc_id)[0]
+    return synth_mp3_stub(doc_id)
+
+
+def route_media(payload: bytes):
+    """Magic-byte dispatch to the real parsers — the production shape of
+    decode-time format routing (the reference picks a loader by file
+    type at load time, ``DFW/tools.py:58-79``; here the dispatch key is
+    the container's own magic bytes, not a filename, which is what a
+    web-scale ingest actually has).
+
+    Returns ``(fmt, verdict, width, height, n_units, feat_e4)``:
+
+    * ``fmt`` — sniffed container format (``wav``/``bmp``/``png``/
+      ``jpeg``/``mp3``, or ``unknown``);
+    * ``verdict`` — ``decoded``, ``skipped:mp3`` (recognized but in the
+      documented externals-only tier: the payload is NOT decoded), or
+      ``rejected:unknown`` (no known magic — never guessed at);
+    * ``n_units`` — decoded size in the format's natural unit (samples
+      for audio, channel-values for RGB images, pixels for greyscale
+      JPEG); NULL when not decoded;
+    * ``feat_e4`` — half-up 1e4 fixed-point mean of the decoded units
+      (mean ``|sample|`` for audio, mean channel value for images),
+      exact-integer on both engines (see :func:`_mean_e4`).
+    """
+    import numpy as np
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        _, s = wav_samples(payload)
+        n = len(s)
+        total = int(np.abs(s).astype(np.int64).sum())
+        return ("wav", "decoded", None, None, n, _mean_e4(total, n))
+    if payload[:2] == b"BM":
+        px = _bmp_pixels(payload)
+        h, w = px.shape[:2]
+        n = h * w * 3
+        return ("bmp", "decoded", w, h, n,
+                _mean_e4(int(px.astype(np.int64).sum()), n))
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        px, _ = png_pixels(payload)
+        h, w = px.shape[:2]
+        n = h * w * 3
+        return ("png", "decoded", w, h, n,
+                _mean_e4(int(px.astype(np.int64).sum()), n))
+    if payload[:2] == b"\xff\xd8":
+        px = jpeg_pixels(payload)
+        h, w = px.shape
+        n = h * w
+        return ("jpeg", "decoded", w, h, n,
+                _mean_e4(int(px.astype(np.int64).sum()), n))
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0
+    ):
+        # mp3 frame sync / ID3v2 tag: the one honest externals-only tier
+        return ("mp3", "skipped:mp3", None, None, None, None)
+    return ("unknown", "rejected:unknown", None, None, None, None)
+
+
+@register(
+    "mm_decode_router",
+    oracle=f"""
+    WITH wav AS (
+      SELECT doc_id, 256 + doc_id % 128 AS n,
+             list_transform(range(256 + doc_id % 128),
+                            k -> abs((doc_id * 31 + k * 17) % 2003 - 1001)) AS a
+      FROM documents WHERE doc_id % 5 = 0),
+    bmp_px AS (
+      SELECT d.doc_id, 8 + d.doc_id % 9 AS w, 8 + (d.doc_id * 3) % 7 AS h, x, y, c
+      FROM documents d,
+           UNNEST(range(8 + d.doc_id % 9)) AS t1(x),
+           UNNEST(range(8 + (d.doc_id * 3) % 7)) AS t2(y),
+           UNNEST(range(3)) AS t3(c)
+      WHERE d.doc_id % 5 = 1),
+    png_px AS (
+      SELECT d.doc_id, 9 + d.doc_id % 12 AS w, 7 + (d.doc_id * 5) % 11 AS h, x, y, c
+      FROM documents d,
+           UNNEST(range(9 + d.doc_id % 12)) AS t1(x),
+           UNNEST(range(7 + (d.doc_id * 5) % 11)) AS t2(y),
+           UNNEST(range(3)) AS t3(c)
+      WHERE d.doc_id % 5 = 2),
+    jpg_blk AS (
+      SELECT d.doc_id, 2 + d.doc_id % 3 AS wb, 2 + (d.doc_id * 7) % 3 AS hb, bx, by,
+             (d.doc_id + 11 * bx + 23 * by) % 256 AS v
+      FROM documents d,
+           UNNEST(range(2 + d.doc_id % 3)) AS t1(bx),
+           UNNEST(range(2 + (d.doc_id * 7) % 3)) AS t2(by)
+      WHERE d.doc_id % 5 = 3),
+    jpg_q AS (
+      SELECT doc_id, wb, hb,
+             CASE WHEN d1 >= 0 THEN FLOOR(d1 + 0.5)
+                  ELSE -FLOOR(-d1 + 0.5) END * {{q00}} / 8.0 AS d2
+      FROM (SELECT *, 8.0 * (v - 128) / {{q00}} AS d1 FROM jpg_blk)),
+    jpg_dec AS (SELECT doc_id, wb, hb, {{dec_sql}} AS pix FROM jpg_q)
+    SELECT doc_id, 'wav' AS fmt, 'decoded' AS verdict,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(n AS BIGINT) AS n_units,
+           CAST((list_sum(a) * 20000 + n) // (2 * n) AS BIGINT) AS feat_e4
+    FROM wav
+    UNION ALL
+    SELECT doc_id, 'bmp', 'decoded',
+           CAST(MAX(w) AS INT), CAST(MAX(h) AS INT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST((SUM((doc_id + 3 * x + 7 * y + 11 * c) % 256) * 20000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT)
+    FROM bmp_px GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 'png', 'decoded',
+           CAST(MAX(w) AS INT), CAST(MAX(h) AS INT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST((SUM((doc_id + 3 * x + 7 * y + 11 * c) % 256) * 20000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT)
+    FROM png_px GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 'jpeg', 'decoded',
+           CAST(MAX(wb) * 8 AS INT), CAST(MAX(hb) * 8 AS INT),
+           CAST(MAX(wb) * MAX(hb) * 64 AS BIGINT),
+           CAST((SUM(pix) * 20000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+    FROM jpg_dec GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 'mp3', 'skipped:mp3',
+           CAST(NULL AS INT), CAST(NULL AS INT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 5 = 4
+    """.format(q00=_JPEG_Q00, dec_sql=_DEC_SQL),
+)
+def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format media ingest: ONE pass over opaque payloads, routed
+    by MAGIC BYTES to the real parsers (RIFF/PCM16 WAV, 24bpp BMP,
+    RFC 2083 PNG, ITU-T T.81 baseline JPEG) with an explicit
+    ``skipped:<fmt>`` verdict for the externals-only tier (mp3) and a
+    ``rejected:unknown`` verdict for unrecognized containers — the
+    production counterpart of the reference's decode-time loader
+    dispatch (``DFW/tools.py:58-79``), registered and graded (the shape
+    ``examples/media_ingest.py`` runs as five separate passes).
+
+    Each doc synthesizes the container its ``doc_id % 5`` selects, so
+    the oracle knows every payload's format and closed-form content:
+    the format MIX, the per-format dims/units, and the fixed-point
+    decoded means are all value-hashed.  Scale shape: Arrow
+    ``mapInPandas`` over doc_id only — no shuffle, embarrassingly
+    parallel, identical to every decode stage; adding a codec is one
+    more branch in :func:`route_media`, not another corpus pass."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id bigint, fmt string, verdict string, width int, height int, "
+        "n_units bigint, feat_e4 bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [route_media(synth_media(int(d))) for d in pdf["doc_id"]]
+            out = pd.DataFrame(
+                rows,
+                columns=["fmt", "verdict", "width", "height", "n_units", "feat_e4"],
+            )
+            for col, dt in (
+                ("width", "Int32"), ("height", "Int32"),
+                ("n_units", "Int64"), ("feat_e4", "Int64"),
+            ):
+                out[col] = out[col].astype(dt)  # nullable ints for Arrow
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)

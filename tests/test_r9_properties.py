@@ -1,0 +1,104 @@
+"""Property tests for the r9 additions.
+
+The mixed-format decode router (`mm_decode_router`): magic-byte
+dispatch must route every synthesized container to the right REAL
+parser, skip (not decode, not reject) the externals-only mp3 tier, and
+reject unknown containers explicitly — never guess.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dataframework_spark.operators.multimodal import (
+    _bmp_pixels,
+    _mean_e4,
+    jpeg_pixels,
+    png_pixels,
+    route_media,
+    synth_bmp,
+    synth_jpeg,
+    synth_media,
+    synth_mp3_stub,
+    synth_png,
+    synth_wav,
+    wav_samples,
+)
+
+
+@pytest.mark.parametrize("doc_id", range(10))
+def test_router_fmt_matches_synthesis(doc_id):
+    fmt, verdict, *_ = route_media(synth_media(doc_id))
+    want = ["wav", "bmp", "png", "jpeg", "mp3"][doc_id % 5]
+    assert fmt == want
+    assert verdict == ("skipped:mp3" if want == "mp3" else "decoded")
+
+
+def test_router_wav_features_match_parser():
+    payload = synth_wav(10)  # 10 % 5 == 0
+    fmt, verdict, w, h, n_units, feat = route_media(payload)
+    _, s = wav_samples(payload)
+    assert (fmt, verdict, w, h) == ("wav", "decoded", None, None)
+    assert n_units == len(s)
+    assert feat == _mean_e4(int(np.abs(s).sum()), len(s))
+
+
+@pytest.mark.parametrize(
+    "synth,pixels,name",
+    [
+        (synth_bmp, _bmp_pixels, "bmp"),
+        (synth_png, lambda p: png_pixels(p)[0], "png"),
+    ],
+)
+def test_router_rgb_features_match_parser(synth, pixels, name):
+    payload = synth(7)
+    fmt, verdict, w, h, n_units, feat = route_media(payload)
+    px = pixels(payload)
+    assert (fmt, verdict) == (name, "decoded")
+    assert (w, h) == (px.shape[1], px.shape[0])
+    assert n_units == px.size
+    assert feat == _mean_e4(int(px.astype(np.int64).sum()), px.size)
+
+
+def test_router_jpeg_features_match_parser():
+    payload, w, h = synth_jpeg(8)  # 8 % 5 == 3
+    fmt, verdict, rw, rh, n_units, feat = route_media(payload)
+    px = jpeg_pixels(payload)
+    assert (fmt, verdict, rw, rh) == ("jpeg", "decoded", w, h)
+    assert n_units == w * h
+    assert feat == _mean_e4(int(px.astype(np.int64).sum()), w * h)
+
+
+def test_router_skips_mp3_without_decoding():
+    fmt, verdict, w, h, n_units, feat = route_media(synth_mp3_stub(9))
+    assert (fmt, verdict) == ("mp3", "skipped:mp3")
+    assert w is h is n_units is feat is None
+    # bare mp3 frame sync (no ID3 tag) is also recognized as mp3
+    assert route_media(b"\xff\xfbjunkframe")[0:2] == ("mp3", "skipped:mp3")
+
+
+@pytest.mark.parametrize(
+    "junk",
+    [
+        b"",  # empty
+        b"GIF89a....",  # known-elsewhere magic the router does not claim
+        b"\x00\x01\x02\x03 random bytes",
+        b"RIFX0000WAVE",  # wrong RIFF endianness marker
+        b"ID2\x03\x00\x00",  # almost-ID3
+    ],
+)
+def test_router_rejects_unknown_containers(junk):
+    fmt, verdict, w, h, n_units, feat = route_media(junk)
+    assert (fmt, verdict) == ("unknown", "rejected:unknown")
+    assert w is h is n_units is feat is None
+
+
+def test_router_does_not_mask_corrupt_known_formats():
+    """A payload that sniffs as PNG but is corrupt must RAISE (the
+    parser's rejection), not fall through to rejected:unknown — routing
+    is by magic bytes only; decode errors stay loud."""
+    good = synth_png(12)
+    corrupt = good[:20] + bytes([good[20] ^ 0xFF]) + good[21:]
+    with pytest.raises(ValueError):
+        route_media(corrupt)
