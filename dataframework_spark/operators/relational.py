@@ -44,12 +44,17 @@ from dataframework_spark.registry import register
       l_returnflag,
       l_linestatus,
       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-      ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+      ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+            / 100.0, 2)                                                AS sum_base_price,
+      ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                     AS BIGINT)) / 100.0, 2)                           AS sum_disc_price,
+      ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           * 100, 0) AS BIGINT)) / 100.0, 2)           AS sum_charge,
       ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
-      ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
-      ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+      ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+            / 100.0 / COUNT(*), 2)                                     AS avg_price,
+      ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+            / 100.0 / COUNT(*), 4)                                     AS avg_disc,
       COUNT(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -62,20 +67,42 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     One wide scan with a pushed filter, then a single shuffle into a
     4-group aggregate; partial aggregation makes the shuffle tiny
     regardless of input size — the canonical 100 TB-safe plan.
+
+    Money aggregates are INTEGER CENTS (per-row fix-point, then an
+    order-independent bigint sum — the sink family's r8 recipe): the r9
+    canary (`tests/test_r9_advice.py`) showed the former
+    ``ROUND(SUM(double), 2)`` formulation flipping a cent across
+    partitionings on a 10×-replicated lineitem, so the documented r8
+    keep-decision was reversed for this query.  ``sum_qty``/``avg_qty``
+    stay float: quantities are integer-valued doubles, so their sums are
+    exact at any partitioning.
     """
     li = load_table(spark, sf_dir, "lineitem")
+
+    def cents(col: F.Column) -> F.Column:
+        return F.round(col * 100, 0).cast("bigint")
+
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(cents(F.col("l_extendedprice"))) / 100.0, 2).alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(cents(disc_price)) / 100.0, 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(cents(disc_price * (1 + F.col("l_tax")))) / 100.0, 2
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(cents(F.col("l_extendedprice"))) / 100.0 / n, 2
+            ).alias("avg_price"),
+            F.round(F.sum(cents(F.col("l_discount"))) / 100.0 / n, 4).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

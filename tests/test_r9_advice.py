@@ -124,3 +124,47 @@ def test_mean_e4_half_up_on_exact_ties():
     assert round(1 / 4000 * 1e4) == 2  # the divergence the fix removes
     assert _mean_e4(1, 2) == 5000
     assert _mean_e4(255 * 12, 12) == 2550000
+
+
+def test_q1_money_sums_are_partitioning_invariant_at_10x(spark):
+    """The r8 VERDICT asked for a 10×-replica partitioning-invariance
+    canary on q1's ``ROUND(SUM(l_extendedprice*(1-l_discount)), 2)``.
+    Run once against the float formulation, the canary FLIPPED on its
+    first execution: at 10× (≈600k rows/group) two of the six groups
+    differed by exactly one cent between coalesce(1) and
+    repartition(32) — ('R','O') 2755537168.82 vs .81, ('A','O')
+    2751086432.75 vs .74.  Per the VERDICT's own protocol ("if it
+    flips, migrate that query"), q1's money aggregates are now integer
+    cents; this test pins the MIGRATED formulation's invariance on the
+    same experiment, for every money column at once."""
+    from pyspark.sql import functions as F
+
+    from conftest import ORACLE_SF_DIR
+    from dataframework_spark.catalog import load_table
+
+    li = load_table(
+        spark, ORACLE_SF_DIR, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"],
+    ).where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    li10 = li.withColumn(
+        "rep", F.explode(F.sequence(F.lit(1), F.lit(10)))
+    ).drop("rep")
+
+    def cents(col):
+        return F.round(col * 100, 0).cast("bigint")
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    aggs = [
+        F.round(F.sum(cents(F.col("l_extendedprice"))) / 100.0, 2).alias("base"),
+        F.round(F.sum(cents(disc_price)) / 100.0, 2).alias("disc"),
+        F.round(
+            F.sum(cents(disc_price * (1 + F.col("l_tax")))) / 100.0, 2
+        ).alias("charge"),
+    ]
+    key = ["l_returnflag", "l_linestatus"]
+    one = {tuple(r[:2]): tuple(r[2:])
+           for r in li10.coalesce(1).groupBy(key).agg(*aggs).collect()}
+    many = {tuple(r[:2]): tuple(r[2:])
+            for r in li10.repartition(32).groupBy(key).agg(*aggs).collect()}
+    assert one == many
