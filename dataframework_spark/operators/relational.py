@@ -111,7 +111,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_revenue_forecast",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+                 / 100.0, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -131,7 +132,18 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.02, 0.06))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            # single global group: the most partial-agg-order-exposed shape
+            # of all — integer cents (r9 canary evidence on q1)
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0)
+                    .cast("bigint")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
     )
 
 
@@ -191,7 +203,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     oracle="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                          AS BIGINT)) / 100.0, 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -229,9 +243,19 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # integer-cents sum: rows per nation grow unboundedly with SF,
+            # so a float sum's partial-agg order drift is material (r9
+            # canary evidence on q1); per-row fix-point is exact on both
+            # engines
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                    ).cast("bigint")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue")
         )
     )
 
@@ -241,7 +265,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            COUNT(*)                    AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_spend
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+                                       AS total_spend
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -255,7 +280,12 @@ def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            # ~1/5 of all orders per segment (unbounded in SF) at ~2.3e9
+            # total — the exact magnitude the r9 q1 canary saw flip; cents
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0,
+                2,
+            ).alias("total_spend"),
         )
     )
 
@@ -1613,7 +1643,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_filter",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                          AS BIGINT)) / 100.0, 2) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -1636,7 +1667,14 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
     )
     return j.where(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+                .cast("bigint")
+            )
+            / 100.0,
+            2,
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 

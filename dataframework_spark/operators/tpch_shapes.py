@@ -83,7 +83,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                          AS BIGINT)) / 100.0, 2) AS revenue
     FROM supplier
     JOIN lineitem  ON s_suppkey = l_suppkey
     JOIN orders    ON o_orderkey = l_orderkey
@@ -136,9 +137,17 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # unbounded rows per (nation-pair, year) group: integer cents
+            # (r9 canary evidence on q1)
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                    ).cast("bigint")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue")
         )
     )
 
@@ -148,7 +157,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH all_volume AS (
       SELECT CAST(YEAR(o_orderdate) AS BIGINT)     AS o_year,
-             l_extendedprice * (1 - l_discount)    AS volume,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                                                   AS volume_c,
              n2.n_name                             AS supp_nation
       FROM part
       JOIN lineitem  ON p_partkey = l_partkey
@@ -160,8 +170,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n2 ON s_nationkey = n2.n_nationkey
       WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 4) AS mkt_share
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_c ELSE 0 END)
+                 / SUM(volume_c), 4) AS mkt_share
     FROM all_volume GROUP BY o_year
     """,
 )
@@ -189,7 +199,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # integer-cents volumes: both the numerator and denominator sum
+    # unboundedly many rows per year, and the RATIO of two exact bigints
+    # is a deterministic double on both engines (r9 canary evidence on q1)
+    volume_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -201,8 +216,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0))
-                / F.sum(volume),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", volume_c).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                )
+                / F.sum(volume_c),
                 4,
             ).alias("mkt_share")
         )
@@ -335,7 +354,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                            AS BIGINT)) / 100.0, 2) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -359,9 +379,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        # integer cents: total_revenue feeds an EQUALITY against the global
+        # max, so cross-engine cent drift would change the selected rows,
+        # not just a value (r9 canary evidence on q1)
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+                .cast("bigint")
+            )
+            / 100.0,
+            2,
+        ).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -374,7 +402,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_qty_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                 / 100.0 / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#3'
@@ -403,7 +432,15 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(thresholds, li.l_partkey == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            # single unbounded group: integer cents (r9 canary on q1)
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+                / 100.0
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -412,10 +449,12 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey,
            COUNT(*) AS numcust,
-           ROUND(SUM(c_acctbal), 2) AS totacctbal
+           ROUND(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2)
+                                    AS totacctbal
     FROM customer c
     WHERE c_nationkey BETWEEN 10 AND 24
-      AND c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2) FROM customer
+      AND c_acctbal > (SELECT ROUND(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))
+                                    / 100.0 / COUNT(*), 2) FROM customer
                        WHERE c_acctbal > 0 AND c_nationkey BETWEEN 10 AND 24)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                       AND o.o_orderdate >= TIMESTAMP '1998-01-01')
@@ -439,8 +478,13 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).where(
         F.col("o_orderdate") >= "1998-01-01"
     )
+    # integer cents throughout: the AVG threshold feeds a FILTER, so
+    # cross-engine drift there changes the row SET, not just a value;
+    # acctbal can be negative, and both engines' ROUND half-away/HALF_UP
+    # agree away-from-zero on negatives (r9 canary evidence on q1)
+    bal_c = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
-        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+        F.round(F.sum(bal_c) / 100.0 / F.count(F.lit(1)), 2).alias("avg_bal")
     )
     return (
         cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
@@ -448,7 +492,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(bal_c) / 100.0, 2).alias("totacctbal"),
         )
     )
 
@@ -458,14 +502,15 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH val AS (
       SELECT l_partkey AS partkey,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS value
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT)) AS value_c
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
       WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
       GROUP BY 1)
-    SELECT partkey, value FROM val
-    WHERE value > (SELECT SUM(value) * 0.002 FROM val)
+    SELECT partkey, ROUND(value_c / 100.0, 2) AS value FROM val
+    WHERE 500 * value_c > (SELECT SUM(value_c) FROM val)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,19 +535,24 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
+        # integer-cents values so the value > 0.2%-of-total comparison is
+        # EXACT integer arithmetic (value_c·500 > Σvalue_c) — a float
+        # global sum here could flip set membership across engines (r9
+        # canary evidence on q1)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "value"
-            )
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+                .cast("bigint")
+            ).alias("value_c")
         )
         # partkey-sized; cached so the threshold branch does not re-scan the
         # fact table (both consumers read the materialized aggregate)
         .cache()
     )
-    threshold = val.agg((F.sum("value") * F.lit(0.002)).alias("thr"))
+    threshold = val.agg(F.sum("value_c").alias("total_c"))
     return (
-        val.join(F.broadcast(threshold), F.col("value") > F.col("thr"))
-        .select("partkey", "value")
+        val.join(F.broadcast(threshold), F.col("value_c") * 500 > F.col("total_c"))
+        .select("partkey", F.round(F.col("value_c") / 100.0, 2).alias("value"))
     )
 
 
