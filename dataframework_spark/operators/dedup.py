@@ -337,6 +337,32 @@ _SH_ADD = 104_729
 _SH_MOD = 4_294_967_296  # 2^32
 
 
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash signatures — the stage under
+    ``dedup_simhash``, exposed so scale probes can decompose bucket pair
+    mass (same-copy structure vs cross-copy birthday collisions) without
+    reimplementing the signature math."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    feat = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    ft = feat.select(
+        "doc_id",
+        F.expr(
+            f"pmod({_SH_MUL}L * ({tid_sql('token', _MH_P)}) + {_SH_ADD}, {_SH_MOD})"
+        ).alias("g"),
+    )
+    bit_sum = [
+        F.sum(F.when(F.expr(f"(g >> {j}) & 1 = 1"), 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(_SH_BITS)
+    ]
+    sig = ft.groupBy("doc_id").agg(*bit_sum)
+    simhash = None
+    for j in range(_SH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sig.select("doc_id", simhash.alias("simhash"))
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -364,26 +390,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes shuffled near-copies collide.  Token ids come from the
     cross-dialect md5-prefix hash (``tid_sql``) — dictionary-free, so the
     only shuffle is the groupBy(doc_id) signature fold."""
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    feat = docs.select("doc_id", F.explode(tokens()).alias("token"))
-    ft = feat.select(
-        "doc_id",
-        F.expr(
-            f"pmod({_SH_MUL}L * ({tid_sql('token', _MH_P)}) + {_SH_ADD}, {_SH_MOD})"
-        ).alias("g"),
-    )
-    bit_sum = [
-        F.sum(F.when(F.expr(f"(g >> {j}) & 1 = 1"), 1).otherwise(-1)).alias(f"s{j}")
-        for j in range(_SH_BITS)
-    ]
-    sig = ft.groupBy("doc_id").agg(*bit_sum)
-    simhash = None
-    for j in range(_SH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
     return (
-        sig.select("doc_id", simhash.alias("simhash"))
+        simhash_signatures(spark, sf_dir)
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
         .where(F.col("n_docs") > 1)

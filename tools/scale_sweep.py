@@ -40,15 +40,22 @@ EXCLUSIONS: dict[str, str] = {
     "dedup_ngram_jaccard": (
         "exact pairwise-Jaccard eval tier: the replica makes every doc an "
         "M-way near-dup, so in-block candidate pairs grow ~M^2 by "
-        "construction (scale path = dedup_minhash_lsh, which IS swept)"
+        "construction (scale path = dedup_minhash_lsh, which IS swept).  "
+        "MEASURED on the non-replica token-renamed corpus instead "
+        "(SCALEPROBE_TEXTMUT_r9.json): output pairs exactly 100x at 100x "
+        "data, zero cross-copy, wall 25x"
     ),
     "dedup_ngram_containment": (
         "exact pairwise-containment eval tier: same ~M^2 in-block pair "
-        "growth on the replica"
+        "growth on the replica.  MEASURED on the token-renamed corpus "
+        "(SCALEPROBE_TEXTMUT_r9.json): pairs exactly 100x at 100x, wall 47x"
     ),
     "dedup_lsh_eval": (
         "LSH tuning evaluator: joins LSH candidates against the exact "
-        "pairwise-Jaccard truth set (the eval tier it exists to price)"
+        "pairwise-Jaccard truth set (the eval tier it exists to price).  "
+        "MEASURED on the token-renamed corpus (SCALEPROBE_TEXTMUT_r9.json): "
+        "truth 100.0x / candidates 99.8x at 100x, precision/recall stable "
+        "at 0.997/0.999, wall 23x"
     ),
     "dedup_embedding_cosine": (
         "all-pairs cosine: replica-dense blocks emit ~M^2 near-dup pairs "
@@ -66,16 +73,27 @@ EXCLUSIONS: dict[str, str] = {
     ),
     "dedup_simhash": (
         "near-dup pair emitter (simhash band buckets): every doc is an "
-        "M-way dup on the replica, so the OUTPUT is ~M^2 pairs"
+        "M-way dup on the replica, so the OUTPUT is ~M^2 pairs.  MEASURED "
+        "on the token-renamed corpus (SCALEPROBE_TEXTMUT_r9.json) with "
+        "bucket pair mass DECOMPOSED: same-copy 6.8x at 100x (the base "
+        "mega-bucket is hash-specific, not structural) + a measured "
+        "n^2/2^16 birthday term from the 16-bit teaching key width; "
+        "wall 5.2x at 100x"
     ),
     "dedup_clusters": (
         "iterative connected components over the near-dup pair graph: "
-        "replica inflates edges ~M^2 and component diameter with M"
+        "replica inflates edges ~M^2 and component diameter with M.  "
+        "MEASURED on the token-renamed corpus (SCALEPROBE_TEXTMUT_r9.json): "
+        "clusters exactly 100x at 100x, max component size CONSTANT (4), "
+        "zero cross-copy clusters, wall 18x"
     ),
     "ml_leakage_safe_split": (
         "composes dedup_clusters (see above): the exact pair graph is "
         "~M^2 on the replica; the production edge source at scale is the "
-        "swept dedup_minhash_lsh banding stage"
+        "swept dedup_minhash_lsh banding stage.  MEASURED on the "
+        "token-renamed corpus (SCALEPROBE_TEXTMUT_r9.json): multi-doc "
+        "clusters and the naive-leak counterfactual both ~100x at 100x, "
+        "wall 2.9x on top of its edge source"
     ),
     "pipeline_semantic_dedup": (
         "capstone composing the embedding near-dup pair stage (see "
