@@ -20,6 +20,10 @@ Decode tiers:
   genuine huffman entropy decoding + dequantization + 8x8 IDCT in pure
   numpy (ITU-T T.81 baseline is huffman + math, not a library
   dependency).
+* **GIF decodes for real (r9)** — `mm_gif_decode` runs genuine
+  variable-width LZW dictionary decoding + interlace reordering in pure
+  Python/numpy, covering the dictionary-codec family (vs zlib's
+  LZ77+huffman and JPEG's DCT+huffman).
 * **Only mp3-class codecs remain a stub** — the container ships no
   ffmpeg, so `mm_decode_features` uses a clearly-marked deterministic
   fake (`_fake_decode`) behind the same signature, which still
@@ -1753,6 +1757,365 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M12 — REAL dictionary-codec decode: GIF (variable-width LZW, pure Python)
+# ---------------------------------------------------------------------------
+
+# GIF87a/89a per the public specification (CompuServe GIF89a, 1990;
+# also W3C's archived copy).  Third repeat of the PNG/JPEG pattern:
+# encoder (synthesis side) + decoder (graded side) are INDEPENDENT
+# implementations of the spec, the decoder runs the general path, and a
+# closed-form oracle recomputes features from the pixel formula so the
+# value hash verifies the LZW dictionary walk, the variable-width code
+# stream, and the interlace reordering.
+
+_GIF_MAX_CODE = 4096  # 12-bit ceiling (spec: codes never exceed 0xFFF)
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-LZW compress a pixel-index stream (encoder side of the
+    synthesis).  Variable-width codes starting at mcs+1 bits, LSB-first
+    bit packing, CLEAR emitted up front and again when the dictionary
+    hits 4096 (reset, per spec Appendix F).  Width bumps AFTER writing a
+    code once the next free code no longer fits — the giflib-compatible
+    convention the decoder mirrors (see ``_gif_lzw_decode``)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = n = 0
+    width = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, n, width
+        acc |= code << n
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+        # post-write width check: bump when the next free code would not
+        # fit — keeps the reader's per-code counter in lockstep
+        if code != clear and next_code >= (1 << width) and width < 12:
+            width += 1
+
+    emit(clear)
+    cur = indices[:1]
+    for b in indices[1:]:
+        k = cur + bytes([b])
+        if k in table:
+            cur = k
+            continue
+        emit(table[cur])
+        if next_code < _GIF_MAX_CODE:
+            table[k] = next_code
+            next_code += 1
+        else:  # dictionary full: spec-sanctioned mid-stream reset
+            emit(clear)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+        cur = bytes([b])
+    emit(table[cur])
+    emit(eoi)
+    if n > 0:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, expected: int) -> bytes:
+    """GIF-LZW decompress to exactly ``expected`` pixel indices, or raise
+    — REJECTED, not mis-decoded, on any malformed stream.
+
+    Width synchronization: the writer bumps after emitting a code once
+    its next FREE code stops fitting; the reader cannot see the writer's
+    dictionary directly (it lags one entry), so it tracks the writer's
+    free-code counter by counting codes read since the last CLEAR — the
+    count equals the writer's insertions at the moment each code was
+    emitted, which is what giflib's RunningCode-per-read does.  The
+    KwKwK case (code == first unassigned entry) resolves to
+    prev + prev[0] per the classic LZW argument."""
+    if not (2 <= mcs <= 8):
+        raise ValueError(f"invalid LZW minimum code size {mcs}")
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = {i: bytes([i]) for i in range(1 << mcs)}
+    table = dict(base)
+    next_code = eoi + 1
+    width = mcs + 1
+    reads = 0  # codes read since CLEAR — mirrors the writer's counter
+    acc = n = pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended before EOI")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            table = dict(base)
+            next_code = eoi + 1
+            width = mcs + 1
+            reads = 0
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"invalid LZW code {code} (dict size {next_code})")
+        out += entry
+        if len(out) > expected:
+            raise ValueError(f"LZW stream yields more than {expected} pixels")
+        if prev is not None and next_code < _GIF_MAX_CODE:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        prev = entry
+        reads += 1
+        # mirror the writer: when it emits the NEXT code, its free-code
+        # counter reads eoi + 1 + (reads this code's insertion included
+        # minus the one it hasn't paired yet) = eoi + reads; its
+        # post-write bump fired iff that value + 1 exceeds the width —
+        # strictly-greater here is the off-by-one that matters (the
+        # writer's own insertion lands AFTER its width check)
+        if eoi + 1 + reads > (1 << width) and width < 12:
+            width += 1
+    if len(out) != expected:
+        raise ValueError(f"LZW stream yields {len(out)} pixels, want {expected}")
+    return bytes(out)
+
+
+#: GIF interlace passes (spec: start row / step per pass).
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    """Row storage order of an interlaced GIF: position k in the stream
+    holds source row ``order[k]``."""
+    return [r for start, step in _GIF_INTERLACE for r in range(start, h, step)]
+
+
+def synth_gif(doc_id: int) -> bytes:
+    """Valid GIF89a whose pixel (x, y) is palette index
+    ``(doc_id + 5x + 3y) mod 256`` under a 256-entry greyscale palette;
+    interlaced iff ``doc_id`` is odd, so both row layouts appear in
+    every corpus.  Includes a Graphic Control Extension and a comment
+    block so the decoder's extension-skip path runs on every payload."""
+    import struct
+
+    w, h = 8 + doc_id % 13, 6 + (doc_id * 7) % 10
+    rows = [
+        bytes((doc_id + 5 * x + 3 * y) % 256 for x in range(w)) for y in range(h)
+    ]
+    interlaced = doc_id % 2 == 1
+    order = _gif_interlace_order(h) if interlaced else range(h)
+    stream = b"".join(rows[r] for r in order)
+    lzw = _gif_lzw_encode(stream, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+        + bytes(v for i in range(256) for v in (i, i, i))  # greyscale GCT
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE (no transparency)
+        + b"\x21\xfe\x03dfw\x00"  # comment extension
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlaced else 0x00])
+        + bytes([8])  # LZW minimum code size
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def gif_pixels(payload: bytes):
+    """REAL GIF decode: signature check, logical-screen + global color
+    table parse, extension-block skipping, image-descriptor walk,
+    variable-width LZW decompression, and interlace reordering — returns
+    ``(indices (h, w) uint8 top-down, palette (256, 3) uint8,
+    interlaced)``.  Any malformed structure raises (REJECTED, not
+    mis-decoded): bad signature, missing global color table, local
+    color tables (unsupported, declared), truncated sub-blocks, bad LZW
+    codes, pixel-count mismatch, or a missing trailer."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    if not packed & 0x80:
+        raise ValueError("no global color table (unsupported)")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    if pos + 3 * gct_n > len(payload):
+        raise ValueError("truncated global color table")
+    palette = np.frombuffer(payload, np.uint8, 3 * gct_n, pos).reshape(gct_n, 3)
+    pos += 3 * gct_n
+    image = None
+    while True:
+        if pos >= len(payload):
+            raise ValueError("payload ended without trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            if pos >= len(payload):
+                raise ValueError("truncated extension block")
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated extension sub-block")
+                size = payload[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unrecognized block introducer 0x{block:02x}")
+        if image is not None:
+            raise ValueError("multi-image GIFs unsupported")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        left, top, w, h = struct.unpack("<HHHH", payload[pos : pos + 8])
+        ipack = payload[pos + 8]
+        pos += 9
+        if ipack & 0x80:
+            raise ValueError("local color tables unsupported")
+        if w == 0 or h == 0 or left + w > sw or top + h > sh:
+            raise ValueError(f"image {w}x{h}@{left},{top} outside {sw}x{sh} screen")
+        if pos >= len(payload):
+            raise ValueError("missing LZW minimum code size")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated image data sub-block")
+            size = payload[pos]
+            pos += 1
+            if size == 0:
+                break
+            if pos + size > len(payload):
+                raise ValueError("image data sub-block overruns payload")
+            data += payload[pos : pos + size]
+            pos += size
+        idx = np.frombuffer(_gif_lzw_decode(bytes(data), mcs, w * h), np.uint8)
+        if int(idx.max()) >= gct_n:
+            raise ValueError("pixel index outside the global color table")
+        px = idx.reshape(h, w)
+        interlaced = bool(ipack & 0x40)
+        if interlaced:
+            out = np.empty_like(px)
+            out[_gif_interlace_order(h)] = px  # stream slot k → source row
+            px = out
+        image = (px, interlaced)
+    if image is None:
+        raise ValueError("no image descriptor in payload")
+    return image[0], palette, image[1]
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Decode a GIF and extract (width, height, mean_idx_e4, checksum,
+    ycheck, corner_tl, interlaced): the half-up 1e4 fixed-point mean
+    pins every index, ``ycheck`` (Σ y·v) pins the ROW ORDER — a wrong
+    interlace pass mapping flips it while leaving the plain checksum
+    intact — and the corner pins the origin."""
+    import numpy as np
+
+    px, _, interlaced = gif_pixels(payload)
+    h, w = px.shape
+    v = px.astype(np.int64)
+    total = int(v.sum())
+    ycheck = int((v * np.arange(h, dtype=np.int64)[:, None]).sum())
+    return (
+        w,
+        h,
+        _mean_e4(total, h * w),
+        total,
+        ycheck,
+        int(px[0, 0]),
+        int(interlaced),
+    )
+
+
+@register(
+    "mm_gif_decode",
+    oracle="""
+    WITH p AS (SELECT doc_id, 8 + doc_id % 13 AS w, 6 + (doc_id * 7) % 10 AS h
+               FROM documents),
+    px AS (
+      SELECT doc_id, w, h, x, y, (doc_id + 5 * x + 3 * y) % 256 AS v
+      FROM p, UNNEST(range(w)) AS t1(x), UNNEST(range(h)) AS t2(y))
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST((SUM(v) * 20000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+                                                   AS mean_idx_e4,
+           CAST(SUM(v) AS BIGINT)                  AS checksum,
+           CAST(SUM(y * v) AS BIGINT)              AS ycheck,
+           CAST(MAX(doc_id % 256) AS INT)          AS corner_tl,
+           CAST(doc_id % 2 AS INT)                 AS interlaced
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL dictionary-codec decode: synthesize a valid GIF89a per doc
+    (256-entry greyscale palette, real variable-width LZW with a width
+    bump inside every larger image, interlaced row layout on every odd
+    doc_id, extension blocks present), then genuinely LZW-decompress and
+    de-interlace it back.  The oracle recomputes the features from the
+    closed-form pixel formula — bytes never enter DuckDB — so a
+    dictionary-walk slip, a width-bump desync, a KwKwK miss, or a wrong
+    interlace pass order flips the value hash (``ycheck`` exists
+    precisely to catch row-order errors the plain checksum cannot see).
+
+    Third repeat of the PNG (r8) / JPEG (r8) pattern — LZW is the last
+    big public-spec compression family the tier lacked (dictionary
+    codes, vs zlib's LZ77+huffman and JPEG's DCT+huffman); mp3 remains
+    the one documented externals-only codec.  Same Arrow mapInPandas
+    scale shape as every decode stage — embarrassingly parallel, no
+    shuffle, memory = batch x payload."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id bigint, width int, height int, mean_idx_e4 bigint, "
+        "checksum bigint, ycheck bigint, corner_tl int, interlaced int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_gif(synth_gif(int(d))) for d in pdf["doc_id"]]
+            out = pd.DataFrame(
+                feats,
+                columns=[
+                    "width", "height", "mean_idx_e4", "checksum", "ycheck",
+                    "corner_tl", "interlaced",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
 # M11 — mixed-format ingest: magic-byte router over every real parser
 # ---------------------------------------------------------------------------
 
@@ -1767,9 +2130,10 @@ def synth_mp3_stub(doc_id: int) -> bytes:
 
 
 def synth_media(doc_id: int) -> bytes:
-    """Synthesize the payload whose container format is ``doc_id % 5``:
-    0 → WAV, 1 → BMP, 2 → PNG, 3 → JPEG, 4 → mp3 (externals-only)."""
-    f = doc_id % 5
+    """Synthesize the payload whose container format is ``doc_id % 6``:
+    0 → WAV, 1 → BMP, 2 → PNG, 3 → JPEG, 4 → mp3 (externals-only),
+    5 → GIF (r9)."""
+    f = doc_id % 6
     if f == 0:
         return synth_wav(doc_id)
     if f == 1:
@@ -1778,7 +2142,9 @@ def synth_media(doc_id: int) -> bytes:
         return synth_png(doc_id)
     if f == 3:
         return synth_jpeg(doc_id)[0]
-    return synth_mp3_stub(doc_id)
+    if f == 4:
+        return synth_mp3_stub(doc_id)
+    return synth_gif(doc_id)
 
 
 def route_media(payload: bytes):
@@ -1827,6 +2193,13 @@ def route_media(payload: bytes):
         n = h * w
         return ("jpeg", "decoded", w, h, n,
                 _mean_e4(int(px.astype(np.int64).sum()), n))
+    if payload[:4] == b"GIF8":
+        idx, palette, _ = gif_pixels(payload)
+        h, w = idx.shape
+        rgb = palette[idx]  # palette-mapped, so any color table is priced
+        n = h * w * 3
+        return ("gif", "decoded", w, h, n,
+                _mean_e4(int(rgb.astype(np.int64).sum()), n))
     if payload[:3] == b"ID3" or (
         len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0
     ):
@@ -1842,28 +2215,28 @@ def route_media(payload: bytes):
       SELECT doc_id, 256 + doc_id % 128 AS n,
              list_transform(range(256 + doc_id % 128),
                             k -> abs((doc_id * 31 + k * 17) % 2003 - 1001)) AS a
-      FROM documents WHERE doc_id % 5 = 0),
+      FROM documents WHERE doc_id % 6 = 0),
     bmp_px AS (
       SELECT d.doc_id, 8 + d.doc_id % 9 AS w, 8 + (d.doc_id * 3) % 7 AS h, x, y, c
       FROM documents d,
            UNNEST(range(8 + d.doc_id % 9)) AS t1(x),
            UNNEST(range(8 + (d.doc_id * 3) % 7)) AS t2(y),
            UNNEST(range(3)) AS t3(c)
-      WHERE d.doc_id % 5 = 1),
+      WHERE d.doc_id % 6 = 1),
     png_px AS (
       SELECT d.doc_id, 9 + d.doc_id % 12 AS w, 7 + (d.doc_id * 5) % 11 AS h, x, y, c
       FROM documents d,
            UNNEST(range(9 + d.doc_id % 12)) AS t1(x),
            UNNEST(range(7 + (d.doc_id * 5) % 11)) AS t2(y),
            UNNEST(range(3)) AS t3(c)
-      WHERE d.doc_id % 5 = 2),
+      WHERE d.doc_id % 6 = 2),
     jpg_blk AS (
       SELECT d.doc_id, 2 + d.doc_id % 3 AS wb, 2 + (d.doc_id * 7) % 3 AS hb, bx, by,
              (d.doc_id + 11 * bx + 23 * by) % 256 AS v
       FROM documents d,
            UNNEST(range(2 + d.doc_id % 3)) AS t1(bx),
            UNNEST(range(2 + (d.doc_id * 7) % 3)) AS t2(by)
-      WHERE d.doc_id % 5 = 3),
+      WHERE d.doc_id % 6 = 3),
     jpg_q AS (
       SELECT doc_id, wb, hb,
              CASE WHEN d1 >= 0 THEN FLOOR(d1 + 0.5)
@@ -1899,20 +2272,33 @@ def route_media(payload: bytes):
     SELECT doc_id, 'mp3', 'skipped:mp3',
            CAST(NULL AS INT), CAST(NULL AS INT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-    FROM documents WHERE doc_id % 5 = 4
+    FROM documents WHERE doc_id % 6 = 4
+    UNION ALL
+    SELECT doc_id, 'gif', 'decoded',
+           CAST(MAX(w) AS INT), CAST(MAX(h) AS INT),
+           CAST(COUNT(*) * 3 AS BIGINT),
+           CAST((SUM((doc_id + 5 * x + 3 * y) % 256) * 3 * 20000 + 3 * COUNT(*))
+                // (2 * 3 * COUNT(*)) AS BIGINT)
+    FROM (SELECT d.doc_id, 8 + d.doc_id % 13 AS w, 6 + (d.doc_id * 7) % 10 AS h, x, y
+          FROM documents d,
+               UNNEST(range(8 + d.doc_id % 13)) AS t1(x),
+               UNNEST(range(6 + (d.doc_id * 7) % 10)) AS t2(y)
+          WHERE d.doc_id % 6 = 5) GROUP BY doc_id
     """.format(q00=_JPEG_Q00, dec_sql=_DEC_SQL),
 )
 def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format media ingest: ONE pass over opaque payloads, routed
     by MAGIC BYTES to the real parsers (RIFF/PCM16 WAV, 24bpp BMP,
-    RFC 2083 PNG, ITU-T T.81 baseline JPEG) with an explicit
-    ``skipped:<fmt>`` verdict for the externals-only tier (mp3) and a
-    ``rejected:unknown`` verdict for unrecognized containers — the
+    RFC 2083 PNG, ITU-T T.81 baseline JPEG, GIF89a LZW — r9) with an
+    explicit ``skipped:<fmt>`` verdict for the externals-only tier (mp3)
+    and a ``rejected:unknown`` verdict for unrecognized containers — the
     production counterpart of the reference's decode-time loader
     dispatch (``DFW/tools.py:58-79``), registered and graded (the shape
-    ``examples/media_ingest.py`` runs as five separate passes).
+    ``examples/media_ingest.py`` runs as separate per-format passes).
+    GIF pixels are palette-mapped before the mean, so a non-greyscale
+    color table would be priced correctly too.
 
-    Each doc synthesizes the container its ``doc_id % 5`` selects, so
+    Each doc synthesizes the container its ``doc_id % 6`` selects, so
     the oracle knows every payload's format and closed-form content:
     the format MIX, the per-format dims/units, and the fixed-point
     decoded means are all value-hashed.  Scale shape: Arrow

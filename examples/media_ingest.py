@@ -12,12 +12,14 @@ corpus using the registered, oracle-checked operators:
 2. AUDIO    — real RIFF/PCM16 parse (``mm_wav_decode``): sample rate,
    duration, RMS, zero crossings; then VAD segmentation
    (``mm_audio_vad_segments``) — the pre-transcription filter.
-3. IMAGES   — the three image tiers, all genuinely parsed:
+3. IMAGES   — the four image tiers, all genuinely parsed:
    * BMP — uncompressed byte layout (``mm_bmp_decode``),
    * PNG — stdlib zlib inflate + numpy defiltering of all five RFC 2083
      filter types (``mm_png_decode``),
    * JPEG — baseline huffman entropy decode + dequant + 8x8 IDCT in
-     pure numpy (``mm_jpeg_decode``).
+     pure numpy (``mm_jpeg_decode``),
+   * GIF — variable-width LZW dictionary decode + interlace reorder in
+     pure Python/numpy (``mm_gif_decode``, r9).
 4. RESIZE   — decode → 2x box downsample through the compressed tier
    (``mm_png_resize``) — the thumbnail stage.
 5. NEAR-DUP — perceptual dHash clusters over decoded pixels
@@ -66,11 +68,12 @@ def main() -> None:
     ).collect()[0]
     print(f"  VAD: {agg.segs} voiced segments across {agg.docs} docs")
 
-    print("== 3. images: BMP / PNG / JPEG, all genuinely parsed ==")
+    print("== 3. images: BMP / PNG / JPEG / GIF, all genuinely parsed ==")
     for name, label in (
         ("mm_bmp_decode", "BMP  (uncompressed layout)"),
         ("mm_png_decode", "PNG  (zlib + 5-filter defilter)"),
         ("mm_jpeg_decode", "JPEG (huffman + IDCT)"),
+        ("mm_gif_decode", "GIF  (variable-width LZW)"),
     ):
         df = q[name](spark, SF_DIR)
         r = df.orderBy("doc_id").limit(1).collect()[0]
@@ -78,6 +81,7 @@ def main() -> None:
         extra = (
             f"filters={r.filter_types}" if name == "mm_png_decode"
             else f"blocks={r.n_blocks}" if name == "mm_jpeg_decode"
+            else f"interlaced={r.interlaced}" if name == "mm_gif_decode"
             else f"corner_r={r.corner_tl_r}"
         )
         print(f"  {label}: doc0 {dims} {extra} (n={df.count()})")

@@ -14,10 +14,12 @@ import pytest
 from dataframework_spark.operators.multimodal import (
     _bmp_pixels,
     _mean_e4,
+    gif_pixels,
     jpeg_pixels,
     png_pixels,
     route_media,
     synth_bmp,
+    synth_gif,
     synth_jpeg,
     synth_media,
     synth_mp3_stub,
@@ -27,16 +29,16 @@ from dataframework_spark.operators.multimodal import (
 )
 
 
-@pytest.mark.parametrize("doc_id", range(10))
+@pytest.mark.parametrize("doc_id", range(12))
 def test_router_fmt_matches_synthesis(doc_id):
     fmt, verdict, *_ = route_media(synth_media(doc_id))
-    want = ["wav", "bmp", "png", "jpeg", "mp3"][doc_id % 5]
+    want = ["wav", "bmp", "png", "jpeg", "mp3", "gif"][doc_id % 6]
     assert fmt == want
     assert verdict == ("skipped:mp3" if want == "mp3" else "decoded")
 
 
 def test_router_wav_features_match_parser():
-    payload = synth_wav(10)  # 10 % 5 == 0
+    payload = synth_wav(12)  # 12 % 6 == 0
     fmt, verdict, w, h, n_units, feat = route_media(payload)
     _, s = wav_samples(payload)
     assert (fmt, verdict, w, h) == ("wav", "decoded", None, None)
@@ -62,7 +64,7 @@ def test_router_rgb_features_match_parser(synth, pixels, name):
 
 
 def test_router_jpeg_features_match_parser():
-    payload, w, h = synth_jpeg(8)  # 8 % 5 == 3
+    payload, w, h = synth_jpeg(9)  # 9 % 6 == 3
     fmt, verdict, rw, rh, n_units, feat = route_media(payload)
     px = jpeg_pixels(payload)
     assert (fmt, verdict, rw, rh) == ("jpeg", "decoded", w, h)
@@ -82,7 +84,6 @@ def test_router_skips_mp3_without_decoding():
     "junk",
     [
         b"",  # empty
-        b"GIF89a....",  # known-elsewhere magic the router does not claim
         b"\x00\x01\x02\x03 random bytes",
         b"RIFX0000WAVE",  # wrong RIFF endianness marker
         b"ID2\x03\x00\x00",  # almost-ID3
@@ -92,6 +93,25 @@ def test_router_rejects_unknown_containers(junk):
     fmt, verdict, w, h, n_units, feat = route_media(junk)
     assert (fmt, verdict) == ("unknown", "rejected:unknown")
     assert w is h is n_units is feat is None
+
+
+def test_router_gif_features_match_parser():
+    payload = synth_gif(11)  # 11 % 6 == 5, odd -> interlaced path
+    fmt, verdict, w, h, n_units, feat = route_media(payload)
+    idx, palette, interlaced = gif_pixels(payload)
+    rgb = palette[idx]
+    assert (fmt, verdict) == ("gif", "decoded")
+    assert interlaced
+    assert (w, h) == (idx.shape[1], idx.shape[0])
+    assert n_units == rgb.size
+    assert feat == _mean_e4(int(rgb.astype(np.int64).sum()), rgb.size)
+
+
+def test_router_does_not_mask_corrupt_truncated_gif():
+    """GIF magic is now CLAIMED (r9): a truncated GIF must RAISE from
+    the parser, not fall through to rejected:unknown."""
+    with pytest.raises(ValueError):
+        route_media(b"GIF89a....")
 
 
 def test_router_does_not_mask_corrupt_known_formats():
