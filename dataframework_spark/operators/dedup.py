@@ -399,6 +399,152 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D4b — 64-bit SimHash + Hamming-distance banding (the production form)
+# ---------------------------------------------------------------------------
+
+# The r9 token-rename probe (SCALEPROBE_TEXTMUT_r9.json) measured the
+# 16-bit teaching hash's n²/2¹⁶ birthday term directly; this is the
+# documented fix registered as an operator: 64 signature bits (birthday
+# term ~n²/2⁶⁴ ≈ 0) with Charikar/Manku-style banding — split the
+# signature into B = 4 contiguous 16-bit bands; two signatures within
+# Hamming distance r < B must agree EXACTLY on ≥ 1 band (pigeonhole), so
+# band-equality candidate generation is LOSSLESS for the r = 3 verify.
+
+_SH64_R = 3  # Hamming radius; < _SH64_BANDS so banding loses nothing
+_SH64_BANDS = 4  # 4 × 16-bit bands
+
+
+def _sh64_sum_exprs_spark() -> list:
+    """64 per-bit majority sums over two md5-salted 32-bit token hashes
+    (bits 0-31 from salt 'sh64a:', 32-63 from 'sh64b:')."""
+    out = []
+    for j in range(64):
+        g = "ga" if j < 32 else "gb"
+        out.append(
+            F.sum(
+                F.when(F.expr(f"(shiftright({g}, {j % 32}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"s{j}")
+        )
+    return out
+
+
+def _sh64_sig_sql(engine: str) -> str:
+    """Bitwise-OR fold of the 64 majority verdicts into one signed
+    BIGINT.  Bit 63 needs the min-bigint literal: DuckDB range-checks
+    ``1::BIGINT << 63`` (Spark's shiftleft wraps, but the literal keeps
+    the two expressions textually parallel)."""
+    parts = []
+    for j in range(64):
+        one = (
+            "(-9223372036854775807 - 1)"
+            if j == 63
+            else (f"(1::BIGINT << {j})" if engine == "duck" else f"(shiftleft(cast(1 as bigint), {j}))")
+        )
+        zero = "0::BIGINT" if engine == "duck" else "cast(0 as bigint)"
+        parts.append(f"(CASE WHEN s{j} > 0 THEN {one} ELSE {zero} END)")
+    return " | ".join(parts)
+
+
+def _sh64_duck_bitsums() -> str:
+    tid_a = duck_tid_sql("'sh64a:' || token", 1 << 32)
+    tid_b = duck_tid_sql("'sh64b:' || token", 1 << 32)
+    return ",\n      ".join(
+        f"SUM(CASE WHEN ((({tid_a if j < 32 else tid_b}) >> {j % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
+    )
+
+
+def simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash signatures — one corpus scan, one
+    map-side-combinable groupBy(doc_id); the 64 conditional sums stay
+    inside whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    feat = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    ft = feat.select(
+        "doc_id",
+        F.expr(tid_sql("concat('sh64a:', token)", 1 << 32)).alias("ga"),
+        F.expr(tid_sql("concat('sh64b:', token)", 1 << 32)).alias("gb"),
+    )
+    bitsum = ft.groupBy("doc_id").agg(*_sh64_sum_exprs_spark())
+    return bitsum.select("doc_id", F.expr(_sh64_sig_sql("spark")).alias("sig"))
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    feat AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    bitsum AS (SELECT doc_id, {_sh64_duck_bitsums()} FROM feat GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_sh64_sig_sql('duck')} AS sig FROM bitsum)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_SH64_R}
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash within Hamming distance ≤ 3,
+    via LOSSLESS band-bucket candidate generation — the production form
+    of `dedup_simhash` (Manku, Jain & Sarma, WWW 2007: simhash dedup at
+    web scale runs exactly this shape at f = 64, k = 3).
+
+    Why this exists next to the 16-bit bucket version: the r9
+    token-rename probe measured the 16-bit key's n²/2¹⁶ birthday pair
+    mass directly (SCALEPROBE_TEXTMUT_r9.json) — at 64 bits that term is
+    ~n²/2⁶⁴ ≈ 0, so every emitted pair is token-distribution signal,
+    not key-width accident.  Equal-width SQL on both engines keeps the
+    signature integer-exact: two md5-salted 32-bit token hashes supply
+    the 64 bit sources, the per-bit majority fold is ONE map-side-
+    combinable aggregate, and the signed-BIGINT signature is built by a
+    bitwise-OR chain both dialects evaluate identically.
+
+    Scale shape: candidates come from exploding each signature into
+    {_SH64_BANDS} contiguous 16-bit bands and self-joining on
+    (band_idx, band_value) — two signatures within Hamming ≤
+    {_SH64_R} < {_SH64_BANDS} bands MUST share a band unchanged
+    (pigeonhole), so the bucket join finds every true pair (guard-tested
+    against the brute-force oracle, which IS the all-pairs formulation).
+    The corpus crosses the wire once for the signature fold; the band
+    exchange carries 4 × (2-byte key, doc_id, 8-byte sig) rows per doc,
+    and the Hamming verify runs on candidate pairs only — at 100 TB the
+    band value is the partition-pruning key and the all-pairs oracle
+    formulation is what this plan exists to avoid."""
+    sig = simhash64_signatures(spark, sf_dir).cache()  # both join sides
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_SH64_BANDS - 1}), "
+                f"b -> struct(b as band, shiftright(sig, 16 * b) & 65535 as bv))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "sig", "g.band", "g.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(sa ^ sb)")
+    return cand.where(ham <= _SH64_R).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
 # D5 — embedding-cosine near-dup (brute-force correctness baseline)
 # ---------------------------------------------------------------------------
 

@@ -1,9 +1,10 @@
 """Token-rename (mutation) scale probe for the TEXT-side sweep exclusions
 (VERDICT r8, next-round #3): ``dedup_ngram_jaccard``,
 ``dedup_ngram_containment``, ``dedup_simhash``, ``dedup_lsh_eval``,
-``dedup_clusters``, and ``ml_leakage_safe_split``.
+``dedup_clusters``, ``ml_leakage_safe_split``, and
+``pipeline_pretrain_corpus``.
 
-All six are excluded from the replica sweeps for a sound reason — an M×
+All seven are excluded from the replica sweeps for a sound reason — an M×
 replica makes every document an M-way near-dup, so the OUTPUT pair set /
 cluster graph grows ~M² by construction.  This probe is the text-corpus
 analog of the embedding rotation synthesis (``probe_rotation_r8.py``):
@@ -45,6 +46,12 @@ What this probe can and cannot claim, per operator:
   diameters; the probe asserts zero clusters span copies and reports the
   iterative CC wall, which is the quantity the replica exclusion could
   not measure.
+* ``pipeline_pretrain_corpus`` — the capstone composing quality filter →
+  exact dedup → cluster-keeper over the same edge source; the r4 sweep
+  measured it executor-OOMing on the 100x replica's ~M^2 cluster graph.
+  On the renamed corpus the graph is ~M and the capstone must track it.
+  (Stopword ratios are 0 under rename — every copy including the m=1
+  base scores quality identically, so growth ratios stay clean.)
 
 Corpus: ``.scratch/textmut_scale/m{M}/documents.parquet`` — copy j
 shifts doc_id by j·OFFSET (the rotation-probe convention) and renames
@@ -127,6 +134,7 @@ def probe(spark, sf_dir: str, m: int) -> dict:
         simhash_signatures,
     )
     from dataframework_spark.operators.ml_prep import ml_leakage_safe_split
+    from dataframework_spark.operators.pipeline import pipeline_pretrain_corpus
 
     r: dict = {}
 
@@ -221,6 +229,16 @@ def probe(spark, sf_dir: str, m: int) -> dict:
         ),
         "wall_sec": round(time.perf_counter() - t0, 3),
     }
+    t0 = time.perf_counter()
+    pre = pipeline_pretrain_corpus(spark, sf_dir).agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+        F.coalesce(F.sum("total_ws_tokens"), F.lit(0)).alias("ws_tokens"),
+    ).collect()[0]
+    r["pretrain_corpus"] = {
+        "n_docs_kept": int(pre.n_docs),
+        "ws_tokens": int(pre.ws_tokens),
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
     spark.catalog.clearCache()
     return r
 
@@ -232,6 +250,7 @@ _RATIO_KEYS = {
     "lsh_eval": ["n_candidates", "n_truth", "wall_sec"],
     "clusters": ["n_clusters", "n_clustered_docs", "wall_sec"],
     "leakage_split": ["n_multi_doc_clusters", "n_leaky_clusters_naive", "wall_sec"],
+    "pretrain_corpus": ["n_docs_kept", "ws_tokens", "wall_sec"],
 }
 
 
@@ -264,6 +283,7 @@ def main() -> None:
             "dedup_lsh_eval",
             "dedup_clusters",
             "ml_leakage_safe_split",
+            "pipeline_pretrain_corpus",
         ],
         "note": (
             "per-copy token rename is a vocabulary bijection: within-copy "
