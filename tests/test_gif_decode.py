@@ -77,9 +77,8 @@ def test_interlaced_and_plain_payloads_differ_but_decode_equal():
     """doc_ids with identical dims and pixel formula but opposite
     interlace flags must decode to the same image from DIFFERENT row
     layouts — pinning that de-interlacing actually reorders."""
-    a, b = 13, 7813  # 7813 = 13 + 600*13: same w,h,pixels mod cycles?
-    # construct directly instead: encode the same pixels both ways
-    px = _closed_form(a)
+    # encode the same pixels in both row layouts directly
+    px = _closed_form(13)
     h, w = px.shape
     plain = _gif_lzw_decode(
         _gif_lzw_encode(px.tobytes(), 8), 8, w * h
@@ -231,3 +230,16 @@ def test_extensions_are_skipped_not_decoded():
     a, _, _ = gif_pixels(g)
     b, _, _ = gif_pixels(stripped)
     assert np.array_equal(a, b)
+
+
+def test_lzw_eoi_at_exact_width_boundary():
+    """255 incompressible bytes put the encoder's free-code counter at
+    exactly 512 after the FINAL data code, so EOI is written at the
+    bumped 10-bit width — the reader's per-code counter must bump at the
+    same point or EOI desyncs (the giflib-convention edge the decoder's
+    strictly-greater comparison exists for)."""
+    data = bytes(range(255))  # all-distinct: one insertion per emitted code
+    _roundtrip(data)
+    # one fewer byte: EOI stays at 9 bits; one more: bump happens earlier
+    _roundtrip(bytes(range(254)))
+    _roundtrip(bytes(range(256)))

@@ -71,6 +71,14 @@ EXCLUSIONS: dict[str, str] = {
         "~M^2 by construction (real corpora don't; at scale k grows with "
         "n keeping cluster size ~constant — the paper's core argument)"
     ),
+    "dedup_simhash_hamming": (
+        "64-bit simhash near-dup pair emitter: the replica's M-way EXACT "
+        "duplicates share identical signatures, so in-band pairs grow "
+        "~M^2 by construction (same degeneracy as dedup_simhash).  "
+        "MEASURED on the token-renamed corpus instead "
+        "(SCALEPROBE_R9OPS_r9.json): pairs grow ~M with ~zero cross-copy "
+        "mass — the 2^-64 key width this operator exists to buy"
+    ),
     "dedup_simhash": (
         "near-dup pair emitter (simhash band buckets): every doc is an "
         "M-way dup on the replica, so the OUTPUT is ~M^2 pairs.  MEASURED "
@@ -105,12 +113,17 @@ EXCLUSIONS: dict[str, str] = {
         "capstone composing dedup_clusters: the replica's 100-way dups "
         "inflate the near-dup cluster graph ~M^2 and the r4 sweep "
         "measured it executor-OOMing at 100x (green at 10x, 20.4 s); "
-        "real corpora don't have 100-way exact replicas of every doc"
+        "real corpora don't have 100-way exact replicas of every doc.  "
+        "MEASURED on the token-renamed corpus instead "
+        "(SCALEPROBE_TEXTMUT_r9.json): output tracks the ~M cluster graph"
     ),
     "join_interval_overlap": (
         "output-quadratic in co-active-user density by replica "
         "construction (270 s at 10x, measured r3); production callers use "
-        "interval_overlap_pairs(max_per_bucket=...) — the r4 density guard"
+        "interval_overlap_pairs(max_per_bucket=...) — the r4 density "
+        "guard.  MEASURED on the time-shifted corpus instead "
+        "(SCALEPROBE_TIMESHIFT_r9.json): disjoint day ranges at base "
+        "concurrency, pairs exactly 100.0x at 100x, zero cross-copy"
     ),
 }
 
