@@ -243,3 +243,25 @@ def test_lzw_eoi_at_exact_width_boundary():
     # one fewer byte: EOI stays at 9 bits; one more: bump happens earlier
     _roundtrip(bytes(range(254)))
     _roundtrip(bytes(range(256)))
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrip (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=1, max_size=3000),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+def test_lzw_roundtrip_property(data, mcs):
+    """encode→decode is the identity for ANY index stream whose values
+    fit the palette — hypothesis drives byte distributions (runs,
+    near-random, structured) that sweep the width-bump and KwKwK state
+    space far beyond the hand-written cases."""
+    capped = bytes(b % (1 << mcs) for b in data)
+    assert _gif_lzw_decode(_gif_lzw_encode(capped, mcs), mcs, len(capped)) == capped

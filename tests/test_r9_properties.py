@@ -176,3 +176,19 @@ def test_simhash_hamming_pairs_are_canonical_and_within_radius(spark):
     rows = dedup_simhash_hamming(spark, SF_SMALL).collect()
     assert all(r.doc_a < r.doc_b for r in rows)
     assert all(0 <= r.hamming <= _SH64_R for r in rows)
+
+
+def test_simhash_hamming_plan_single_corpus_scan(spark):
+    """The signature stage must read the corpus ONCE (cached signatures
+    feed both band-join sides) — a second parquet scan would mean the
+    tokenize+fold pipeline runs twice per query."""
+    from dataframework_spark.operators.dedup import dedup_simhash_hamming
+
+    df = dedup_simhash_hamming(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # both band-join sides must read the CACHED signatures (the raw
+    # "Scan parquet" string also appears inside the InMemoryRelation's
+    # stored child plan, so count the cache reads, not the scans)
+    assert plan.count("InMemoryTableScan") >= 2
