@@ -1999,6 +1999,15 @@ def gif_pixels(payload: bytes):
             raise ValueError("local color tables unsupported")
         if w == 0 or h == 0 or left + w > sw or top + h > sh:
             raise ValueError(f"image {w}x{h}@{left},{top} outside {sw}x{sh} screen")
+        if (left, top, w, h) != (0, 0, sw, sh):
+            # A sub-screen frame would need compositing onto the sw×sh
+            # logical screen (background fill + placement); returning the
+            # bare image block would silently reinterpret the file, so it
+            # is REJECTED like every other unsupported structure.
+            raise ValueError(
+                f"partial-frame GIF unsupported: image {w}x{h}@{left},{top}"
+                f" does not cover the {sw}x{sh} logical screen"
+            )
         if pos >= len(payload):
             raise ValueError("missing LZW minimum code size")
         mcs = payload[pos]
