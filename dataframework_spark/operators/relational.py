@@ -44,16 +44,14 @@ from dataframework_spark.registry import register
       l_returnflag,
       l_linestatus,
       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-      ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+      ROUND(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
             / 100.0, 2)                                                AS sum_base_price,
-      ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
-                     AS BIGINT)) / 100.0, 2)                           AS sum_disc_price,
-      ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                           * 100, 0) AS BIGINT)) / 100.0, 2)           AS sum_charge,
+      ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0, 2)                           AS sum_disc_price,
+      ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) / 100.0, 2)           AS sum_charge,
       ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
-      ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+      ROUND(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
             / 100.0 / COUNT(*), 2)                                     AS avg_price,
-      ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+      ROUND(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
             / 100.0 / COUNT(*), 4)                                     AS avg_disc,
       COUNT(*)                                                         AS count_order
     FROM lineitem
@@ -76,11 +74,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-decision was reversed for this query.  ``sum_qty``/``avg_qty``
     stay float: quantities are integer-valued doubles, so their sums are
     exact at any partitioning.
+
+    r10 fix-point form: ``FLOOR(x*100 + 0.5)`` on BOTH engines, not
+    ``ROUND(x*100, 0)`` — Spark's ``Round`` on DoubleType allocates a
+    ``java.math.BigDecimal`` per row (and rounds the decimal STRING,
+    while DuckDB rounds the binary double), which cost a measured 1.94×
+    on this scan-dominated query (`CENTSAB_r10.json`: float 0.304 s,
+    round-cents 0.590 s, floor-cents 0.339 s, decimal(12,2) sums
+    1.085 s at sf0.1 median-of-5).  The floor form is pure FP
+    arithmetic + one cast, evaluates the IDENTICAL IEEE expression on
+    both engines, and equals half-up rounding for the non-negative
+    money domain.
     """
     li = load_table(spark, sf_dir, "lineitem")
 
     def cents(col: F.Column) -> F.Column:
-        return F.round(col * 100, 0).cast("bigint")
+        return F.floor(col * 100 + 0.5)
 
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     n = F.count(F.lit(1))
@@ -111,7 +120,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_revenue_forecast",
     oracle="""
-    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+    SELECT ROUND(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT))
                  / 100.0, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -137,8 +146,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             # of all — integer cents (r9 canary evidence on q1)
             F.round(
                 F.sum(
-                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0)
-                    .cast("bigint")
+                    F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100 + 0.5)
                 )
                 / 100.0,
                 2,
@@ -204,8 +212,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
-                          AS BIGINT)) / 100.0, 2) AS revenue
+           ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -249,9 +256,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             # engines
             F.round(
                 F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-                    ).cast("bigint")
+                    F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
                 )
                 / 100.0,
                 2,
@@ -265,7 +270,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            COUNT(*)                    AS n_orders,
-           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+           ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0, 2)
                                        AS total_spend
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -283,7 +288,7 @@ def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ~1/5 of all orders per segment (unbounded in SF) at ~2.3e9
             # total — the exact magnitude the r9 q1 canary saw flip; cents
             F.round(
-                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0,
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)) / 100.0,
                 2,
             ).alias("total_spend"),
         )
@@ -1643,8 +1648,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_filter",
     oracle="""
-    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
-                          AS BIGINT)) / 100.0, 2) AS revenue,
+    SELECT ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -1669,8 +1673,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(cond).agg(
         F.round(
             F.sum(
-                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
-                .cast("bigint")
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
             )
             / 100.0,
             2,

@@ -83,8 +83,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
-                          AS BIGINT)) / 100.0, 2) AS revenue
+           ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS revenue
     FROM supplier
     JOIN lineitem  ON s_suppkey = l_suppkey
     JOIN orders    ON o_orderkey = l_orderkey
@@ -141,9 +140,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (r9 canary evidence on q1)
             F.round(
                 F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-                    ).cast("bigint")
+                    F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
                 )
                 / 100.0,
                 2,
@@ -157,7 +154,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH all_volume AS (
       SELECT CAST(YEAR(o_orderdate) AS BIGINT)     AS o_year,
-             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
                                                    AS volume_c,
              n2.n_name                             AS supp_nation
       FROM part
@@ -202,9 +199,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer-cents volumes: both the numerator and denominator sum
     # unboundedly many rows per year, and the RATIO of two exact bigints
     # is a deterministic double on both engines (r9 canary evidence on q1)
-    volume_c = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("bigint")
+    volume_c = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -354,8 +349,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
-                            AS BIGINT)) / 100.0, 2) AS total_revenue
+             ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -384,8 +378,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # not just a value (r9 canary evidence on q1)
         F.round(
             F.sum(
-                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
-                .cast("bigint")
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
             )
             / 100.0,
             2,
@@ -402,7 +395,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_qty_revenue",
     oracle="""
-    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+    SELECT ROUND(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
                  / 100.0 / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -435,7 +428,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # single unbounded group: integer cents (r9 canary on q1)
             F.round(
-                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5))
                 / 100.0
                 / 7.0,
                 2,
@@ -449,11 +442,11 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey,
            COUNT(*) AS numcust,
-           ROUND(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2)
+           ROUND(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0, 2)
                                     AS totacctbal
     FROM customer c
     WHERE c_nationkey BETWEEN 10 AND 24
-      AND c_acctbal > (SELECT ROUND(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))
+      AND c_acctbal > (SELECT ROUND(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
                                     / 100.0 / COUNT(*), 2) FROM customer
                        WHERE c_acctbal > 0 AND c_nationkey BETWEEN 10 AND 24)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -482,7 +475,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-engine drift there changes the row SET, not just a value;
     # acctbal can be negative, and both engines' ROUND half-away/HALF_UP
     # agree away-from-zero on negatives (r9 canary evidence on q1)
-    bal_c = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    bal_c = F.floor(F.col("c_acctbal") * 100 + 0.5)
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
         F.round(F.sum(bal_c) / 100.0 / F.count(F.lit(1)), 2).alias("avg_bal")
     )
@@ -502,8 +495,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH val AS (
       SELECT l_partkey AS partkey,
-             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
-                      AS BIGINT)) AS value_c
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS value_c
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
@@ -541,8 +533,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # canary evidence on q1)
         .agg(
             F.sum(
-                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
-                .cast("bigint")
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
             ).alias("value_c")
         )
         # partkey-sized; cached so the threshold branch does not re-scan the

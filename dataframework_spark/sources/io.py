@@ -80,7 +80,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            COUNT(*)                    AS n_orders,
-           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+           ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0, 2)
                                        AS sum_price
     FROM orders GROUP BY o_orderstatus
     """,
@@ -104,7 +104,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0, 2
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)) / 100.0, 2
         ).alias("sum_price"),
     )
 
@@ -153,8 +153,7 @@ _N_BUCKETS = 8
     oracle="""
     SELECT o.o_orderpriority,
            COUNT(*)                                          AS n_items,
-           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
-                          AS BIGINT)) / 100.0, 2) AS revenue
+           ROUND(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -195,9 +194,7 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # per-row revenue fixed-pointed to integer cents before the sum
             F.round(
                 F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-                    ).cast("bigint")
+                    F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
                 )
                 / 100.0,
                 2,
@@ -225,7 +222,7 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o ANTI JOIN updates u ON o.o_orderkey = u.o_orderkey)
     SELECT o_orderstatus,
            COUNT(*)                    AS n_orders,
-           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+           ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0, 2)
                                        AS sum_price
     FROM merged GROUP BY o_orderstatus
     """,
@@ -255,7 +252,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0, 2
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)) / 100.0, 2
         ).alias("sum_price"),
     )
 
@@ -270,7 +267,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_nationkey,
            COUNT(*)                  AS n_suppliers,
-           ROUND(SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)) / 100.0, 2)
+           ROUND(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)) / 100.0, 2)
                                      AS sum_acctbal
     FROM supplier GROUP BY s_nationkey
     """,
@@ -288,7 +285,7 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.round(
-            F.sum(F.round(F.col("s_acctbal") * 100, 0).cast("bigint")) / 100.0, 2
+            F.sum(F.floor(F.col("s_acctbal") * 100 + 0.5)) / 100.0, 2
         ).alias("sum_acctbal"),
     )
 
@@ -335,7 +332,7 @@ def sink_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
            COUNT(*)                    AS n_orders,
-           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+           ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0, 2)
                                        AS sum_price
     FROM orders GROUP BY 1
     """,
@@ -365,7 +362,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")) / 100.0, 2
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)) / 100.0, 2
         ).alias("sum_price"),
     )
 
@@ -544,11 +541,11 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*)                        AS n_orders,
-           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2)
+           ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0, 2)
                                            AS sum_price,
            MIN(o_totalprice)               AS min_price,
            MAX(o_totalprice)               AS max_price,
-           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+           ROUND(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
                  / COUNT(*), 2)            AS avg_price
     FROM orders
     GROUP BY o_orderpriority
@@ -581,7 +578,7 @@ def sink_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # across refresh cycles, and partial-agg order cannot matter
         return df.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("s"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).alias("s"),
             F.min("o_totalprice").alias("mn"),
             F.max("o_totalprice").alias("mx"),
         )
@@ -720,7 +717,7 @@ _XML_SPECIALS = " <&>\"'"
     oracle=f"""
     SELECT c_mktsegment,
            COUNT(*)                   AS n_customers,
-           ROUND(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2)
+           ROUND(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0, 2)
                                       AS sum_acctbal,
            CAST(SUM(LENGTH(c_name || '{_XML_SPECIALS.replace("'", "''")}'))
                 AS BIGINT)            AS name_chars
@@ -769,7 +766,7 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(
-            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint")) / 100.0, 2
+            F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5)) / 100.0, 2
         ).alias("sum_acctbal"),
         F.sum(F.length("c_name")).cast("bigint").alias("name_chars"),
     )
