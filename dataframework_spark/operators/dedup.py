@@ -1596,3 +1596,421 @@ def dedup_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.coalesce(F.col("severity"), F.lit(0)).cast("bigint").alias("severity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup LSH index LIFECYCLE: persist → serve → incremental append
+# (VERDICT r9 "Next round" #3 — the production shape of crawl dedup)
+# ---------------------------------------------------------------------------
+#
+# ``dedup_minhash_lsh`` rebuilds its index per run; a production crawl
+# dedups each ingest batch against a PERSISTED signature/band index
+# without ever rescanning the corpus (the reference's whole-corpus
+# reload per run, ``DFW/preprocess.py:390-407``, is exactly what does
+# not scale).  The persisted index mirrors ``sim_ivfpq_persist_serve``
+# (similarity.py): two parquet tables under one base path —
+#
+#   sigs/   doc_id, h0..h15          (16 × 8 B per doc — the index,
+#                                     ~1e-4 of corpus bytes at 100 TB)
+#   bands/  band=<i>/ bk, doc_id     (band-partitioned bucket keys)
+#
+# Serving a delta pays: one signature pass over the DELTA ONLY, a
+# (band, bk) join against the band table, and a signature-verify join
+# against sigs — the corpus text never crosses the wire again
+# (plan-pinned by ``test_lsh_serve_never_scans_corpus``).  The verify
+# tier is the standard signature estimate (matching components / 16 ≥
+# 12/16 = 0.75 estimated Jaccard): with corpus text unavailable by
+# design, the signature IS the near-dup evidence, exactly as in
+# Broder's original scheme.
+
+_LSH_MATCH = 12  # of _MH_K = 16 signature components
+
+
+def lsh_index_paths(base: str) -> dict[str, str]:
+    return {"sigs": base + "/sigs", "bands": base + "/bands"}
+
+
+def minhash_signature_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, h0..h15): the dedup_minhash_lsh
+    signature pipeline (shingle → cross-dialect term id → 16 min-hash
+    aggregates), one narrow map + one groupBy(doc_id) exchange."""
+    s = docs.withColumn("toks", tokens()).select(
+        "doc_id", F.expr(shingles_sql("toks")).alias("sh")
+    )
+    ft = s.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", F.expr(tid_sql("shingle", _MH_P)).alias("tid")
+    )
+    return ft.groupBy("doc_id").agg(*[F.expr(e) for e in _mh_exprs_spark()])
+
+
+def _lsh_band_frame(sig: DataFrame) -> DataFrame:
+    bands = None
+    for i, band in enumerate(_band_cols()):
+        piece = sig.select("doc_id", F.expr(band).alias("bk"), F.lit(i).alias("band"))
+        bands = piece if bands is None else bands.unionByName(piece)
+    return bands
+
+
+def lsh_index_build(spark: SparkSession, docs: DataFrame, base: str) -> None:
+    """One corpus pass → persisted signature + band tables (overwrite)."""
+    paths = lsh_index_paths(base)
+    sig = minhash_signature_frame(docs)
+    sig.cache()
+    sig.write.mode("overwrite").parquet(paths["sigs"])
+    _lsh_band_frame(sig).write.mode("overwrite").partitionBy("band").parquet(
+        paths["bands"]
+    )
+    sig.unpersist()
+
+
+def lsh_index_append(spark: SparkSession, sigs: DataFrame, base: str) -> None:
+    """Ingest path: append already-computed signatures of a batch's
+    ``new`` docs into both index tables.  No corpus access, no retrain —
+    MinHash signatures are permutation-frozen by construction, so
+    append-then-serve ≡ rebuild-then-serve (the property
+    ``dedup_lsh_incremental_append``'s oracle value-hashes)."""
+    paths = lsh_index_paths(base)
+    sigs.write.mode("append").parquet(paths["sigs"])
+    _lsh_band_frame(sigs).write.mode("append").partitionBy("band").parquet(
+        paths["bands"]
+    )
+
+
+_LSH_PAIR_EXPR = (
+    "flatten(transform(sequence(1, size(ids) - 1), "
+    "i -> transform(sequence(i + 1, size(ids)), "
+    "j -> struct(element_at(ids, i) as edoc, element_at(ids, j) as ddoc))))"
+)
+
+
+def _lsh_nmatch(a_prefix: str, b_prefix: str) -> F.Column:
+    terms = [
+        (F.col(f"{a_prefix}{i}") == F.col(f"{b_prefix}{i}")).cast("int")
+        for i in range(_MH_K)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def lsh_serve(
+    spark: SparkSession, base: str, delta: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a crawl delta against the persisted index alone.
+
+    Returns ``(verdicts, delta_sigs)``: per-doc verdict rows
+    (``dup_of_base`` — ≥ {_LSH_MATCH}/16 signature match with an indexed
+    doc; ``dup_in_delta`` — first seen earlier IN THIS BATCH, keeper =
+    min doc_id, the repo tie discipline; ``new`` — enters the corpus)
+    plus the delta signature frame so the caller can append the ``new``
+    rows without recomputing (``lsh_index_append``).
+
+    Scale shape: the index side of both joins is corpus-sized and the
+    delta side is batch-sized, so both are ``shuffle_hash``-pinned
+    (never broadcast the index; the measured dedup_minhash_lsh 100×
+    driver-OOM precedent).  Within-batch candidates use the narrow
+    bucket pair expansion — one exchange, no self-join."""
+    paths = lsh_index_paths(base)
+    xsig = spark.read.parquet(paths["sigs"])
+    xbands = spark.read.parquet(paths["bands"])
+    dsig = minhash_signature_frame(delta).cache()
+    dbands = _lsh_band_frame(dsig)
+
+    cand = (
+        dbands.alias("d")
+        .join(
+            xbands.hint("shuffle_hash").alias("x"),
+            (F.col("d.band") == F.col("x.band")) & (F.col("d.bk") == F.col("x.bk")),
+        )
+        .select(F.col("d.doc_id").alias("ddoc"), F.col("x.doc_id").alias("xdoc"))
+        .distinct()
+    )
+    a = dsig.select(
+        F.col("doc_id").alias("ddoc"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(_MH_K)]
+    )
+    b = xsig.select(
+        F.col("doc_id").alias("xdoc"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(_MH_K)]
+    )
+    mb = (
+        cand.join(a, "ddoc")
+        .join(b.hint("shuffle_hash"), "xdoc")
+        .where(_lsh_nmatch("a", "b") >= _LSH_MATCH)
+        .select(F.col("ddoc").alias("doc_id"))
+        .distinct()
+        .withColumn("in_base", F.lit(True))
+    )
+
+    buckets = dbands.groupBy("band", "bk").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    dpairs = (
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(F.expr(_LSH_PAIR_EXPR)).alias("p"))
+        .select("p.edoc", "p.ddoc")
+        .distinct()
+    )
+    e = dsig.select(
+        F.col("doc_id").alias("edoc"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(_MH_K)]
+    )
+    md = (
+        dpairs.join(a, "ddoc")
+        .join(e, "edoc")
+        .where(_lsh_nmatch("a", "b") >= _LSH_MATCH)
+        .select(F.col("ddoc").alias("doc_id"))
+        .distinct()
+        .withColumn("in_delta", F.lit(True))
+    )
+    verdicts = (
+        dsig.select("doc_id")
+        .join(mb, "doc_id", "left")
+        .join(md, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_base"), F.lit("dup_of_base"))
+            .when(F.col("in_delta"), F.lit("dup_in_delta"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )
+    return verdicts, dsig
+
+
+def _lsh_verdict_agg(v: DataFrame) -> DataFrame:
+    """Membership-pinning aggregate: counts alone would let two wrong
+    verdicts cancel; sum/min/max of doc_id pin the member sets."""
+    return v.groupBy("verdict").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def _lsh_corpus_split(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    b = docs.withColumn("b", F.expr(_INC_BUCKET_SPARK))
+    return (
+        b.where("b < 8").select("doc_id", "text"),
+        b.where("b = 8").select("doc_id", "text"),
+        b.where("b = 9").select("doc_id", "text"),
+    )
+
+
+def _lsh_delta1(base: DataFrame, f1: DataFrame) -> DataFrame:
+    """Synthesized crawl batch #1 (the dedup_incremental_batch recipe,
+    near-dup flavored): fresh docs, exact re-crawls of base pages, NEAR
+    re-crawls (one token appended — shingle-tail churn only, so the
+    signature stays ≥ {_LSH_MATCH}/16 with overwhelming probability and
+    BOTH engines compute the identical outcome either way), and
+    double-fetches within the batch."""
+    return (
+        f1.unionAll(
+            base.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            base.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat("text", F.lit(" zzrecrawl")).alias("text"),
+            )
+        )
+        .unionAll(
+            f1.where(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+
+def _lsh_delta2(base: DataFrame, f2: DataFrame, new1: DataFrame) -> DataFrame:
+    """Crawl batch #2 — the append-discriminating batch: its near
+    re-crawls target batch #1's ``new`` docs, which exist ONLY as
+    appended index rows; a broken append classifies them ``new`` and
+    breaks the oracle hash."""
+    return (
+        f2.unionAll(
+            base.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            new1.where(F.col("doc_id") % 2 == 0).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.concat("text", F.lit(" zzsecond")).alias("text"),
+            )
+        )
+        .unionAll(
+            f2.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 6000000).alias("doc_id"), "text"
+            )
+        )
+    )
+
+
+def _lsh_sig_sql(src: str) -> str:
+    return (
+        f"SELECT doc_id, {_mh_exprs_duck()} FROM ("
+        f"SELECT doc_id, {duck_tid_sql('shingle', _MH_P)} AS tid FROM ("
+        f"SELECT doc_id, unnest({duck_shingles_sql('toks')}) AS shingle FROM ("
+        f"SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM {src}))) GROUP BY doc_id"
+    )
+
+
+def _lsh_bands_sql(sig: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS bk, {i} AS band FROM {sig}"
+        for i, band in enumerate(_band_cols())
+    )
+
+
+def _lsh_match_sql(a: str, b: str) -> str:
+    s = " + ".join(
+        f"CASE WHEN {a}.h{i} = {b}.h{i} THEN 1 ELSE 0 END" for i in range(_MH_K)
+    )
+    return f"({s}) >= {_LSH_MATCH}"
+
+
+def _lsh_verdict_ctes(p: str, dsig: str, dbands: str, xsig: str, xbands: str) -> str:
+    """CTE chain ending in ``{p}_v (doc_id, verdict)`` — the DuckDB twin
+    of :func:`lsh_serve` (index joins + within-batch first-seen)."""
+    return f"""
+    {p}_cand AS (
+      SELECT DISTINCT d.doc_id AS ddoc, x.doc_id AS xdoc
+      FROM {dbands} d JOIN {xbands} x ON d.band = x.band AND d.bk = x.bk),
+    {p}_mb AS (
+      SELECT DISTINCT c.ddoc AS doc_id
+      FROM {p}_cand c
+      JOIN {dsig} a ON a.doc_id = c.ddoc
+      JOIN {xsig} b ON b.doc_id = c.xdoc
+      WHERE {_lsh_match_sql('a', 'b')}),
+    {p}_dp AS (
+      SELECT DISTINCT q.doc_id AS ddoc, pp.doc_id AS edoc
+      FROM {dbands} pp JOIN {dbands} q
+        ON pp.band = q.band AND pp.bk = q.bk AND pp.doc_id < q.doc_id),
+    {p}_md AS (
+      SELECT DISTINCT g.ddoc AS doc_id
+      FROM {p}_dp g
+      JOIN {dsig} a ON a.doc_id = g.ddoc
+      JOIN {dsig} b ON b.doc_id = g.edoc
+      WHERE {_lsh_match_sql('a', 'b')}),
+    {p}_v AS (
+      SELECT s.doc_id,
+             CASE WHEN mb.doc_id IS NOT NULL THEN 'dup_of_base'
+                  WHEN md.doc_id IS NOT NULL THEN 'dup_in_delta'
+                  ELSE 'new' END AS verdict
+      FROM {dsig} s
+      LEFT JOIN {p}_mb mb ON mb.doc_id = s.doc_id
+      LEFT JOIN {p}_md md ON md.doc_id = s.doc_id)"""
+
+
+_LSH_CORPUS_SQL = f"""
+    b AS (SELECT doc_id, text, {_INC_BUCKET_DUCK} AS b FROM documents),
+    base AS (SELECT doc_id, text FROM b WHERE b < 8),
+    f1 AS (SELECT doc_id, text FROM b WHERE b = 8),
+    f2 AS (SELECT doc_id, text FROM b WHERE b = 9),
+    delta1 AS (
+      SELECT doc_id, text FROM f1
+      UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id % 7 = 0
+      UNION ALL SELECT doc_id + 2000000, text || ' zzrecrawl' FROM base
+        WHERE doc_id % 11 = 0
+      UNION ALL SELECT doc_id + 3000000, text FROM f1 WHERE doc_id % 3 = 0),
+    xsig AS ({_lsh_sig_sql('base')}),
+    xbands AS ({_lsh_bands_sql('xsig')}),
+    dsig1 AS ({_lsh_sig_sql('delta1')}),
+    dbands1 AS ({_lsh_bands_sql('dsig1')})"""
+
+_LSH_AGG_SQL = """
+    SELECT verdict,
+           COUNT(*)                      AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT)   AS sum_doc_id,
+           MIN(doc_id)                   AS min_doc_id,
+           MAX(doc_id)                   AS max_doc_id
+    FROM {v} GROUP BY verdict"""
+
+
+@register(
+    "dedup_lsh_persist_serve",
+    oracle=f"""
+    WITH {_LSH_CORPUS_SQL},
+    {_lsh_verdict_ctes('s1', 'dsig1', 'dbands1', 'xsig', 'xbands')}
+    {_LSH_AGG_SQL.format(v='s1_v')}
+    """,
+)
+def dedup_lsh_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup index lifecycle, part 1 — build the MinHash band index
+    from the base corpus (80% bucket split), PERSIST it as parquet
+    (signatures + band-partitioned bucket keys), then dedup a
+    synthesized crawl batch against the persisted form ALONE: the serve
+    plan reads the index tables and the delta — never the base corpus
+    (plan-pinned).  The oracle rebuilds the whole thing from scratch in
+    DuckDB, so a stale index row, a lost band, or a wrong partition
+    mapping breaks the value hash.
+
+    At 100 TB: the index is 16×8 B/doc + 4 narrow band rows/doc; each
+    crawl batch pays one delta-sized signature pass and two
+    index-partitioned joins.  Verdict classes all non-vacuous by
+    synthesis: ``dup_of_base`` (exact + near re-crawls), ``dup_in_delta``
+    (double-fetches, keeper = min doc_id), ``new``."""
+    from dataframework_spark.sources.io import _scratch
+
+    base_docs, f1, _ = _lsh_corpus_split(spark, sf_dir)
+    path = _scratch(sf_dir, "lsh_index")
+    lsh_index_build(spark, base_docs, path)
+    verdicts, _ = lsh_serve(spark, path, _lsh_delta1(base_docs, f1))
+    return _lsh_verdict_agg(verdicts)
+
+
+@register(
+    "dedup_lsh_incremental_append",
+    oracle=f"""
+    WITH {_LSH_CORPUS_SQL},
+    {_lsh_verdict_ctes('s1', 'dsig1', 'dbands1', 'xsig', 'xbands')},
+    new1 AS (
+      SELECT d.doc_id, d.text FROM delta1 d
+      JOIN s1_v v ON v.doc_id = d.doc_id WHERE v.verdict = 'new'),
+    xsig2 AS (
+      SELECT * FROM xsig
+      UNION ALL SELECT s.* FROM dsig1 s JOIN new1 n ON n.doc_id = s.doc_id),
+    xbands2 AS ({_lsh_bands_sql('xsig2')}),
+    delta2 AS (
+      SELECT doc_id, text FROM f2
+      UNION ALL SELECT doc_id + 4000000, text FROM base WHERE doc_id % 13 = 0
+      UNION ALL SELECT doc_id + 5000000, text || ' zzsecond' FROM new1
+        WHERE doc_id % 2 = 0
+      UNION ALL SELECT doc_id + 6000000, text FROM f2 WHERE doc_id % 5 = 0),
+    dsig2 AS ({_lsh_sig_sql('delta2')}),
+    dbands2 AS ({_lsh_bands_sql('dsig2')}),
+    {_lsh_verdict_ctes('s2', 'dsig2', 'dbands2', 'xsig2', 'xbands2')}
+    {_LSH_AGG_SQL.format(v='s2_v')}
+    """,
+)
+def dedup_lsh_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup index lifecycle, part 2 — the ingest loop: build + persist
+    the base index, serve crawl batch #1, APPEND batch #1's ``new``
+    signatures into the persisted index (no retrain, no corpus access —
+    MinHash permutations are frozen by construction), then serve crawl
+    batch #2 against the appended index.
+
+    The oracle rebuilds the FINAL index state from scratch (base ∪
+    batch-1-new) in DuckDB and serves batch #2 over it — so the
+    registered result hash-proves **append-then-serve ≡
+    rebuild-then-serve**, the invariant every incremental index must
+    satisfy (the ``sim_ivfpq_incremental_append`` discipline).  Batch #2
+    plants near re-crawls of batch #1's ``new`` docs specifically: those
+    exist only as appended rows, so a lost or corrupted append flips
+    their verdict to ``new`` and breaks the hash."""
+    from dataframework_spark.sources.io import _scratch
+
+    base_docs, f1, f2 = _lsh_corpus_split(spark, sf_dir)
+    path = _scratch(sf_dir, "lsh_index_inc")
+    lsh_index_build(spark, base_docs, path)
+    delta1 = _lsh_delta1(base_docs, f1)
+    v1, dsig1 = lsh_serve(spark, path, delta1)
+    new_ids = v1.where(F.col("verdict") == "new").select("doc_id")
+    lsh_index_append(spark, dsig1.join(new_ids, "doc_id"), path)
+    new_docs = delta1.join(new_ids, "doc_id")
+    v2, _ = lsh_serve(spark, path, _lsh_delta2(base_docs, f2, new_docs))
+    return _lsh_verdict_agg(v2)
