@@ -1,8 +1,9 @@
 """Scale probe of the r10 multimodal newcomers (the per-round discipline
 since r5: every round's heaviest newcomers get a measured scale row).
 
-``mm_tiff_decode``, ``mm_flac_decode`` and the eight-way
-``mm_decode_router`` are embarrassingly parallel Arrow mapInPandas
+``mm_tiff_decode``, ``mm_flac_decode``, ``mm_jpeg_color_decode`` and
+the nine-way ``mm_decode_router`` are embarrassingly parallel Arrow
+mapInPandas
 decodes — probed at 1000x on the cached .scratch/scale1000x replica
 (per-doc decode, no pair expansion, duplication harmless).  TIFF and
 FLAC are the heaviest per-doc codecs in the tier (up to 48×32 px over
@@ -41,7 +42,7 @@ OUT = os.path.join(
     "SCALEPROBE_R10OPS_r10.json",
 )
 
-PROBE = ["mm_tiff_decode", "mm_flac_decode", "mm_decode_router"]
+PROBE = ["mm_tiff_decode", "mm_flac_decode", "mm_jpeg_color_decode", "mm_decode_router"]
 
 
 def timed(spark, name: str, sf_dir: str) -> float:
