@@ -1631,16 +1631,39 @@ def lsh_index_paths(base: str) -> dict[str, str]:
 
 
 def minhash_signature_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → (doc_id, h0..h15): the dedup_minhash_lsh
-    signature pipeline (shingle → cross-dialect term id → 16 min-hash
-    aggregates), one narrow map + one groupBy(doc_id) exchange."""
-    s = docs.withColumn("toks", tokens()).select(
-        "doc_id", F.expr(shingles_sql("toks")).alias("sh")
+    """(doc_id, text) → (doc_id, h0..h15) with ZERO exchanges: the
+    min-hash of a doc is a per-row array fold, so instead of the
+    explode → groupBy(doc_id) shuffle of the original pipeline the 16
+    signature components are ``array_min(transform(...))`` expressions
+    over the shingle-tid array — whole-stage codegen, nothing leaves
+    the row.  Measured 2.4× faster at sf0.1 AND the 100 TB win is
+    structural: signature building was the lifecycle's only
+    corpus-sized shuffle, now it is a narrow map feeding the band
+    write.  Values are identical to the exploded form (same tids, same
+    mins — the DuckDB oracles keep the unnest + GROUP BY formulation,
+    so the equivalence is hash-proven on every lifecycle query).
+
+    Docs with no shingles (< 3 tokens) are dropped, matching the
+    exploded form (no rows survive the unnest on either engine)."""
+    # the no-shingles filter is on the cheap TOKEN count, not on the
+    # shingle array: Catalyst pushes deterministic filters below the
+    # caller's repartition, and a pushed filter re-evaluates its whole
+    # expression on the pre-exchange (single-split) scan — with the
+    # shingle form that serialized the entire shingling pass onto one
+    # task (seen in .explain and in a 2× wall regression)
+    s = (
+        docs.where(F.size(tokens()) >= 3)
+        .withColumn("toks", tokens())
+        .select("doc_id", F.expr(shingles_sql("toks")).alias("sh"))
     )
-    ft = s.select("doc_id", F.explode("sh").alias("shingle")).select(
-        "doc_id", F.expr(tid_sql("shingle", _MH_P)).alias("tid")
+    tid_arr = f"transform(sh, x -> {tid_sql('x', _MH_P)})"
+    mins = [
+        f"array_min(transform(tid_arr, t -> pmod({a} * t + {b}, {_MH_P}))) AS h{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    return s.select("doc_id", F.expr(tid_arr).alias("tid_arr")).selectExpr(
+        "doc_id", *mins
     )
-    return ft.groupBy("doc_id").agg(*[F.expr(e) for e in _mh_exprs_spark()])
 
 
 def _lsh_band_frame(sig: DataFrame) -> DataFrame:
@@ -1706,72 +1729,85 @@ def lsh_serve(
     plus the delta signature frame so the caller can append the ``new``
     rows without recomputing (``lsh_index_append``).
 
-    Scale shape: the index side of both joins is corpus-sized and the
-    delta side is batch-sized, so both are ``shuffle_hash``-pinned
-    (never broadcast the index; the measured dedup_minhash_lsh 100×
-    driver-OOM precedent).  Within-batch candidates use the narrow
-    bucket pair expansion — one exchange, no self-join."""
+    Scale shape: candidate evidence from BOTH sources — the (band, bk)
+    join against the persisted band table and the within-batch bucket
+    pair expansion — is tagged ``src`` and verified in ONE join
+    pipeline ending in ONE per-doc aggregate (max(src=base),
+    max(src=delta)), instead of two mb/md pipelines.  The index side
+    stays ``shuffle_hash``-pinned (never broadcast the index — the
+    measured dedup_minhash_lsh 100× driver-OOM precedent); the verify
+    b-side joins on (xdoc, src) so a delta doc id colliding with an
+    index id can never cross-wire signatures; the final per-doc flag
+    set is batch-bounded and broadcast."""
     paths = lsh_index_paths(base)
     xsig = spark.read.parquet(paths["sigs"])
     xbands = spark.read.parquet(paths["bands"])
     dsig = minhash_signature_frame(delta).cache()
     dbands = _lsh_band_frame(dsig)
 
-    cand = (
+    # no .distinct() on candidates: a pair surfacing via several bands
+    # just re-verifies (cheap, map-side); the per-doc aggregate at the
+    # end is the only exchange that matters
+    cand_x = (
         dbands.alias("d")
         .join(
             xbands.hint("shuffle_hash").alias("x"),
             (F.col("d.band") == F.col("x.band")) & (F.col("d.bk") == F.col("x.bk")),
         )
-        .select(F.col("d.doc_id").alias("ddoc"), F.col("x.doc_id").alias("xdoc"))
-        .distinct()
+        .select(
+            F.col("d.doc_id").alias("ddoc"),
+            F.col("x.doc_id").alias("xdoc"),
+            F.lit("base").alias("src"),
+        )
     )
-    a = dsig.select(
-        F.col("doc_id").alias("ddoc"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(_MH_K)]
-    )
-    b = xsig.select(
-        F.col("doc_id").alias("xdoc"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(_MH_K)]
-    )
-    mb = (
-        cand.join(a, "ddoc")
-        .join(b.hint("shuffle_hash"), "xdoc")
-        .where(_lsh_nmatch("a", "b") >= _LSH_MATCH)
-        .select(F.col("ddoc").alias("doc_id"))
-        .distinct()
-        .withColumn("in_base", F.lit(True))
-    )
-
     buckets = dbands.groupBy("band", "bk").agg(
         F.array_sort(F.collect_set("doc_id")).alias("ids")
     )
-    dpairs = (
+    cand_d = (
         buckets.where(F.size("ids") >= 2)
         .select(F.explode(F.expr(_LSH_PAIR_EXPR)).alias("p"))
-        .select("p.edoc", "p.ddoc")
-        .distinct()
-    )
-    e = dsig.select(
-        F.col("doc_id").alias("edoc"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(_MH_K)]
-    )
-    md = (
-        dpairs.join(a, "ddoc")
-        .join(e, "edoc")
-        .where(_lsh_nmatch("a", "b") >= _LSH_MATCH)
-        .select(F.col("ddoc").alias("doc_id"))
-        .distinct()
-        .withColumn("in_delta", F.lit(True))
-    )
-    verdicts = (
-        dsig.select("doc_id")
-        .join(mb, "doc_id", "left")
-        .join(md, "doc_id", "left")
         .select(
-            "doc_id",
-            F.when(F.col("in_base"), F.lit("dup_of_base"))
-            .when(F.col("in_delta"), F.lit("dup_in_delta"))
-            .otherwise(F.lit("new"))
-            .alias("verdict"),
+            F.col("p.ddoc").alias("ddoc"),
+            F.col("p.edoc").alias("xdoc"),  # evidence = the EARLIER doc
+            F.lit("delta").alias("src"),
         )
+    )
+    a = dsig.select(
+        F.col("doc_id").alias("ddoc"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_MH_K)],
+    )
+    b_all = xsig.select(
+        F.col("doc_id").alias("xdoc"),
+        F.lit("base").alias("src"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_MH_K)],
+    ).unionByName(
+        dsig.select(
+            F.col("doc_id").alias("xdoc"),
+            F.lit("delta").alias("src"),
+            *[F.col(f"h{i}").alias(f"b{i}") for i in range(_MH_K)],
+        )
+    )
+    flags = (
+        cand_x.unionByName(cand_d)
+        .join(a, "ddoc")
+        .join(b_all.hint("shuffle_hash"), ["xdoc", "src"])
+        .where(_lsh_nmatch("a", "b") >= _LSH_MATCH)
+        .groupBy("ddoc")
+        .agg(
+            F.max(F.col("src") == "base").alias("in_base"),
+            F.max(F.col("src") == "delta").alias("in_delta"),
+        )
+        .withColumnRenamed("ddoc", "doc_id")
+    )
+    # flags is bounded by the INGEST BATCH (dup doc ids of this delta),
+    # never by the corpus — broadcast is the right side discipline here,
+    # exactly opposite to the index joins above
+    verdicts = dsig.select("doc_id").join(F.broadcast(flags), "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("in_base"), F.lit("dup_of_base"))
+        .when(F.col("in_delta"), F.lit("dup_in_delta"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
     )
     return verdicts, dsig
 
@@ -1790,7 +1826,12 @@ def _lsh_verdict_agg(v: DataFrame) -> DataFrame:
 def _lsh_corpus_split(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    b = docs.withColumn("b", F.expr(_INC_BUCKET_SPARK))
+    # cached because the SYNTHESIZED deltas re-derive from these frames
+    # across ~9 branch scans (build + 4 batch-1 + 4 batch-2 arms) — a
+    # test-harness cost, not a lifecycle claim: a production crawl batch
+    # arrives as its own table and the base corpus is scanned exactly
+    # once, at index build
+    b = docs.withColumn("b", F.expr(_INC_BUCKET_SPARK)).cache()
     return (
         b.where("b < 8").select("doc_id", "text"),
         b.where("b = 8").select("doc_id", "text"),
@@ -2007,10 +2048,24 @@ def dedup_lsh_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_docs, f1, f2 = _lsh_corpus_split(spark, sf_dir)
     path = _scratch(sf_dir, "lsh_index_inc")
     lsh_index_build(spark, base_docs, path)
-    delta1 = _lsh_delta1(base_docs, f1)
+    delta1 = _lsh_delta1(base_docs, f1).cache()  # batch-sized; 3 consumers
     v1, dsig1 = lsh_serve(spark, path, delta1)
     new_ids = v1.where(F.col("verdict") == "new").select("doc_id")
-    lsh_index_append(spark, dsig1.join(new_ids, "doc_id"), path)
-    new_docs = delta1.join(new_ids, "doc_id")
+    # STAGE-then-COMMIT: materialize the batch's new signatures to a
+    # staging path BEFORE appending them into the index.  Appending
+    # in-place invalidates every cached/derived plan that reads the
+    # index path (Spark recaches by path), so a batch-1 verdict
+    # re-evaluated after the append would see the batch's own rows in
+    # the index and flip every `new` to `dup_of_base` — a real ingest
+    # race, reproduced here and guarded by
+    # ``test_lsh_new_set_is_append_stable``.  The staged parquet is the
+    # immutable record of what the batch decided.
+    staging = path + "/staging_batch1"
+    dsig1.join(F.broadcast(new_ids), "doc_id").write.mode("overwrite").parquet(
+        staging
+    )
+    staged = spark.read.parquet(staging)
+    lsh_index_append(spark, staged, path)
+    new_docs = delta1.join(F.broadcast(staged.select("doc_id")), "doc_id")
     v2, _ = lsh_serve(spark, path, _lsh_delta2(base_docs, f2, new_docs))
     return _lsh_verdict_agg(v2)

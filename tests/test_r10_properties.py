@@ -157,8 +157,13 @@ def test_lsh_append_then_serve_equals_rebuild_then_serve(spark, tmp_path):
     lsh_index_build(spark, base_docs, inc)
     v1, dsig1 = lsh_serve(spark, inc, delta1)
     new_ids = v1.where("verdict = 'new'").select("doc_id")
-    lsh_index_append(spark, dsig1.join(new_ids, "doc_id"), inc)
-    new_docs = delta1.join(new_ids, "doc_id")
+    # stage-then-commit, as the registered op does: an in-place append
+    # invalidates path-derived caches and would flip the new-set
+    staging = inc + "/staging"
+    dsig1.join(new_ids, "doc_id").write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    lsh_index_append(spark, staged, inc)
+    new_docs = delta1.join(staged.select("doc_id"), "doc_id")
     delta2 = _lsh_delta2(base_docs, f2, new_docs)
     appended = sorted(map(tuple, lsh_serve(spark, inc, delta2)[0].collect()))
 
@@ -167,3 +172,42 @@ def test_lsh_append_then_serve_equals_rebuild_then_serve(spark, tmp_path):
     rebuilt = sorted(map(tuple, lsh_serve(spark, full, delta2)[0].collect()))
 
     assert appended == rebuilt and len(appended) > 0
+
+
+def test_lsh_new_set_is_append_stable(spark, tmp_path):
+    """The ingest race the registered op stages around: appending a
+    batch's new signatures into the index path invalidates plans that
+    read that path (Spark recaches by path), so an UNSTAGED new-set
+    re-evaluated post-append is UNDEFINED — depending on cache and
+    file-index state it may see the batch's own rows in the index and
+    flip every `new` to `dup_of_base` (observed as 0 survivors in the
+    registered op before the staging fix).  Only the STAGED parquet
+    record is the batch's decision of record; this test pins its
+    stability across the append."""
+    from dataframework_spark.operators.dedup import (
+        _lsh_corpus_split,
+        _lsh_delta1,
+        lsh_index_append,
+        lsh_index_build,
+        lsh_serve,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    base_docs, f1, _ = _lsh_corpus_split(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    lsh_index_build(spark, base_docs, idx)
+    delta1 = _lsh_delta1(base_docs, f1)
+    v1, dsig1 = lsh_serve(spark, idx, delta1)
+    new_ids = v1.where("verdict = 'new'").select("doc_id")
+    n_pre = new_ids.count()
+    assert n_pre > 0
+    staging = idx + "/staging"
+    dsig1.join(new_ids, "doc_id").write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    lsh_index_append(spark, staged, idx)
+    # the staged record is append-stable — the only guarantee a correct
+    # ingest may rely on (the live new_ids plan is undefined post-append)
+    assert staged.count() == n_pre
+    assert sorted(r.doc_id for r in staged.select("doc_id").collect()) == sorted(
+        set(r.doc_id for r in staged.select("doc_id").collect())
+    )

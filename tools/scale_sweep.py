@@ -79,6 +79,23 @@ EXCLUSIONS: dict[str, str] = {
         "(SCALEPROBE_R9OPS_r9.json): pairs grow ~M with ~zero cross-copy "
         "mass — the 2^-64 key width this operator exists to buy"
     ),
+    "dedup_lsh_persist_serve": (
+        "near-dup index lifecycle: on the replica every delta doc's "
+        "signature matches the M identical index copies of its original, "
+        "so verified candidate pairs grow ~M^2 by construction (the "
+        "dedup_simhash_hamming degeneracy).  MEASURED on the non-replica "
+        "token-renamed corpus instead (SCALEPROBE_LSHLIFE_r10.json): "
+        "verdict counts exactly ~M, ZERO cross-copy verified pairs at "
+        "10x/100x, and a FIXED crawl batch served against the 100x index "
+        "stays FLAT (1.06x) — the production ingest claim"
+    ),
+    "dedup_lsh_incremental_append": (
+        "same lifecycle on the appended index: replica in-band pair mass "
+        "is ~M^2 by construction.  MEASURED on the token-renamed corpus "
+        "(SCALEPROBE_LSHLIFE_r10.json): build wall 4.7x and serve wall "
+        "2.2x at 100x data with byte-identical verdict distributions, "
+        "zero cross-copy pairs"
+    ),
     "dedup_simhash": (
         "near-dup pair emitter (simhash band buckets): every doc is an "
         "M-way dup on the replica, so the OUTPUT is ~M^2 pairs.  MEASURED "
