@@ -771,3 +771,235 @@ def stream_watermark_finalization(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("n", F.lit(0)).alias("n_emitted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ST13 — streaming crawl-dedup ingest over the persisted LSH index (r10)
+# ---------------------------------------------------------------------------
+#
+# The batch lifecycle (`dedup_lsh_persist_serve` / `_incremental_append`)
+# run as a STREAM: crawl batches arrive as files, each microbatch is
+# deduped against the persisted MinHash band index inside foreachBatch
+# (serve → record verdicts → stage → append the batch's new signatures),
+# so the index the NEXT batch sees includes everything this batch added.
+# The order-sensitive synthesis proves the appends happen between
+# batches: every crawl batch k ≥ 1 carries near re-crawls of batch
+# k−1's fresh docs — those match ONLY appended rows, so a stream that
+# forgot to append (or appended late) classifies them `new` and breaks
+# the oracle hash, which replays the four batches sequentially in
+# DuckDB from scratch.
+
+_LSH_STREAM_BATCHES = 4
+_LSH_STREAM_TAG_SPARK = (
+    "cast(conv(substring(md5(concat('31:', cast(doc_id as string))), 1, 15),"
+    f" 16, 10) as bigint) % {_LSH_STREAM_BATCHES}"
+)
+_LSH_STREAM_TAG_DUCK = (
+    "CAST('0x' || substr(md5('31:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    f" AS BIGINT) % {_LSH_STREAM_BATCHES}"
+)
+
+
+def _lsh_crawl_stream_rows(base: DataFrame, f1: DataFrame) -> DataFrame:
+    """The 4-batch crawl synthesis (doc_id, text, tag): fresh docs land
+    in the batch their md5 tag selects; exact re-crawls of base pages
+    are dup_of_base whenever they arrive; batch k's near re-crawls of
+    batch k−1 fresh docs (tag+1, token appended) are the ORDER proof;
+    double-fetches within a batch are dup_in_delta."""
+    tag = F.expr(_LSH_STREAM_TAG_SPARK)
+    return (
+        f1.select("doc_id", "text", tag.alias("tag"))
+        .unionByName(
+            base.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text", tag.alias("tag")
+            )
+        )
+        .unionByName(
+            f1.where(tag < _LSH_STREAM_BATCHES - 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat("text", F.lit(" zzrebatch")).alias("text"),
+                (tag + 1).alias("tag"),
+            )
+        )
+        .unionByName(
+            f1.where(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text", tag.alias("tag")
+            )
+        )
+    )
+
+
+def _lsh_stream_oracle() -> str:
+    """DuckDB replay of the whole streamed ingest: base index, then four
+    sequential serve+append rounds, each against the index state the
+    previous rounds left — composed from the dedup module's CTE
+    builders so the SQL stays in lockstep with the batch lifecycle."""
+    from dataframework_spark.operators.dedup import (
+        _INC_BUCKET_DUCK,
+        _lsh_bands_sql,
+        _lsh_sig_sql,
+        _lsh_verdict_ctes,
+    )
+
+    parts = [
+        f"b AS (SELECT doc_id, text, {_INC_BUCKET_DUCK} AS b FROM documents)",
+        "base AS (SELECT doc_id, text FROM b WHERE b < 8)",
+        "f1 AS (SELECT doc_id, text FROM b WHERE b = 8)",
+        f"""crawl AS (
+          SELECT doc_id, text, {_LSH_STREAM_TAG_DUCK} AS tag FROM f1
+          UNION ALL
+          SELECT doc_id + 1000000, text, {_LSH_STREAM_TAG_DUCK} AS tag
+          FROM base WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, text || ' zzrebatch',
+                 {_LSH_STREAM_TAG_DUCK} + 1 AS tag
+          FROM f1 WHERE {_LSH_STREAM_TAG_DUCK} < {_LSH_STREAM_BATCHES - 1}
+          UNION ALL
+          SELECT doc_id + 3000000, text, {_LSH_STREAM_TAG_DUCK} AS tag
+          FROM f1 WHERE doc_id % 3 = 0)""",
+        f"xsig0 AS ({_lsh_sig_sql('base')})",
+        f"xbands0 AS ({_lsh_bands_sql('xsig0')})",
+    ]
+    finals = []
+    for k in range(_LSH_STREAM_BATCHES):
+        parts.append(
+            f"c{k} AS (SELECT doc_id, text FROM crawl WHERE tag = {k})"
+        )
+        parts.append(f"dsig{k} AS ({_lsh_sig_sql(f'c{k}')})")
+        parts.append(f"dbands{k} AS ({_lsh_bands_sql(f'dsig{k}')})")
+        # _lsh_verdict_ctes returns a leading-comma-free CTE chain
+        parts.append(
+            _lsh_verdict_ctes(
+                f"s{k}", f"dsig{k}", f"dbands{k}", f"xsig{k}", f"xbands{k}"
+            ).strip().lstrip()
+        )
+        if k < _LSH_STREAM_BATCHES - 1:
+            parts.append(
+                f"""xsig{k + 1} AS (
+              SELECT * FROM xsig{k}
+              UNION ALL
+              SELECT s.* FROM dsig{k} s
+              JOIN s{k}_v v ON v.doc_id = s.doc_id AND v.verdict = 'new')"""
+            )
+            parts.append(f"xbands{k + 1} AS ({_lsh_bands_sql(f'xsig{k + 1}')})")
+        finals.append(
+            f"SELECT {k} AS batch, verdict, doc_id FROM s{k}_v"
+        )
+    body = " UNION ALL ".join(finals)
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and the
+    # four-round chain (each round's verdicts referencing the previous
+    # round's index union, each band table fanning out 4 arms) explodes
+    # combinatorially when inlined — the un-materialized form did not
+    # finish at sf0.01; materialized it runs in seconds
+    import re as _re
+
+    with_body = ", ".join(parts)
+    with_body = _re.sub(r"(\w+) AS \(", r"\1 AS MATERIALIZED (", with_body)
+    return f"""
+    WITH {with_body}
+    SELECT CAST(batch AS BIGINT) AS batch, verdict,
+           COUNT(*)                    AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           MIN(doc_id)                 AS min_doc_id,
+           MAX(doc_id)                 AS max_doc_id
+    FROM ({body}) GROUP BY batch, verdict
+    """
+
+
+@register("stream_lsh_ingest", oracle=_lsh_stream_oracle())
+def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-dedup ingest: the persisted-LSH-index lifecycle
+    run as a real multi-microbatch stream.  Four crawl batches are
+    staged as one file each and streamed one file per trigger; every
+    microbatch is served against the persisted index inside
+    ``foreachBatch`` (verdicts recorded per batch), its ``new``
+    signatures staged to an immutable record and APPENDED — so batch
+    k's near re-crawls of batch k−1's fresh docs (the +2000000 arm)
+    match ONLY rows appended one trigger earlier.  The oracle replays
+    the four rounds sequentially in DuckDB from scratch: an ingest that
+    drops, reorders, or forgets an append flips that arm's verdicts and
+    breaks the hash.
+
+    Determinism discipline: the four batch files are written
+    sequentially (monotone mod-times drive the file source's order) AND
+    the handler processes any trigger's rows grouped by their own batch
+    tag in ascending order, so trigger packing cannot reorder the
+    ingest.  Scratch results + index are rebuilt from zero each run
+    (static overwrite truncates the band partitions), so the run is a
+    pure function of the corpus — what the oracle comparison needs.
+
+    At 100 TB this is the production shape: the corpus is scanned once
+    at index build; each arriving batch pays one batch-sized signature
+    pass + two index-partitioned joins + a batch-sized append; nothing
+    rescans, and state lives in the index files, not executor memory."""
+    import shutil
+
+    from dataframework_spark.operators.dedup import (
+        _lsh_corpus_split,
+        _lsh_verdict_agg,
+        lsh_index_append,
+        lsh_index_build,
+        lsh_serve,
+    )
+    from dataframework_spark.sources.io import _scratch
+
+    base_docs, f1, _ = _lsh_corpus_split(spark, sf_dir)
+    idx = _scratch(sf_dir, "lsh_stream_idx")
+    crawl_path = _scratch(sf_dir, "lsh_stream_crawl")
+    results = _scratch(sf_dir, "lsh_stream_results")
+    shutil.rmtree(crawl_path, ignore_errors=True)
+    shutil.rmtree(results, ignore_errors=True)
+    shutil.rmtree(idx, ignore_errors=True)
+
+    lsh_index_build(spark, base_docs, idx)
+    crawl = _lsh_crawl_stream_rows(base_docs, f1)
+    for k in range(_LSH_STREAM_BATCHES):  # one file per batch, in order
+        crawl.where(F.col("tag") == k).coalesce(1).write.mode("append").parquet(
+            crawl_path
+        )
+
+    schema = spark.read.parquet(crawl_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(crawl_path)
+    )
+
+    def _ingest(bdf: DataFrame, batch_id: int) -> None:
+        tags = sorted(r.tag for r in bdf.select("tag").distinct().collect())
+        for tag in tags:  # tag-ordered even if a trigger packs 2 files
+            docs = bdf.where(F.col("tag") == tag).select("doc_id", "text")
+            verdicts, dsig = lsh_serve(spark, idx, docs)
+            # batch-sized; consumed by BOTH the staging write and the
+            # results write — uncached each would re-run the serve DAG
+            verdicts = verdicts.cache()
+            staging = idx + f"/staging_b{tag}"
+            new_ids = verdicts.where(F.col("verdict") == "new").select("doc_id")
+            dsig.join(F.broadcast(new_ids), "doc_id").write.mode(
+                "overwrite"
+            ).parquet(staging)
+            staged = spark.read.parquet(staging)
+            verdicts.withColumn("batch", F.lit(int(tag)).cast("bigint")).write.mode(
+                "append"
+            ).parquet(results)
+            lsh_index_append(spark, staged, idx)
+            verdicts.unpersist()
+            dsig.unpersist()
+
+    q = stream.writeStream.foreachBatch(_ingest).trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    back = spark.read.parquet(results)
+    return (
+        back.groupBy("batch", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -211,3 +211,16 @@ def test_lsh_new_set_is_append_stable(spark, tmp_path):
     assert sorted(r.doc_id for r in staged.select("doc_id").collect()) == sorted(
         set(r.doc_id for r in staged.select("doc_id").collect())
     )
+
+
+def test_stream_lsh_ingest_is_reprocess_deterministic(spark):
+    """The streamed ingest rebuilds its index + results from zero each
+    run (fresh checkpoint, static-overwrite build), so running it twice
+    must produce identical verdict aggregates — the property the
+    oracle's sequential replay depends on."""
+    from dataframework_spark.streaming import stream_lsh_ingest
+
+    sf_dir = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, stream_lsh_ingest(spark, sf_dir).collect()))
+    b = sorted(map(tuple, stream_lsh_ingest(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0

@@ -96,6 +96,15 @@ EXCLUSIONS: dict[str, str] = {
         "2.2x at 100x data with byte-identical verdict distributions, "
         "zero cross-copy pairs"
     ),
+    "stream_lsh_ingest": (
+        "streaming composition of lsh_serve/append: replica in-band "
+        "pair mass is ~M^2 by construction (see dedup_lsh_persist_serve) "
+        "and four sequential serve rounds multiply it.  The composed "
+        "stages are MEASURED on the non-replica token-renamed corpus in "
+        "SCALEPROBE_LSHLIFE_r10.json (verdicts ~M, zero cross-copy, "
+        "fixed batch flat vs the 100x index); the stream adds only "
+        "per-trigger orchestration on top"
+    ),
     "dedup_simhash": (
         "near-dup pair emitter (simhash band buckets): every doc is an "
         "M-way dup on the replica, so the OUTPUT is ~M^2 pairs.  MEASURED "
