@@ -554,7 +554,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab rewrite, so fit AND transform are value-hash-checked
     end-to-end."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    merges = text_bpe_merges(spark, sf_dir).orderBy("round").collect()  # 8 rows
+    merges = text_bpe_merges(spark, sf_dir).orderBy("round").collect()  # bounded: 8 merge rounds
     vocab = (
         docs.select(F.explode(tokens()).alias("word"))
         .where(F.length("word") > 0)

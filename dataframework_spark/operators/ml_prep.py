@@ -748,7 +748,7 @@ def power_iteration_pc1(
         df.select(F.posexplode(x).alias("dim", "v"))
         .groupBy("dim")
         .agg(F.avg("v").alias("mu"))
-        .collect()
+        .collect()  # bounded: one row per embedding dim (d rows)
     )
     mu = [0.0] * d
     for r in mu_rows:
@@ -768,7 +768,7 @@ def power_iteration_pc1(
             df.select(F.posexplode(centered).alias("dim", "c"), dot.alias("dot"))
             .groupBy("dim")
             .agg(F.sum(F.col("c") * F.col("dot")).alias("w"))
-            .collect()
+            .collect()  # bounded: one row per embedding dim (d rows)
         )
         w = [0.0] * d
         for r in w_rows:

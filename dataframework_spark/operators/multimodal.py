@@ -2263,6 +2263,577 @@ def mm_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M15 — progressive JPEG (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+#
+# VERDICT r10 next-round #2: most real web JPEGs are progressive, and the
+# router's JPEG path covered baseline (SOF0) only — the biggest honest-limit
+# line in the multimodal tier.  The progressive process is the SAME public
+# ITU-T T.81 spec the baseline decoder was derived from (Annex G): the
+# quantized coefficients are identical, they just arrive re-ordered across
+# multiple SOS scans — by spectral band (Ss..Se) and by bit plane
+# (successive approximation, Ah/Al).  A complete decode therefore
+# reconstructs EXACTLY the baseline pixels, which is the differential test:
+# decode_progressive(encode_progressive(img)) must equal
+# decode_baseline(encode_baseline(img)) byte-for-byte on random images.
+#
+# The encoder (synthesis side) emits the conventional six-scan script —
+#   1. DC first        (Ss=0,  Se=0,  Ah=0, Al=1)   huffman DC diffs, >>1
+#   2. AC first low    (Ss=1,  Se=5,  Ah=0, Al=1)   huffman + EOBRUN batching
+#   3. AC first high   (Ss=6,  Se=63, Ah=0, Al=1)
+#   4. DC refine       (Ss=0,  Se=0,  Ah=1, Al=0)   one raw bit per block
+#   5. AC refine low   (Ss=1,  Se=5,  Ah=1, Al=0)   correction-bit algorithm
+#   6. AC refine high  (Ss=6,  Se=63, Ah=1, Al=0)
+# — so the decoder's EOBRUN, ZRL-in-refinement, and buffered-correction-bit
+# paths all execute on real streams.  DC point transform is an ARITHMETIC
+# shift of the signed value; AC point transform shifts the MAGNITUDE
+# (T.81 G.1.2.1/G.1.2.2 — the asymmetry is load-bearing for negatives).
+
+# AC huffman table for the progressive scans: canonical, every symbol 8
+# bits (176 of 256 codes used, Kraft-feasible, all-ones code unassigned —
+# T.81 Annex C requirements).  Covers EOBn (r<<4, r=0..14), ZRL (0xF0),
+# and (run, size) for run 0..15 / size 1..10.  The DECODER learns tables
+# only from the DHT segment, so this choice is a synthesis detail, not a
+# decoder assumption.
+_JPEG_PROG_AC_VALS = (
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_PROG_AC_BITS = [0] * 16
+_JPEG_PROG_AC_BITS[7] = len(_JPEG_PROG_AC_VALS)  # all codes 8 bits long
+
+
+def _jpeg_amp(v: int) -> tuple[int, int]:
+    """(size, amplitude) encoding of a signed value (T.81 F.1.2.1/F.1.4):
+    negative amplitudes are sent as v + 2^size - 1."""
+    t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return (t, v if v >= 0 else v + (1 << t) - 1)
+
+
+def _flush_eobrun(bw: "_BitWriter", state: dict, ac_codes: dict) -> None:
+    """Emit the pending EOBn code (n = accumulated end-of-band blocks)
+    followed by the correction bits buffered across that run."""
+    n = state["eobrun"]
+    if n == 0:
+        return
+    r = n.bit_length() - 1
+    code, ln = ac_codes[r << 4]
+    bw.write(code, ln)
+    if r:
+        bw.write(n - (1 << r), r)
+    for b in state["bits"]:
+        bw.write(b, 1)
+    state["eobrun"] = 0
+    state["bits"] = []
+
+
+def _enc_ac_first(bw, zz, ss, se, al, state, ac_codes) -> None:
+    """AC first scan for one block (T.81 G.1.2.2): point-transformed
+    magnitudes, run/size coding, all-zero bands folded into EOBRUN."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        m = abs(v) >> al
+        vals.append(m if v >= 0 else -m)
+    nz = [i for i, v in enumerate(vals) if v]
+    if not nz:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:  # EOBn ceiling (n < 2^15)
+            _flush_eobrun(bw, state, ac_codes)
+        return
+    _flush_eobrun(bw, state, ac_codes)
+    run = 0
+    for i in range(nz[-1] + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        t, amp = _jpeg_amp(v)
+        code, ln = ac_codes[(run << 4) | t]
+        bw.write(code, ln)
+        bw.write(amp, t)
+        run = 0
+    if nz[-1] < len(vals) - 1:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, state, ac_codes)
+
+
+def _enc_ac_refine(bw, zz, ss, se, al, state, ac_codes) -> None:
+    """AC refinement scan for one block (T.81 G.1.2.3): newly-nonzero
+    coefficients (magnitude bit Al is the first transmitted bit) get a
+    huffman (run, 1) code + sign bit; coefficients made nonzero by
+    EARLIER scans contribute one raw correction bit each, buffered and
+    emitted after the next huffman code whose run-skip walks past them
+    (the decoder reads them positionally during that walk).  The ZRL
+    check runs at EVERY nonzero — a history coefficient preceded by >15
+    still-zero positions must flush the ZRL before buffering its own
+    bit, or the decoder's 16-zero walk would consume bits that belong
+    to the next code."""
+    t = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_idx = -1  # last newly-nonzero position; trailing ZRLs fold into EOB
+    for i, tv in enumerate(t):
+        if tv == 1:
+            eob_idx = i
+    run = 0
+    pend: list[int] = []
+    for i, tv in enumerate(t):
+        if tv == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob_idx:
+            _flush_eobrun(bw, state, ac_codes)
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+        if tv > 1:  # history nonzero: one correction bit
+            pend.append(tv & 1)
+            continue
+        # newly nonzero at this bit plane
+        _flush_eobrun(bw, state, ac_codes)
+        code, ln = ac_codes[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+        run = 0
+    if run > 0 or pend:
+        state["eobrun"] += 1
+        state["bits"].extend(pend)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, state, ac_codes)
+
+
+_JPEG_PROG_SCRIPT = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 1),
+    (6, 63, 0, 1),
+    (0, 0, 1, 0),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+)
+
+
+def _encode_gray_jpeg_progressive(img, qtable=None) -> bytes:
+    """Progressive greyscale JPEG encoder (synthesis side): real FDCT +
+    quantization (identical coefficients to the baseline encoder), then
+    the six-scan spectral-selection / successive-approximation script
+    above.  Dimensions must be multiples of 8 (the synthesis controls
+    them)."""
+    import struct
+
+    import numpy as np
+
+    q = np.array(qtable or _JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("encoder expects multiple-of-8 dimensions")
+    basis, s2 = _dct_basis()
+    shifted = img.astype(np.float64) - 128.0
+    blocks = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = s2 * (basis @ blk @ basis.T)
+            qc = _rnd_away(coef / q).astype(np.int64)
+            blocks.append(qc.reshape(-1)[_ZIGZAG])
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qz = np.array(qtable or _JPEG_QTABLE, dtype=np.int64)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0]) + bytes(int(qz[z]) for z in _ZIGZAG))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
+    )
+    for ss, se, ah, al in _JPEG_PROG_SCRIPT:
+        bw = _BitWriter()
+        if ss == 0:  # DC scan
+            if ah == 0:
+                prev = 0
+                for zz in blocks:
+                    v = int(zz[0]) >> al  # ARITHMETIC shift (signed)
+                    diff = v - prev
+                    prev = v
+                    t, amp = _jpeg_amp(diff) if diff else (0, 0)
+                    code, ln = dc_codes[t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(amp, t)
+            else:
+                for zz in blocks:
+                    bw.write((int(zz[0]) >> al) & 1, 1)
+        else:
+            state = {"eobrun": 0, "bits": []}
+            enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+            for zz in blocks:
+                enc(bw, zz, ss, se, al, state, ac_codes)
+            _flush_eobrun(bw, state, ac_codes)
+        out += seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _entropy_end(data: bytes, start: int) -> int:
+    """Index of the marker that terminates an entropy-coded segment:
+    skips stuffed FF00 pairs; restart markers are rejected (the decoder
+    never emits a DRI, so an RSTn here is a malformed stream)."""
+    i = start
+    while i + 1 < len(data):
+        if data[i] == 0xFF:
+            nxt = data[i + 1]
+            if nxt == 0x00:
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise ValueError("restart markers unsupported")
+            return i
+        i += 1
+    return len(data)
+
+
+def jpeg_progressive_pixels(payload: bytes):
+    """REAL progressive JPEG decode (greyscale, T.81 Annex G): marker
+    walk across MULTIPLE SOS scans, accumulating quantized coefficients
+    per block — DC first/refinement (arithmetic point transform, raw
+    refinement bits), AC first with EOBRUN, AC refinement with the
+    positional correction-bit walk — then one dequantize + IDCT at EOI.
+    Returns ((h, w) uint8 pixels, n_scans).  Baseline SOF0, multi-
+    component, 16-bit tables, and restart intervals are REJECTED, not
+    mis-decoded."""
+    import struct
+
+    import numpy as np
+
+    if payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, object] = {}
+    dc_tree: dict[int, dict] = {}
+    ac_tree: dict[int, dict] = {}
+    dims = None
+    qsel = 0
+    coefs = None  # per-block zigzag-order coefficient accumulators
+    n_scans = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if pos + 2 + size > len(payload):
+            raise ValueError(f"segment {marker:#x} overruns payload")
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xFFDB:
+            if body[0] >> 4:
+                raise ValueError("16-bit quant tables unsupported")
+            tid = body[0] & 0x0F
+            tq = np.zeros(64, dtype=np.int64)
+            for i, z in enumerate(_ZIGZAG):
+                tq[z] = body[1 + i]
+            qtables[tid] = tq.reshape(8, 8)
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC3):
+            raise ValueError("not a progressive (SOF2) JPEG")
+        elif marker == 0xFFDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xFFC2:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    f"unsupported SOF2: precision={prec} components={ncomp}"
+                )
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported for greyscale")
+            if h % 8 or w % 8:
+                raise ValueError("non-multiple-of-8 dims unsupported (no edge pad)")
+            qsel = body[8]
+            dims = (h, w)
+            coefs = np.zeros(((h // 8) * (w // 8), 64), dtype=np.int64)
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                tree: dict = {}
+                for sym, (code, ln) in _huff_codes(bits, vals).items():
+                    node = tree
+                    for b in format(code, f"0{ln}b"):
+                        node = node.setdefault(b, {})
+                    node["leaf"] = sym
+                (dc_tree if tc == 0 else ac_tree)[th] = tree
+                off += 17 + nv
+        elif marker == 0xFFDA:
+            if coefs is None:
+                raise ValueError("SOS before SOF2")
+            if body[0] != 1:
+                raise ValueError(f"unsupported SOS: {body[0]} scan components")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0x0F
+            end = _entropy_end(payload, pos + 2 + size)
+            br = _BitReader(payload[pos + 2 + size : end])
+            _dec_prog_scan(br, coefs, ss, se, ah, al,
+                           dc_tree.get(td), ac_tree.get(ta))
+            n_scans += 1
+            pos = end
+            continue
+        pos += 2 + size
+    if dims is None or n_scans == 0 or qsel not in qtables:
+        raise ValueError("missing SOF2/SOS/DQT")
+    h, w = dims
+    q = qtables[qsel]
+    basis, s2 = _dct_basis()
+    out = np.zeros((h, w), dtype=np.uint8)
+    nbx = w // 8
+    for b in range((h // 8) * nbx):
+        coef = np.zeros(64, dtype=np.float64)
+        coef[_ZIGZAG] = coefs[b]
+        deq = coef.reshape(8, 8) * q
+        blk = basis.T @ (s2 * deq) @ basis
+        px = np.clip(_rnd_away(blk + 128.0), 0, 255).astype(np.uint8)
+        by, bx = divmod(b, nbx)
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    return out, n_scans
+
+
+def _huffdec_tree(br: "_BitReader", tree: dict | None) -> int:
+    if tree is None:
+        raise ValueError("scan selects absent huffman table")
+    node = tree
+    for _ in range(16):
+        node = node.get(str(br.bit()))
+        if node is None:
+            raise ValueError("invalid huffman code")
+        if "leaf" in node:
+            return node["leaf"]
+    raise ValueError("huffman code longer than 16 bits")
+
+
+def _extend_amp(amp: int, t: int) -> int:
+    return amp if amp >= (1 << (t - 1)) else amp - (1 << t) + 1
+
+
+def _dec_prog_scan(br, coefs, ss, se, ah, al, dtree, atree) -> None:
+    """One progressive scan over every block (T.81 G.2).  Coefficients
+    live in zigzag order in ``coefs``; Python's arbitrary-precision
+    two's complement makes the DC bit-OR refinement exact for negative
+    values (e.g. -6 | 1 == -5)."""
+    nblocks = len(coefs)
+    if ss == 0:  # DC scan (Se must be 0 per spec)
+        if se != 0:
+            raise ValueError("DC scan requires Se=0")
+        if ah == 0:
+            prev = 0
+            for b in range(nblocks):
+                t = _huffdec_tree(br, dtree)
+                diff = _extend_amp(br.bits(t), t) if t else 0
+                prev += diff
+                coefs[b][0] = prev << al
+        else:
+            for b in range(nblocks):
+                if br.bit():
+                    coefs[b][0] = int(coefs[b][0]) | (1 << al)
+        return
+    if se < ss or se > 63:
+        raise ValueError("bad spectral band")
+    if ah == 0:  # AC first scan
+        eobrun = 0
+        for b in range(nblocks):
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _huffdec_tree(br, atree)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflows band")
+                coefs[b][k] = _extend_amp(br.bits(s), s) << al
+                k += 1
+        return
+    # AC refinement scan
+    p1 = 1 << al
+    eobrun = 0
+    for b in range(nblocks):
+        zz = coefs[b]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _huffdec_tree(br, atree)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r < 15:  # EOBn: current block finishes below
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    val = 0  # ZRL: skip 16 still-zero positions
+                elif s == 1:
+                    val = p1 if br.bit() else -p1
+                else:
+                    raise ValueError("refinement amplitude must be ±1")
+                while k <= se:
+                    if zz[k] != 0:
+                        # positional correction bit for a history coefficient
+                        if br.bit() and (abs(int(zz[k])) & p1) == 0:
+                            zz[k] += p1 if zz[k] > 0 else -p1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("refinement placement overflows band")
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # correction bits through the rest of the band
+                if zz[k] != 0:
+                    if br.bit() and (abs(int(zz[k])) & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else -p1
+                k += 1
+            eobrun -= 1
+
+
+def synth_jpeg_progressive(doc_id: int):
+    """Block-constant greyscale image, progressive container: block
+    (bx, by) has value ``(doc_id * 3 + 17*bx + 29*by) % 256``; 2-4
+    blocks per side.  Returns (payload, w, h)."""
+    import numpy as np
+
+    wb, hb = 2 + (doc_id * 5) % 3, 2 + (doc_id * 11) % 3
+    bys, bxs = np.meshgrid(np.arange(hb), np.arange(wb), indexing="ij")
+    vals = ((doc_id * 3 + 17 * bxs + 29 * bys) % 256).astype(np.float64)
+    img = np.kron(vals, np.ones((8, 8)))
+    return _encode_gray_jpeg_progressive(img), wb * 8, hb * 8
+
+
+def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Decode a progressive greyscale JPEG and extract
+    (width, height, mean_px_e4, corner_tl, corner_br, n_blocks,
+    n_scans)."""
+    px, n_scans = jpeg_progressive_pixels(payload)
+    h, w = px.shape
+    return (
+        w,
+        h,
+        _mean_e4(int(px.astype("int64").sum()), h * w),
+        int(px[0, 0]),
+        int(px[h - 1, w - 1]),
+        (h // 8) * (w // 8),
+        n_scans,
+    )
+
+
+@register(
+    "mm_jpeg_progressive_decode",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, 2 + (doc_id * 5) % 3 AS wb,
+                      2 + (doc_id * 11) % 3 AS hb
+               FROM documents),
+    blk AS (
+      SELECT doc_id, wb, hb, bx, by,
+             (doc_id * 3 + 17 * bx + 29 * by) % 256 AS v
+      FROM p, UNNEST(range(wb)) AS t1(bx), UNNEST(range(hb)) AS t2(by)),
+    q AS (
+      SELECT doc_id, wb, hb, bx, by, v,
+             CASE WHEN d1 >= 0 THEN FLOOR(d1 + 0.5)
+                  ELSE -FLOOR(-d1 + 0.5) END * {_JPEG_Q00} / 8.0 AS d2
+      FROM (SELECT *, 8.0 * (v - 128) / {_JPEG_Q00} AS d1 FROM blk)),
+    dec AS (SELECT doc_id, wb, hb, bx, by, {_DEC_SQL} AS pix FROM q)
+    SELECT doc_id,
+           CAST(wb * 8 AS INT) AS width, CAST(hb * 8 AS INT) AS height,
+           CAST((SUM(pix) * 20000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS mean_px_e4,
+           CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN pix END) AS BIGINT)
+             AS corner_tl,
+           CAST(MAX(CASE WHEN bx = wb - 1 AND by = hb - 1 THEN pix END)
+                AS BIGINT) AS corner_br,
+           CAST(wb * hb AS BIGINT) AS n_blocks,
+           CAST(6 AS BIGINT) AS n_scans
+    FROM dec GROUP BY doc_id, wb, hb
+    """,
+)
+def mm_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive (SOF2) JPEG decode: synthesize a six-scan
+    spectral-selection + successive-approximation stream per doc (real
+    FDCT/quantization — the same coefficients a baseline encoder
+    produces — re-ordered across scans with EOBRUN batching and the
+    refinement correction-bit algorithm), then genuinely accumulate the
+    coefficients scan by scan and IDCT once at EOI.  Pure numpy + spec
+    math (ITU-T T.81 Annex G), no codec library — the same closure
+    pattern as the baseline decoder (``mm_jpeg_decode``).
+
+    Progressive transmission is a LOSSLESS re-ordering of the baseline
+    coefficients, so each decoded block has the identical closed form
+    ``clip(rnd(rnd(8(v-128)/Q00)·Q00/8)+128, 0, 255)`` the DuckDB
+    oracle computes — while the decoder still runs the full Annex-G
+    machinery (six scans, DC arithmetic point transform + raw-bit
+    refinement, AC EOBRUN spanning blocks, positional correction-bit
+    walks).  ``n_scans`` pins the multi-scan marker walk; the general
+    (non-constant) path is unit-tested differentially: progressive
+    decode must equal BASELINE decode of the same image byte-for-byte
+    on random images (tests/test_jpeg_progressive.py), plus rejection
+    tests (SOF0-in-progressive, restart intervals, bad refinement
+    amplitudes, truncated scans).  Same Arrow mapInPandas scale shape
+    as every decode stage."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id bigint, width int, height int, mean_px_e4 bigint, "
+        "corner_tl bigint, corner_br bigint, n_blocks bigint, n_scans bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_jpeg_progressive(synth_jpeg_progressive(int(d))[0])
+                for d in pdf["doc_id"]
+            ]
+            out = pd.DataFrame(
+                feats,
+                columns=[
+                    "width", "height", "mean_px_e4", "corner_tl", "corner_br",
+                    "n_blocks", "n_scans",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
 # M12 — REAL dictionary-codec decode: GIF (variable-width LZW, pure Python)
 # ---------------------------------------------------------------------------
 
@@ -3656,11 +4227,11 @@ def synth_mp3_stub(doc_id: int) -> bytes:
 
 
 def synth_media(doc_id: int) -> bytes:
-    """Synthesize the payload whose container format is ``doc_id % 9``:
+    """Synthesize the payload whose container format is ``doc_id % 10``:
     0 → WAV, 1 → BMP, 2 → PNG, 3 → greyscale JPEG, 4 → mp3
     (externals-only), 5 → GIF (r9), 6 → TIFF (r10), 7 → FLAC (r10),
-    8 → 4:2:0 color JPEG (r10)."""
-    f = doc_id % 9
+    8 → 4:2:0 color JPEG (r10), 9 → progressive (SOF2) JPEG (r11)."""
+    f = doc_id % 10
     if f == 0:
         return synth_wav(doc_id)
     if f == 1:
@@ -3677,27 +4248,31 @@ def synth_media(doc_id: int) -> bytes:
         return synth_tiff(doc_id)
     if f == 7:
         return synth_flac(doc_id)
-    return synth_jpeg_color(doc_id)[0]
+    if f == 8:
+        return synth_jpeg_color(doc_id)[0]
+    return synth_jpeg_progressive(doc_id)[0]
 
 
-def _jpeg_ncomp(payload: bytes) -> int:
-    """Sniff a JPEG's SOF0 component count for router dispatch (color
-    vs greyscale decode path); returns 1 on any malformed walk so the
-    greyscale decoder produces the rejection."""
+def _jpeg_sof(payload: bytes) -> tuple[int, int]:
+    """Sniff a JPEG's SOF marker and component count for router dispatch
+    (progressive vs baseline, color vs greyscale decode path); returns
+    (0xC0, 1) on any malformed walk so the baseline greyscale decoder
+    produces the rejection."""
     import struct
 
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
-            return 1
+            return (0xC0, 1)
         marker = struct.unpack(">H", payload[pos : pos + 2])[0]
         if marker in (0xFFD9, 0xFFDA):
-            return 1
+            return (0xC0, 1)
         (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
-        if marker == 0xFFC0:
-            return payload[pos + 9] if pos + 9 < len(payload) else 1
+        if marker in (0xFFC0, 0xFFC2):
+            ncomp = payload[pos + 9] if pos + 9 < len(payload) else 1
+            return (marker & 0xFF, ncomp)
         pos += 2 + size
-    return 1
+    return (0xC0, 1)
 
 
 def route_media(payload: bytes):
@@ -3741,7 +4316,14 @@ def route_media(payload: bytes):
         return ("png", "decoded", w, h, n,
                 _mean_e4(int(px.astype(np.int64).sum()), n))
     if payload[:2] == b"\xff\xd8":
-        if _jpeg_ncomp(payload) == 3:
+        sof, ncomp = _jpeg_sof(payload)
+        if sof == 0xC2:
+            px, _ = jpeg_progressive_pixels(payload)
+            h, w = px.shape
+            n = h * w
+            return ("jpeg", "decoded", w, h, n,
+                    _mean_e4(int(px.astype(np.int64).sum()), n))
+        if ncomp == 3:
             rgb = jpeg_color_pixels(payload)
             h, w = rgb.shape[:2]
             n = h * w * 3
@@ -3785,34 +4367,48 @@ def route_media(payload: bytes):
       SELECT doc_id, 256 + doc_id % 128 AS n,
              list_transform(range(256 + doc_id % 128),
                             k -> abs((doc_id * 31 + k * 17) % 2003 - 1001)) AS a
-      FROM documents WHERE doc_id % 9 = 0),
+      FROM documents WHERE doc_id % 10 = 0),
     bmp_px AS (
       SELECT d.doc_id, 8 + d.doc_id % 9 AS w, 8 + (d.doc_id * 3) % 7 AS h, x, y, c
       FROM documents d,
            UNNEST(range(8 + d.doc_id % 9)) AS t1(x),
            UNNEST(range(8 + (d.doc_id * 3) % 7)) AS t2(y),
            UNNEST(range(3)) AS t3(c)
-      WHERE d.doc_id % 9 = 1),
+      WHERE d.doc_id % 10 = 1),
     png_px AS (
       SELECT d.doc_id, 9 + d.doc_id % 12 AS w, 7 + (d.doc_id * 5) % 11 AS h, x, y, c
       FROM documents d,
            UNNEST(range(9 + d.doc_id % 12)) AS t1(x),
            UNNEST(range(7 + (d.doc_id * 5) % 11)) AS t2(y),
            UNNEST(range(3)) AS t3(c)
-      WHERE d.doc_id % 9 = 2),
+      WHERE d.doc_id % 10 = 2),
     jpg_blk AS (
       SELECT d.doc_id, 2 + d.doc_id % 3 AS wb, 2 + (d.doc_id * 7) % 3 AS hb, bx, by,
              (d.doc_id + 11 * bx + 23 * by) % 256 AS v
       FROM documents d,
            UNNEST(range(2 + d.doc_id % 3)) AS t1(bx),
            UNNEST(range(2 + (d.doc_id * 7) % 3)) AS t2(by)
-      WHERE d.doc_id % 9 = 3),
+      WHERE d.doc_id % 10 = 3),
     jpg_q AS (
       SELECT doc_id, wb, hb,
              CASE WHEN d1 >= 0 THEN FLOOR(d1 + 0.5)
                   ELSE -FLOOR(-d1 + 0.5) END * {{q00}} / 8.0 AS d2
       FROM (SELECT *, 8.0 * (v - 128) / {{q00}} AS d1 FROM jpg_blk)),
-    jpg_dec AS (SELECT doc_id, wb, hb, {{dec_sql}} AS pix FROM jpg_q)
+    jpg_dec AS (SELECT doc_id, wb, hb, {{dec_sql}} AS pix FROM jpg_q),
+    pjq_blk AS (
+      SELECT d.doc_id, 2 + (d.doc_id * 5) % 3 AS wb, 2 + (d.doc_id * 11) % 3 AS hb,
+             bx, by,
+             (d.doc_id * 3 + 17 * bx + 29 * by) % 256 AS v
+      FROM documents d,
+           UNNEST(range(2 + (d.doc_id * 5) % 3)) AS t1(bx),
+           UNNEST(range(2 + (d.doc_id * 11) % 3)) AS t2(by)
+      WHERE d.doc_id % 10 = 9),
+    pjq_q AS (
+      SELECT doc_id, wb, hb,
+             CASE WHEN d1 >= 0 THEN FLOOR(d1 + 0.5)
+                  ELSE -FLOOR(-d1 + 0.5) END * {{q00}} / 8.0 AS d2
+      FROM (SELECT *, 8.0 * (v - 128) / {{q00}} AS d1 FROM pjq_blk)),
+    pjq_dec AS (SELECT doc_id, wb, hb, {{dec_sql}} AS pix FROM pjq_q)
     SELECT doc_id, 'wav' AS fmt, 'decoded' AS verdict,
            CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
            CAST(n AS BIGINT) AS n_units,
@@ -3842,7 +4438,7 @@ def route_media(payload: bytes):
     SELECT doc_id, 'mp3', 'skipped:mp3',
            CAST(NULL AS INT), CAST(NULL AS INT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-    FROM documents WHERE doc_id % 9 = 4
+    FROM documents WHERE doc_id % 10 = 4
     UNION ALL
     SELECT doc_id, 'gif', 'decoded',
            CAST(MAX(w) AS INT), CAST(MAX(h) AS INT),
@@ -3853,7 +4449,7 @@ def route_media(payload: bytes):
           FROM documents d,
                UNNEST(range(8 + d.doc_id % 13)) AS t1(x),
                UNNEST(range(6 + (d.doc_id * 7) % 10)) AS t2(y)
-          WHERE d.doc_id % 9 = 5) GROUP BY doc_id
+          WHERE d.doc_id % 10 = 5) GROUP BY doc_id
     UNION ALL
     SELECT doc_id, 'tiff', 'decoded',
            CAST(MAX(w) AS INT), CAST(MAX(h) AS INT),
@@ -3864,7 +4460,7 @@ def route_media(payload: bytes):
           FROM documents d,
                UNNEST(range(24 + d.doc_id % 25)) AS t1(x),
                UNNEST(range(16 + (d.doc_id * 7) % 17)) AS t2(y)
-          WHERE d.doc_id % 9 = 6) GROUP BY doc_id
+          WHERE d.doc_id % 10 = 6) GROUP BY doc_id
     UNION ALL
     SELECT doc_id, 'flac', 'decoded',
            CAST(NULL AS INT), CAST(NULL AS INT),
@@ -3873,7 +4469,13 @@ def route_media(payload: bytes):
     FROM (SELECT doc_id, 600 + doc_id % 201 AS n,
                  list_transform(range(600 + doc_id % 201),
                                 k -> abs((doc_id * 37 + k * 19) % 1999 - 999)) AS a
-          FROM documents WHERE doc_id % 9 = 7)
+          FROM documents WHERE doc_id % 10 = 7)
+    UNION ALL
+    SELECT doc_id, 'jpeg', 'decoded',
+           CAST(MAX(wb) * 8 AS INT), CAST(MAX(hb) * 8 AS INT),
+           CAST(MAX(wb) * MAX(hb) * 64 AS BIGINT),
+           CAST((SUM(pix) * 20000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+    FROM pjq_dec GROUP BY doc_id
     UNION ALL
     SELECT doc_id, 'jpeg', 'decoded',
            CAST(MAX(wm) * 16 AS INT), CAST(MAX(hm) * 16 AS INT),
@@ -3881,14 +4483,15 @@ def route_media(payload: bytes):
            CAST((CAST(SUM((r + g + b) * 256) AS BIGINT) * 20000
                  + 3 * 256 * COUNT(*))
                 // (2 * 3 * 256 * COUNT(*)) AS BIGINT)
-    FROM {_jpeg_color_rgb_sql('WHERE doc_id % 9 = 8')} crgb GROUP BY doc_id
+    FROM {_jpeg_color_rgb_sql('WHERE doc_id % 10 = 8')} crgb GROUP BY doc_id
     """.format(q00=_JPEG_Q00, dec_sql=_DEC_SQL),
 )
 def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format media ingest: ONE pass over opaque payloads, routed
     by MAGIC BYTES to the real parsers (RIFF/PCM16 WAV, 24bpp BMP,
     RFC 2083 PNG, ITU-T T.81 baseline JPEG — greyscale AND 4:2:0 color,
-    GIF89a LZW — r9, strip-LZW TIFF and Rice/LPC FLAC — r10) with an
+    GIF89a LZW — r9, strip-LZW TIFF and Rice/LPC FLAC — r10,
+    progressive SOF2 JPEG — r11) with an
     explicit ``skipped:<fmt>`` verdict for the externals-only tier (mp3)
     and a ``rejected:unknown`` verdict for unrecognized containers — the
     production counterpart of the reference's decode-time loader
@@ -3897,7 +4500,7 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     GIF pixels are palette-mapped before the mean, so a non-greyscale
     color table would be priced correctly too.
 
-    Each doc synthesizes the container its ``doc_id % 9`` selects, so
+    Each doc synthesizes the container its ``doc_id % 10`` selects, so
     the oracle knows every payload's format and closed-form content:
     the format MIX, the per-format dims/units, and the fixed-point
     decoded means are all value-hashed.  Scale shape: Arrow

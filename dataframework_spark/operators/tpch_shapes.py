@@ -472,9 +472,14 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= "1998-01-01"
     )
     # integer cents throughout: the AVG threshold feeds a FILTER, so
-    # cross-engine drift there changes the row SET, not just a value;
-    # acctbal can be negative, and both engines' ROUND half-away/HALF_UP
-    # agree away-from-zero on negatives (r9 canary evidence on q1)
+    # cross-engine drift there changes the row SET, not just a value.
+    # NOTE (r10 ADVICE): FLOOR(x*100 + 0.5) is half-UP (toward +inf),
+    # not ROUND's half-away-from-zero, so the two forms differ exactly
+    # on NEGATIVE exact half-cents — acctbal is the one signed money
+    # column, so q1's non-negative-domain equivalence claim does NOT
+    # cover it; the equivalence here is data-dependent and pinned
+    # per-row at every local SF including sf0.1 by
+    # test_floor_cents_equals_round_cents_on_real_money_rows
     bal_c = F.floor(F.col("c_acctbal") * 100 + 0.5)
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
         F.round(F.sum(bal_c) / 100.0 / F.count(F.lit(1)), 2).alias("avg_bal")

@@ -348,7 +348,7 @@ def source_mat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(60)
         .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
-        .collect()
+        .collect()  # bounded: limit(60) convert-once fixture above
     )
     labels = sorted({r.label for r in rows})
     x_cells = np.empty((1, len(labels)), dtype=object)

