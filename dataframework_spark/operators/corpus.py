@@ -585,6 +585,171 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_mixture_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Mixture-sampling oracle with the budget denominated in REAL BPE
+    symbols: the unrolled merge chain through the final vocab, per-doc
+    symbol counts, then the corpus_mixture_sample rate machinery on
+    those counts (whitespace totals kept alongside for the graded
+    comparison)."""
+    ctes = _bpe_cte_chain(rounds, thru_final=True)
+    ctes.append(f"enc AS (SELECT word, len(syms) AS n_sym FROM vocab{rounds})")
+    ctes.append(
+        r"""dw AS (
+      SELECT doc_id, source, tok AS word, COUNT(*)::BIGINT AS cnt
+      FROM (SELECT doc_id, source,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents)
+      WHERE length(tok) > 0
+      GROUP BY 1, 2, 3)"""
+    )
+    ctes.append(
+        """dt AS (
+      SELECT doc_id, source, SUM(cnt) AS n_ws, SUM(cnt * enc.n_sym) AS n_bpe
+      FROM dw JOIN enc USING (word) GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        """st AS (
+      SELECT source, SUM(n_ws) AS src_ws, SUM(n_bpe) AS src_bpe,
+             CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 1
+                  THEN 3.0 ELSE 1.0 END AS w
+      FROM dt GROUP BY source)"""
+    )
+    ctes.append(
+        f"""tot AS (
+      SELECT SUM(src_bpe) * {_MIX_BUDGET_FRAC} AS budget, SUM(w) AS sum_w
+      FROM st)"""
+    )
+    ctes.append(
+        """rates AS (
+      SELECT source, src_ws, src_bpe,
+             LEAST(1.0, (SELECT budget FROM tot) * w / (SELECT sum_w FROM tot)
+                        / src_bpe) AS rate
+      FROM st)"""
+    )
+    ctes.append(
+        f"""kept AS (
+      SELECT t.source, t.n_ws, t.n_bpe
+      FROM dt t JOIN rates r ON t.source = r.source
+      WHERE CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+            % {_MIX_MOD} < CAST(FLOOR(r.rate * {_MIX_MOD}) AS BIGINT))"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT r.source,
+           CAST(r.src_ws AS BIGINT)                 AS src_ws_tokens,
+           CAST(r.src_bpe AS BIGINT)                AS src_bpe_tokens,
+           ROUND(r.rate, 6)                         AS rate,
+           COALESCE(COUNT(k.n_bpe), 0)              AS docs_kept,
+           CAST(COALESCE(SUM(k.n_ws), 0) AS BIGINT) AS ws_tokens_kept,
+           CAST(COALESCE(SUM(k.n_bpe), 0) AS BIGINT) AS bpe_tokens_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    GROUP BY r.source, r.src_ws, r.src_bpe, r.rate"""
+    )
+
+
+@register("corpus_mixture_sample_bpe", oracle=_bpe_mixture_oracle_sql())
+def corpus_mixture_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_mixture_sample`` with the budget denominated in REAL
+    tokenizer tokens (r10 VERDICT "Next round" #3): every pretraining
+    budget is billed in BPE symbols, not whitespace words, and the two
+    diverge systematically (long words explode, function words don't) —
+    so the per-source rates themselves shift.  The learned merge table
+    (``text_bpe_merges``) encodes the vocabulary, per-doc symbol counts
+    come from the word→n_sym join (``text_bpe_encode``'s transform), and
+    the mixture machinery then runs on REAL symbol totals: the 40%
+    budget, the quality-weighted per-source rates, and the kept totals
+    are all BPE-denominated.  Whitespace totals are emitted alongside
+    (``src_ws_tokens`` / ``ws_tokens_kept``) so the graded result IS the
+    whitespace-vs-real-token comparison.
+
+    Scale shape unchanged from the whitespace form: the merge fold runs
+    on the language-bounded vocabulary, the corpus pays tokenize + one
+    ``shuffle_hash`` word join + two source-sized aggregates, selection
+    stays the deterministic md5 threshold, and the ~20-row rate table is
+    broadcast.  The oracle carries the full unrolled chain (fit →
+    encode → budget → rates → kept) so the whole pipeline is
+    value-hash-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    merges = text_bpe_merges(spark, sf_dir).orderBy("round").collect()  # bounded: 8 merge rounds
+    vocab = (
+        docs.select(F.explode(tokens()).alias("word"))
+        .where(F.length("word") > 0)
+        .distinct()
+        .withColumn("syms", F.expr("transform(split(word, ''), c -> c)"))
+    )
+    for m in merges:
+        vocab = vocab.withColumn("syms", F.expr(_bpe_merge_expr(m.left, m.right)))
+    enc = vocab.select("word", F.size("syms").alias("n_sym"))
+    dw = (
+        docs.select("doc_id", "source", F.explode(tokens()).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("doc_id", "source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dt = (
+        dw.join(enc.hint("shuffle_hash"), "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").alias("n_ws"),
+            F.sum(F.col("cnt") * F.col("n_sym")).alias("n_bpe"),
+        )
+    )
+    st = (
+        dt.groupBy("source")
+        .agg(F.sum("n_ws").alias("src_ws"), F.sum("n_bpe").alias("src_bpe"))
+        .withColumn(
+            "w",
+            F.when(
+                F.substring("source", 4, 10).cast("int") % 2 == 1, F.lit(3.0)
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+    tot = st.agg(
+        (F.sum("src_bpe") * F.lit(_MIX_BUDGET_FRAC)).alias("budget"),
+        F.sum("w").alias("sum_w"),
+    )
+    rates = (
+        st.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.col("budget") * F.col("w") / F.col("sum_w") / F.col("src_bpe"),
+            ),
+        )
+        .select("source", "src_ws", "src_bpe", "rate")
+    )
+    thr = F.floor(F.col("rate") * _MIX_MOD).cast("bigint")
+    keep = F.expr(
+        f"cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) "
+        f"% {_MIX_MOD}"
+    )
+    kept = (
+        dt.join(F.broadcast(rates.select("source", "rate")), on="source")
+        .where(keep < thr)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_ws").alias("ws_tokens_kept"),
+            F.sum("n_bpe").alias("bpe_tokens_kept"),
+        )
+    )
+    return (
+        rates.join(kept, on="source", how="left")
+        .select(
+            "source",
+            F.col("src_ws").alias("src_ws_tokens"),
+            F.col("src_bpe").alias("src_bpe_tokens"),
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+            F.coalesce("ws_tokens_kept", F.lit(0)).alias("ws_tokens_kept"),
+            F.coalesce("bpe_tokens_kept", F.lit(0)).alias("bpe_tokens_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # C5 — training-shard layout: token-balanced shard assignment
 # ---------------------------------------------------------------------------

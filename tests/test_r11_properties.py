@@ -1,0 +1,150 @@
+"""r11 property pins: lsh_serve hot-bucket hardening + BPE fixed point.
+
+VERDICT r10 "Next round" #1 and #3.  The adversarial scale numbers live
+in SCALEPROBE_HOTBUCKET_r11.json (probe tool); these tests pin the
+SEMANTICS the hardening introduced, at unit scale:
+
+* exact-hash pre-collapse — identical texts are decided by digest and
+  only one representative enters MinHash (including the documented
+  semantics change: an exact copy of an earlier IN-BATCH doc is
+  ``dup_in_delta`` even when the keeper itself matches the base);
+* the 64-member bucket cap — an oversized near-dup bucket compares
+  members against the bucket representative only;
+* BPE encode is a fixed point under the learned merge list — applying
+  the merges to already-encoded symbol arrays changes nothing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _serve(spark, tmp_path, base_rows, delta_rows):
+    from dataframework_spark.operators.dedup import lsh_index_build, lsh_serve
+
+    idx = str(tmp_path / "idx")
+    lsh_index_build(spark, _docs(spark, base_rows), idx)
+    verdicts, dsig = lsh_serve(spark, idx, _docs(spark, delta_rows))
+    got = {r["doc_id"]: r["verdict"] for r in verdicts.collect()}
+    dsig.unpersist()
+    return got
+
+
+_T = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+
+
+def test_lsh_serve_exact_precollapse_folds_identical_texts(spark, tmp_path):
+    """100 identical boilerplate docs: keeper = min doc_id is the one
+    representative (``new`` — the text is not in the base), every other
+    copy is ``dup_in_delta`` by digest alone."""
+    base = [(i, f"base{i} unique{i * 3} words{i * 7} here{i} now{i} ok{i}")
+            for i in range(10)]
+    delta = [(1000 + i, _T) for i in range(100)]
+    got = _serve(spark, tmp_path, base, delta)
+    assert got[1000] == "new"
+    assert all(got[1000 + i] == "dup_in_delta" for i in range(1, 100))
+
+
+def test_lsh_serve_exact_copy_of_base_recrawl_is_dup_in_delta(spark, tmp_path):
+    """The documented pre-collapse semantics: when a batch contains an
+    exact re-crawl of a BASE doc twice, the keeper verdicts
+    ``dup_of_base`` (signature match with the index) but the second
+    fetch is ``dup_in_delta`` — it was first seen earlier in this batch,
+    decided by digest before MinHash ever runs."""
+    base = [(1, _T), (2, "totally different words entirely other content here")]
+    delta = [(100, _T), (200, _T)]
+    got = _serve(spark, tmp_path, base, delta)
+    assert got[100] == "dup_of_base"
+    assert got[200] == "dup_in_delta"
+
+
+def test_lsh_serve_bucket_cap_representative_comparison(spark, tmp_path):
+    """80 DISTINCT near-copies (per-doc suffix token — the digest cannot
+    fold them) land in shared band buckets past the 64-member cap: the
+    bucket representative (min doc_id) is ``new``, members verdict via
+    rep-only comparison — near-all ``dup_in_delta``."""
+    base = [(i, f"base{i} unique{i * 3} words{i * 7} here{i} now{i} ok{i}")
+            for i in range(10)]
+    delta = [(1000 + i, _T + f" zztok{i}") for i in range(80)]
+    got = _serve(spark, tmp_path, base, delta)
+    assert got[1000] == "new"
+    dups = sum(1 for i in range(1, 80) if got[1000 + i] == "dup_in_delta")
+    # rep-only comparison is the documented approximation: a member whose
+    # suffix churns >4 of 16 signature components against the rep may
+    # come out `new`; on this fixed corpus the miss count is tiny
+    assert dups >= 75, dups
+
+
+def test_lsh_serve_small_buckets_keep_all_pairs_semantics(spark, tmp_path):
+    """Below the cap the first-seen evidence may come from ANY earlier
+    member, not just the bucket minimum: three near-copies — the middle
+    one matching only via all-pairs still verdicts dup_in_delta."""
+    base = [(i, f"base{i} unique{i * 3} words{i * 7} here{i} now{i} ok{i}")
+            for i in range(10)]
+    delta = [(1000, _T + " zz0"), (1001, _T + " zz1"), (1002, _T + " zz2")]
+    got = _serve(spark, tmp_path, base, delta)
+    assert got[1000] == "new"
+    assert got[1001] == "dup_in_delta" and got[1002] == "dup_in_delta"
+
+
+def test_lsh_bucket_cap_constant_is_sane():
+    from dataframework_spark.operators.dedup import _LSH_BUCKET_CAP
+
+    # C(cap, 2) bounds the per-bucket struct expansion; 64 → 2016 pairs
+    assert 16 <= _LSH_BUCKET_CAP <= 256
+
+
+def test_bpe_encode_is_fixed_point_under_learned_merges(spark):
+    """Applying the learned merge list to already-encoded symbol arrays
+    must change nothing: every merge fully applied on the first pass
+    (r10 VERDICT #3's required property)."""
+    from dataframework_spark.catalog import load_table
+    from dataframework_spark.functions.arrays import tokens
+    from dataframework_spark.operators.corpus import (
+        _bpe_merge_expr,
+        text_bpe_merges,
+    )
+
+    merges = text_bpe_merges(spark, SF_DIR).orderBy("round").collect()
+    assert len(merges) > 0
+    docs = load_table(spark, SF_DIR, "documents", columns=["text"])
+    vocab = (
+        docs.select(F.explode(tokens()).alias("word"))
+        .where(F.length("word") > 0)
+        .distinct()
+        .withColumn("syms", F.expr("transform(split(word, ''), c -> c)"))
+    )
+    for m in merges:
+        vocab = vocab.withColumn("syms", F.expr(_bpe_merge_expr(m.left, m.right)))
+    once = vocab.withColumn("once", F.col("syms"))
+    again = once
+    for m in merges:
+        again = again.withColumn("syms", F.expr(_bpe_merge_expr(m.left, m.right)))
+    changed = again.where(F.col("syms") != F.col("once")).count()
+    assert changed == 0
+
+
+def test_bpe_mixture_budget_hits_target(spark):
+    """The BPE-denominated mixture keeps ≈ 40% of corpus BPE symbols
+    (saturated sources aside) and the kept fraction is measured in REAL
+    symbols, not whitespace words."""
+    from dataframework_spark.operators.corpus import (
+        _MIX_BUDGET_FRAC,
+        corpus_mixture_sample_bpe,
+    )
+
+    rows = corpus_mixture_sample_bpe(spark, "/root/testdata/sf0.01").collect()
+    total = sum(r.src_bpe_tokens for r in rows)
+    kept = sum(r.bpe_tokens_kept for r in rows)
+    assert rows and total > 0
+    # hash thresholding is exact in expectation; allow sampling noise
+    assert abs(kept / total - _MIX_BUDGET_FRAC) < 0.05
+    for r in rows:
+        assert r.src_bpe_tokens >= r.src_ws_tokens  # symbols ≥ words, always
