@@ -946,15 +946,15 @@ def _paeth_predict(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def _png_filter_row(row, prev, ft):
+def _png_filter_row(row, prev, ft, bpp: int = 3):
     """ENCODE one scanline: subtract the RFC 2083 predictor (filtering
-    uses RAW neighbor bytes, so every type vectorizes).  bpp = 3."""
+    uses RAW neighbor bytes, so every type vectorizes)."""
     import numpy as np
 
     r = row.astype(np.int32)
     p = prev.astype(np.int32)
-    left = np.concatenate([np.zeros(3, np.int32), r[:-3]])
-    ul = np.concatenate([np.zeros(3, np.int32), p[:-3]])
+    left = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]])
+    ul = np.concatenate([np.zeros(bpp, np.int32), p[:-bpp]])
     if ft == 0:
         out = r
     elif ft == 1:
@@ -1010,60 +1010,36 @@ def synth_png(doc_id: int) -> bytes:
     )
 
 
-def png_pixels(payload: bytes):
-    """REAL PNG decode: signature check, chunk walk with CRC verification,
-    IHDR validation (8-bit RGB, no interlace), zlib inflate of the
-    concatenated IDAT stream, and per-row defiltering — returns
-    ``(pixels (h, w, 3) uint8 top-down RGB, sorted filter types seen)``.
+# Adam7 pass grid (RFC 2083 §2.6): (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Defiltering reconstructs with RECONSTRUCTED neighbors (RFC 2083: the
-    left/up/upper-left operands are post-reconstruction bytes), so Sub/
-    Average/Paeth run a sequential pass along the row; Up vectorizes."""
-    import struct
-    import zlib
 
+def _png_defilter(raw: bytes, off: int, w: int, h: int, bpp: int):
+    """Defilter one (sub-)image of ``h`` scanlines × ``w`` pixels at
+    ``bpp`` bytes/pixel starting at byte ``off`` of the inflated stream.
+    Reconstructs with RECONSTRUCTED neighbors (RFC 2083: the left/up/
+    upper-left operands are post-reconstruction bytes), so Sub/Average/
+    Paeth run a sequential pass along the row; Up vectorizes.  Returns
+    ``((h, w*bpp) uint8, filter types seen, bytes consumed)``."""
     import numpy as np
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 12 <= len(payload):
-        (size,) = struct.unpack(">I", payload[pos : pos + 4])
-        typ = payload[pos + 4 : pos + 8]
-        if pos + 12 + size > len(payload):
-            raise ValueError(f"chunk {typ!r} overruns payload")
-        data = payload[pos + 8 : pos + 8 + size]
-        (crc,) = struct.unpack(">I", payload[pos + 8 + size : pos + 12 + size])
-        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"chunk {typ!r} CRC mismatch")
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-        pos += 12 + size
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT chunk")
-    w, h, depth, ctype, comp, filt, interlace = ihdr
-    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
-        raise ValueError(
-            f"unsupported PNG: depth={depth} color={ctype} interlace={interlace}"
-        )
-    raw = zlib.decompress(bytes(idat))
-    stride = w * 3
-    if len(raw) != h * (1 + stride):
-        raise ValueError(f"inflated stream is {len(raw)} bytes, want {h * (1 + stride)}")
+    stride = w * bpp
+    need = h * (1 + stride)
+    if off + need > len(raw):
+        raise ValueError(f"inflated stream is {len(raw)} bytes, want {off + need}")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     filters_seen = set()
     for r in range(h):
-        ft = raw[r * (1 + stride)]
+        ft = raw[off + r * (1 + stride)]
         if ft > 4:
             raise ValueError(f"row {r} has invalid filter type {ft}")
         filters_seen.add(int(ft))
         f = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (1 + stride) + 1
+            raw, dtype=np.uint8, count=stride, offset=off + r * (1 + stride) + 1
         ).astype(np.int32)
         if ft == 0:
             recon = f
@@ -1072,9 +1048,9 @@ def png_pixels(payload: bytes):
         else:
             recon = f.copy()
             for i in range(stride):
-                left = recon[i - 3] if i >= 3 else 0
+                left = recon[i - bpp] if i >= bpp else 0
                 up = prev[i]
-                ul = int(prev[i - 3]) if i >= 3 else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
                 if ft == 1:
                     recon[i] = (f[i] + left) % 256
                 elif ft == 3:
@@ -1086,7 +1062,91 @@ def png_pixels(payload: bytes):
                     recon[i] = (f[i] + pred) % 256
         out[r] = recon.astype(np.uint8)
         prev = recon
-    return out.reshape(h, w, 3), sorted(filters_seen)
+    return out, filters_seen, need
+
+
+def png_pixels(payload: bytes):
+    """REAL PNG decode: signature check, chunk walk with CRC verification,
+    IHDR validation, zlib inflate of the concatenated IDAT stream, and
+    per-row defiltering — returns ``(pixels (h, w, 3) uint8 top-down RGB,
+    sorted filter types seen)``.
+
+    Breadth (r11, VERDICT #4): 8-bit truecolor (color type 2) AND 8-bit
+    palette (color type 3, PLTE-indexed — the extremely common web
+    case), each either non-interlaced or Adam7-interlaced (the seven-
+    pass deinterlace; every pass is an independently filtered sub-image,
+    RFC 2083 §2.6/§6).  Truncated palettes (length not a multiple of 3,
+    or an index past the last entry) and other depths/types are
+    REJECTED, not mis-decoded."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
+    while pos + 12 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        if pos + 12 + size > len(payload):
+            raise ValueError(f"chunk {typ!r} overruns payload")
+        data = payload[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + size : pos + 12 + size])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError(f"truncated palette: {len(data)} bytes")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or ctype not in (2, 3) or interlace > 1:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={ctype} interlace={interlace}"
+        )
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    bpp = 3 if ctype == 2 else 1
+    raw = zlib.decompress(bytes(idat))
+    filters_seen: set = set()
+    if interlace == 0:
+        flat, filters_seen, used = _png_defilter(raw, 0, w, h, bpp)
+        if used != len(raw):
+            raise ValueError(f"inflated stream is {len(raw)} bytes, want {used}")
+        chans = flat.reshape(h, w, bpp)
+    else:  # Adam7: seven independently filtered sub-images, scattered back
+        chans = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, fts, used = _png_defilter(raw, off, pw, ph, bpp)
+            filters_seen |= fts
+            off += used
+            chans[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if off != len(raw):
+            raise ValueError(f"inflated stream is {len(raw)} bytes, want {off}")
+    if ctype == 2:
+        rgb = chans
+    else:
+        idx = chans[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError(
+                f"palette index {int(idx.max())} past last entry {len(plte) - 1}"
+            )
+        rgb = plte[idx]
+    return rgb, sorted(filters_seen)
 
 
 def _mean_e4(total: int, n: int) -> int:
@@ -1259,6 +1319,186 @@ def mm_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = pd.DataFrame(
                 feats,
                 columns=["out_w", "out_h", "mean_r_e4", "mean_g_e4", "mean_b_e4", "checksum"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)
+
+
+def synth_png_v2(doc_id: int) -> bytes:
+    """PNG-breadth synthesis (r11 VERDICT #4): ``doc_id % 4`` selects
+    (color type, interlace) ∈ {(2,0), (3,0), (2,1), (3,1)}.  Truecolor
+    pixel (x, y) channel c is ``(doc_id + 3x + 7y + 11c) mod 256``;
+    palette images index ``(doc_id + 3x + 7y) mod npal`` into a
+    ``npal = 17 + doc_id % 13`` entry PLTE whose entry i channel c is
+    ``(doc_id + 9i + 11c) mod 256``.  Row r OF EACH PASS is filtered
+    with type ``(doc_id + r) mod 5``; dims ≥ 10×8 keep all seven Adam7
+    passes non-empty.  Chunk CRCs are real."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    variant = doc_id % 4
+    ctype = 3 if variant % 2 else 2
+    interlace = 1 if variant >= 2 else 0
+    w, h = 10 + doc_id % 11, 8 + (doc_id * 3) % 9
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    if ctype == 2:
+        chans = np.stack(
+            [((doc_id + 3 * xs + 7 * ys + 11 * c) % 256).astype(np.uint8)
+             for c in range(3)],
+            axis=2,
+        )
+        bpp = 3
+        plte_chunk = b""
+    else:
+        npal = 17 + doc_id % 13
+        chans = ((doc_id + 3 * xs + 7 * ys) % npal).astype(np.uint8)[:, :, None]
+        bpp = 1
+        pal = bytes(
+            (doc_id + 9 * i + 11 * c) % 256 for i in range(npal) for c in range(3)
+        )
+        plte_chunk = pal  # wrapped below
+
+    def filt_image(img, phase: int) -> bytes:
+        raw = bytearray()
+        prev = np.zeros(img.shape[1] * bpp, dtype=np.uint8)
+        for r in range(img.shape[0]):
+            row = img[r].reshape(-1)
+            ft = (doc_id + phase + r) % 5
+            raw.append(ft)
+            raw += _png_filter_row(row, prev, ft, bpp).tobytes()
+            prev = row
+        return bytes(raw)
+
+    if interlace == 0:
+        raw = filt_image(chans, 0)
+    else:
+        # phase = pass index: seven consecutive residues mod 5 guarantee
+        # all five filter types appear even though every pass is short
+        raw = b"".join(
+            filt_image(chans[y0::dy, x0::dx], pi)
+            for pi, (x0, y0, dx, dy) in enumerate(_ADAM7)
+            if chans[y0::dy, x0::dx].size
+        )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if ctype == 3:
+        out += chunk(b"PLTE", plte_chunk)
+    return out + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+
+
+def decode_png_v2(payload: bytes) -> tuple[int, ...]:
+    """Decode any supported PNG and extract (width, height, color_type,
+    interlaced, mean_r_e4, mean_g_e4, mean_b_e4, corner_tl_r,
+    corner_br_b, filter_types) — color type and interlace are re-sniffed
+    from the IHDR so the verdict row proves which path actually ran."""
+    import struct
+
+    px, fts = png_pixels(payload)
+    ihdr = struct.unpack(">IIBBBBB", payload[16:29])
+    h, w = px.shape[:2]
+    n = h * w
+    return (
+        w,
+        h,
+        int(ihdr[3]),
+        int(ihdr[6]),
+        _mean_e4(int(px[:, :, 0].astype("int64").sum()), n),
+        _mean_e4(int(px[:, :, 1].astype("int64").sum()), n),
+        _mean_e4(int(px[:, :, 2].astype("int64").sum()), n),
+        int(px[0, 0, 0]),
+        int(px[h - 1, w - 1, 2]),
+        ",".join(str(t) for t in fts),
+    )
+
+
+@register(
+    "mm_png_palette_adam7_decode",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 10 + doc_id % 11 AS w, 8 + (doc_id * 3) % 9 AS h,
+             17 + doc_id % 13 AS npal,
+             CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS ctype,
+             CASE WHEN doc_id % 4 >= 2 THEN 1 ELSE 0 END AS interlaced
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, ctype, interlaced, x, y, c,
+             CASE WHEN ctype = 2
+                  THEN (doc_id + 3 * x + 7 * y + 11 * c) % 256
+                  ELSE (doc_id + 9 * ((doc_id + 3 * x + 7 * y) % npal)
+                        + 11 * c) % 256
+             END AS v
+      FROM p, UNNEST(range(w)) AS t1(x), UNNEST(range(h)) AS t2(y),
+           UNNEST(range(3)) AS t3(c))
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ctype AS INT) AS color_type,
+           CAST(interlaced AS INT) AS interlaced,
+           CAST((SUM(v) FILTER (c = 0) * 20000 + COUNT(*) FILTER (c = 0))
+                // (2 * COUNT(*) FILTER (c = 0)) AS BIGINT) AS mean_r_e4,
+           CAST((SUM(v) FILTER (c = 1) * 20000 + COUNT(*) FILTER (c = 1))
+                // (2 * COUNT(*) FILTER (c = 1)) AS BIGINT) AS mean_g_e4,
+           CAST((SUM(v) FILTER (c = 2) * 20000 + COUNT(*) FILTER (c = 2))
+                // (2 * COUNT(*) FILTER (c = 2)) AS BIGINT) AS mean_b_e4,
+           CAST(MAX(CASE WHEN x = 0 AND y = 0 AND c = 0 THEN v END) AS INT)
+             AS corner_tl_r,
+           CAST(MAX(CASE WHEN x = w - 1 AND y = h - 1 AND c = 2 THEN v END)
+                AS INT) AS corner_br_b,
+           '0,1,2,3,4' AS filter_types
+    FROM px GROUP BY doc_id, w, h, ctype, interlaced
+    """,
+)
+def mm_png_palette_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG breadth decode (r11 VERDICT #4): a four-way mix of 8-bit
+    truecolor and PLTE-palette PNGs, each non-interlaced or
+    Adam7-interlaced — palette PNGs are extremely common in real web
+    corpora and Adam7's seven-pass layout is the other spec surface the
+    non-interlaced decoder never touched.  Every payload still filters
+    each pass's row r with type (doc_id + r) % 5, so all five RFC 2083
+    defilters run per image; interlaced payloads additionally exercise
+    the per-pass sub-image reconstruction + scatter (filtering is
+    per-PASS, so a wrong pass geometry breaks the hash through the
+    defilter chain, not just pixel order).  The oracle recomputes pixels
+    from the closed palette/truecolor formulas — interlacing is a
+    byte-layout property, so decoded VALUES must be identical either
+    way, which is exactly what the shared formula grades.  ``color_type``
+    and ``interlaced`` are re-sniffed from the IHDR by the decoder, so
+    the mix itself is value-hashed.  Rejection tests pin truncated
+    palettes (PLTE not a multiple of 3, index past the last entry) and
+    the remaining honest limits (sub-8-bit depths, other color types).
+    Same Arrow mapInPandas scale shape as every decode stage."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id bigint, width int, height int, color_type int, interlaced int, "
+        "mean_r_e4 bigint, mean_g_e4 bigint, mean_b_e4 bigint, "
+        "corner_tl_r int, corner_br_b int, filter_types string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_png_v2(synth_png_v2(int(d))) for d in pdf["doc_id"]]
+            out = pd.DataFrame(
+                feats,
+                columns=[
+                    "width", "height", "color_type", "interlaced",
+                    "mean_r_e4", "mean_g_e4", "mean_b_e4",
+                    "corner_tl_r", "corner_br_b", "filter_types",
+                ],
             )
             out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
             yield out

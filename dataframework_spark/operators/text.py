@@ -1528,3 +1528,209 @@ def text_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _CHI2_TOPK)
         .select("source", "term", "df", "n_docs_in_source", "chi2", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language identification: trained char-trigram Naive Bayes (r11 VERDICT #5)
+# ---------------------------------------------------------------------------
+#
+# Every per-lang aggregate in this module trusts the corpus's ``lang``
+# column as ground truth; a real pipeline DERIVES language.  This is the
+# fastText-style derivation at its core: hashed character-trigram
+# multinomial Naive Bayes — fit on a deterministic 70% split's labels,
+# scored on the held-out 30%, confusion + accuracy billed in the output.
+#
+# Determinism discipline (the reason this is oracle-checkable): weights
+# are QUANTIZED log-odds — floor(1e6 · ln((cnt+1)/(tot+B))) — computed
+# once per (bucket, lang) from exact integer counts, so the per-doc score
+# is an exact INTEGER dot product and the argmax (score DESC, lang ASC)
+# is identical in both engines.  Float ln() only ever touches the 1e6
+# quantization grid (a last-ulp libm divergence would need to land within
+# ~1e-9 of a grid boundary to flip one of ~2.5k weights); per-doc float
+# accumulation — where ties actually live — never happens.
+
+_LID_B = 512          # hashed trigram buckets (model = B × L rows, bounded)
+_LID_SCALE = 1_000_000
+_LID_TRAIN_PCT = 7    # md5(doc_id) % 10 < 7 → train, else test
+
+
+def _lid_hash_spark(col: str) -> str:
+    return (
+        f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint) % {_LID_B}"
+    )
+
+
+_LANGID_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, text,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 10 AS s
+      FROM documents WHERE length(text) >= 3),
+    trg AS (
+      SELECT lang,
+             CAST('0x' || substr(md5(substr(text, i + 1, 3)), 1, 15) AS BIGINT)
+               % {_LID_B} AS g
+      FROM d, UNNEST(range(length(text) - 2)) AS t(i)
+      WHERE s < {_LID_TRAIN_PCT}),
+    cnt AS (SELECT lang, g, COUNT(*)::BIGINT AS c FROM trg GROUP BY 1, 2),
+    tot AS (SELECT lang, COUNT(*)::BIGINT AS t FROM trg GROUP BY 1),
+    nl AS (SELECT lang, COUNT(*)::BIGINT AS n FROM d
+           WHERE s < {_LID_TRAIN_PCT} GROUP BY 1),
+    nn AS (SELECT SUM(n) AS total, COUNT(*) AS nlang FROM nl),
+    gs AS (SELECT g FROM UNNEST(range({_LID_B})) AS u(g)),
+    grid AS (
+      SELECT b.lang, b.g,
+             CAST(FLOOR({_LID_SCALE} * LN((COALESCE(c.c, 0) + 1.0)
+                                          / (b.t + {_LID_B}))) AS BIGINT) AS w
+      FROM (SELECT t.lang, t.t, gs.g FROM tot t CROSS JOIN gs) b
+      LEFT JOIN cnt c ON c.lang = b.lang AND c.g = b.g),
+    pri AS (
+      SELECT l.lang,
+             CAST(FLOOR({_LID_SCALE} * LN((l.n + 1.0)
+                    / ((SELECT total FROM nn) + (SELECT nlang FROM nn))))
+                  AS BIGINT) AS pw
+      FROM nl l),
+    tsg AS (
+      SELECT doc_id, lang AS lang_true,
+             CAST('0x' || substr(md5(substr(text, i + 1, 3)), 1, 15) AS BIGINT)
+               % {_LID_B} AS g,
+             COUNT(*)::BIGINT AS tf
+      FROM d, UNNEST(range(length(text) - 2)) AS t(i)
+      WHERE s >= {_LID_TRAIN_PCT}
+      GROUP BY 1, 2, 3),
+    sc AS (
+      SELECT t.doc_id, t.lang_true, gr.lang,
+             SUM(t.tf * gr.w) AS s0
+      FROM tsg t JOIN grid gr ON gr.g = t.g
+      GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT doc_id, lang_true, lang AS lang_pred
+      FROM (SELECT sc.doc_id, sc.lang_true, sc.lang, sc.s0 + p.pw AS score
+            FROM sc JOIN pri p ON p.lang = sc.lang)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, lang) = 1),
+    conf AS (SELECT lang_true, lang_pred, COUNT(*)::BIGINT AS n
+             FROM pred GROUP BY 1, 2),
+    tt AS (SELECT lang_true, SUM(n) AS t FROM conf GROUP BY 1),
+    acc AS (SELECT SUM(CASE WHEN lang_true = lang_pred THEN n ELSE 0 END) AS ok,
+                   SUM(n) AS total FROM conf)
+    SELECT c.lang_true, c.lang_pred, c.n AS n_docs,
+           CAST((c.n * 20000 + t.t) // (2 * t.t) AS BIGINT) AS share_of_true_e4,
+           CAST(((SELECT ok FROM acc) * 20000 + (SELECT total FROM acc))
+                // (2 * (SELECT total FROM acc)) AS BIGINT) AS accuracy_e4
+    FROM conf c JOIN tt t USING (lang_true)
+"""
+
+
+@register("text_langid", oracle=_LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language identification: hashed char-trigram multinomial
+    Naive Bayes fit on a deterministic 70% of the corpus's own ``lang``
+    labels (md5(doc_id) split — never rand()), scored on the held-out
+    30%, confusion matrix + per-class share + global accuracy billed in
+    the output.  Closes the "``lang`` is assumed" gap: every per-lang
+    aggregate in this module can now cite a derivation with a measured
+    error rate (on THIS synthetic corpus the labels are content-
+    independent, so accuracy ≈ the majority-class rate — which is
+    exactly what an honest confusion matrix shows).
+
+    Scale design: training is one corpus pass (trigram explode →
+    map-side-combinable (lang, bucket) count, output bounded at
+    B × L = {b} × #langs rows); the model grid + priors are
+    constants-bounded and broadcast; scoring is one held-out pass
+    (explode → broadcast join → integer dot product per (doc, lang) →
+    per-doc argmax over L rows).  No vocab-sized driver state, no
+    floats in the per-doc path — weights are integer-quantized
+    log-odds (see the block comment), so the argmax is exact and the
+    whole fit→score→confusion pipeline value-hashes.""".format(b=_LID_B)
+    docs = load_table(
+        spark, sf_dir, "documents", columns=["doc_id", "lang", "text"]
+    ).where(F.length("text") >= 3)
+    split = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) "
+        "as bigint) % 10"
+    )
+    d = docs.withColumn("s", split)
+    tri = "explode(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+    trg = (
+        d.where(F.col("s") < _LID_TRAIN_PCT)
+        .select("lang", F.expr(tri).alias("tri"))
+        .select("lang", F.expr(_lid_hash_spark("tri")).alias("g"))
+    )
+    cnt = trg.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    tot = trg.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    nl = (
+        d.where(F.col("s") < _LID_TRAIN_PCT)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nn = nl.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("nlang"))
+    grid = (
+        tot.crossJoin(spark.range(_LID_B).select(F.col("id").alias("g")))
+        .join(cnt, ["lang", "g"], "left")
+        .select(
+            "lang",
+            "g",
+            F.floor(
+                _LID_SCALE
+                * F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("t") + _LID_B))
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    pri = (
+        nl.crossJoin(F.broadcast(nn))
+        .select(
+            "lang",
+            F.floor(
+                _LID_SCALE
+                * F.log((F.col("n") + 1.0) / (F.col("total") + F.col("nlang")))
+            )
+            .cast("bigint")
+            .alias("pw"),
+        )
+    )
+    tsg = (
+        d.where(F.col("s") >= _LID_TRAIN_PCT)
+        .select("doc_id", F.col("lang").alias("lang_true"), F.expr(tri).alias("tri"))
+        .select(
+            "doc_id", "lang_true", F.expr(_lid_hash_spark("tri")).alias("g")
+        )
+        .groupBy("doc_id", "lang_true", "g")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # model grid is bounded by construction constants (B x L rows):
+    # broadcast is the right side discipline, opposite to corpus joins
+    sc = (
+        tsg.join(F.broadcast(grid), "g")
+        .groupBy("doc_id", "lang_true", "lang")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("s0"))
+        .join(F.broadcast(pri), "lang")
+        .withColumn("score", F.col("s0") + F.col("pw"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
+    pred = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang_true", F.col("lang").alias("lang_pred"))
+    )
+    conf = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tt = conf.groupBy("lang_true").agg(F.sum("n_docs").alias("t"))
+    acc = conf.agg(
+        F.sum(F.when(F.col("lang_true") == F.col("lang_pred"), F.col("n_docs")).otherwise(F.lit(0))).alias("ok"),
+        F.sum("n_docs").alias("total"),
+    )
+    return (
+        conf.join(F.broadcast(tt), "lang_true")
+        .crossJoin(F.broadcast(acc))
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n_docs",
+            F.expr("(n_docs * 20000 + t) div (2 * t)").alias("share_of_true_e4"),
+            F.expr("(ok * 20000 + total) div (2 * total)").alias("accuracy_e4"),
+        )
+    )

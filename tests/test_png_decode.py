@@ -230,3 +230,109 @@ def test_multi_idat_streams_concatenate():
             rebuilt += chunk(typ, data)
     px, fts = png_pixels(rebuilt)
     assert (px == _formula_pixels(3)).all()
+
+
+# ---------------------------------------------------------------------------
+# r11 breadth: palette (color type 3) + Adam7 interlace
+# ---------------------------------------------------------------------------
+
+
+def _chunk(typ, data):
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _rebuild(payload, mutate):
+    """Re-emit a PNG chunk stream through ``mutate(typ, data) ->
+    (typ, data) | None`` (None drops the chunk)."""
+    out, pos = payload[:8], 8
+    while pos < len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        kept = mutate(typ, data)
+        if kept is not None:
+            out += _chunk(*kept)
+        pos += 12 + size
+    return out
+
+
+def test_palette_adam7_variants_roundtrip():
+    from dataframework_spark.operators.multimodal import synth_png_v2
+
+    for d in range(8):  # two of each (ctype, interlace) combination
+        px, fts = png_pixels(synth_png_v2(d))
+        assert px.shape[2] == 3 and fts == [0, 1, 2, 3, 4]
+
+
+def test_interlace_changes_bytes_not_values():
+    """Adam7 is a byte-layout property: doc d and d+2 share (w, h, ctype)
+    formulas whenever d % 4 < 2 maps to d+2's interlaced twin with the
+    same doc constants — decode values must match pixel-for-pixel when
+    the formula inputs coincide."""
+    from dataframework_spark.operators.multimodal import synth_png_v2
+
+    # craft twins directly: same doc constants, flipped interlace bit is
+    # impossible via doc_id alone, so compare against the formula instead
+    for d in (2, 3, 6, 7, 10, 11):  # interlaced variants
+        px, _ = png_pixels(synth_png_v2(d))
+        h, w = px.shape[:2]
+        npal = 17 + d % 13
+        for (x, y) in ((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1), (3, 5)):
+            for c in range(3):
+                want = (
+                    (d + 3 * x + 7 * y + 11 * c) % 256
+                    if d % 2 == 0
+                    else (d + 9 * ((d + 3 * x + 7 * y) % npal) + 11 * c) % 256
+                )
+                assert int(px[y, x, c]) == want, (d, x, y, c)
+
+
+def test_truncated_palette_rejected():
+    from dataframework_spark.operators.multimodal import synth_png_v2
+
+    payload = synth_png_v2(1)  # palette, non-interlaced
+    bad = _rebuild(
+        payload,
+        lambda typ, data: (typ, data[:-1]) if typ == b"PLTE" else (typ, data),
+    )
+    with pytest.raises(ValueError, match="truncated palette"):
+        png_pixels(bad)
+
+
+def test_missing_palette_rejected():
+    from dataframework_spark.operators.multimodal import synth_png_v2
+
+    payload = synth_png_v2(1)
+    bad = _rebuild(
+        payload, lambda typ, data: None if typ == b"PLTE" else (typ, data)
+    )
+    with pytest.raises(ValueError, match="missing PLTE"):
+        png_pixels(bad)
+
+
+def test_palette_index_past_last_entry_rejected():
+    """Shrink the PLTE below the max index actually used: the decoder
+    must refuse rather than wrap or clamp."""
+    from dataframework_spark.operators.multimodal import synth_png_v2
+
+    payload = synth_png_v2(1)  # npal = 17 + 1 % 13 = 18; indices reach 17
+    bad = _rebuild(
+        payload,
+        lambda typ, data: (typ, data[: 3 * 4]) if typ == b"PLTE" else (typ, data),
+    )
+    with pytest.raises(ValueError, match="past last entry"):
+        png_pixels(bad)
+
+
+def test_unsupported_color_types_still_rejected():
+    payload = bytearray(synth_png(2))
+    payload[25] = 6  # IHDR color type byte → RGBA
+    ihdr = bytes(payload[16:29])  # re-CRC the mutated IHDR
+    fixed = bytes(payload[:8]) + _chunk(b"IHDR", ihdr) + bytes(payload[33:])
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        png_pixels(fixed)
