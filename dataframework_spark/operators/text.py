@@ -1622,8 +1622,8 @@ _LANGID_ORACLE = f"""
 """
 
 
-@register("text_langid", oracle=_LANGID_ORACLE)
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("text_langid_trained", oracle=_LANGID_ORACLE)
+def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained language identification: hashed char-trigram multinomial
     Naive Bayes fit on a deterministic 70% of the corpus's own ``lang``
     labels (md5(doc_id) split — never rand()), scored on the held-out

@@ -119,6 +119,19 @@ def _driver_history() -> tuple[set[str], set[str], set[str]]:
         if isinstance(row, dict)
         and (row.get("err") not in (None, "no_oracle") or row.get("hash_match") is False)
     }
+    # REGRADE_REQUEST: one query name per line (# comments allowed) — the
+    # builder lists queries whose REGISTERED semantics changed this round
+    # (oracle + engine updated in lockstep, e.g. the r11 lsh_serve
+    # pre-collapse or the ten-way router mix).  A green verdict from an
+    # earlier round proves the OLD semantics; these must re-enter the
+    # graded prefix to prove the new ones.  Unknown names are ignored, so
+    # a stale file degrades to a no-op.
+    req = os.path.join(root, "REGRADE_REQUEST")
+    if os.path.exists(req):
+        for line in open(req):
+            name = line.split("#", 1)[0].strip()
+            if name:
+                regrade.add(name)
     rows_only = {
         name
         for name, row in latest.items()
