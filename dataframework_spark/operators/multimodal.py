@@ -1637,6 +1637,13 @@ class _BitWriter:
             self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
         return bytes(self.buf)
 
+    def marker(self, m: int) -> None:
+        """Byte-align (1-pad) and emit a bare marker (e.g. RSTn) into the
+        entropy stream — markers are NOT byte-stuffed (T.81 B.1.1.2)."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+        self.buf += bytes([0xFF, m])
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -1674,8 +1681,21 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self, expect: int) -> None:
+        """Consume an RSTn marker at the current byte boundary (partial
+        bits are 1-padding, discarded — T.81 B.2.1.1) and verify the
+        marker's modulo-8 sequence number."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError(f"expected RST{expect % 8} marker")
+        m = self.data[self.pos + 1]
+        if m != 0xD0 + (expect % 8):
+            raise ValueError(f"restart marker out of sequence: {m:#x}")
+        self.pos += 2
 
-def _encode_gray_jpeg(img, qtable=None) -> bytes:
+
+def _encode_gray_jpeg(img, qtable=None, restart_interval: int = 0) -> bytes:
     """Baseline greyscale JPEG encoder (the synthesis side): real FDCT,
     real quantization, real Annex-K huffman coding, real byte stuffing.
     Dimensions must be multiples of 8 (no padding logic — the synthesis
@@ -1693,9 +1713,17 @@ def _encode_gray_jpeg(img, qtable=None) -> bytes:
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    mcu = 0
+    nrst = 0
     shifted = img.astype(np.float64) - 128.0
     for by in range(h // 8):
         for bx in range(w // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # RSTn between intervals: byte-align, marker, predictor reset
+                bw.marker(0xD0 + (nrst % 8))
+                nrst += 1
+                prev_dc = 0
+            mcu += 1
             blk = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             # 2D DCT-II: F = S2 ∘ (B blk B^T)
             coef = s2 * (basis @ blk @ basis.T)
@@ -1745,7 +1773,12 @@ def _encode_gray_jpeg(img, qtable=None) -> bytes:
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
     )
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
 
 
 def synth_jpeg(doc_id: int):
@@ -1765,9 +1798,11 @@ def jpeg_pixels(payload: bytes):
     """REAL baseline JPEG decode (greyscale, T.81 baseline process):
     marker walk, DQT/DHT/SOF0/SOS parse, huffman entropy decode with
     byte-destuffing, DC-difference accumulation, dequantize, inverse
-    zigzag, 8x8 IDCT, level shift, clip.  Returns (h, w) uint8 pixels.
-    Progressive scans, multi-component images, and 16-bit tables are
-    REJECTED, not mis-decoded."""
+    zigzag, 8x8 IDCT, level shift, clip.  Restart intervals (DRI/RSTn —
+    r11: byte-aligned markers, modulo-8 sequence verification, DC
+    predictor reset per interval) are decoded.  Returns (h, w) uint8
+    pixels.  Progressive scans, multi-component images, and 16-bit
+    tables are REJECTED, not mis-decoded."""
     import struct
 
     import numpy as np
@@ -1782,6 +1817,7 @@ def jpeg_pixels(payload: bytes):
     qsel = 0
     td = ta = 0
     scan = None
+    ri = 0  # restart interval in MCUs (DRI); 0 = none
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1804,6 +1840,8 @@ def jpeg_pixels(payload: bytes):
             qtables[tid] = tq.reshape(8, 8)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("only baseline (SOF0) JPEG is supported")
+        elif marker == 0xFFDD:
+            (ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFC0:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8 or ncomp != 1:
@@ -1866,9 +1904,16 @@ def jpeg_pixels(payload: bytes):
 
     out = np.zeros((h, w), dtype=np.uint8)
     prev_dc = 0
+    mcu = 0
+    nrst = 0
     dtree, atree = dc_tree[td], ac_tree[ta]
     for by in range(h // 8):
         for bx in range(w // 8):
+            if ri and mcu and mcu % ri == 0:
+                br.restart(nrst)  # byte-align + verify RSTn sequence
+                nrst += 1
+                prev_dc = 0
+            mcu += 1
             zz = np.zeros(64, dtype=np.int64)
             t = _huffdec(dtree)
             diff = _extend(br.bits(t), t) if t else 0
@@ -1993,6 +2038,133 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=[
                     "width", "height", "mean_px_e4", "corner_tl", "corner_br",
                     "n_blocks",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)
+
+
+def _jpeg_dri(payload: bytes) -> int:
+    """Re-sniff the restart interval from the DRI segment (0 if absent) —
+    the feature row reports what the PAYLOAD declares, not what the
+    synthesis intended."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return 0
+        marker = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if marker in (0xFFD9, 0xFFDA):
+            return 0
+        (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker == 0xFFDD:
+            return struct.unpack(">H", payload[pos + 4 : pos + 6])[0]
+        pos += 2 + size
+    return 0
+
+
+def synth_jpeg_restart(doc_id: int):
+    """Block-constant greyscale image with a restart interval of one
+    block ROW (DRI = wb): block (bx, by) has value
+    ``(doc_id * 7 + 13*bx + 19*by) % 256``; 2-5 blocks per side, so every
+    payload carries 1-4 RSTn markers.  Returns (payload, w, h)."""
+    import numpy as np
+
+    wb, hb = 2 + (doc_id * 3) % 4, 2 + (doc_id * 5) % 4
+    bys, bxs = np.meshgrid(np.arange(hb), np.arange(wb), indexing="ij")
+    vals = ((doc_id * 7 + 13 * bxs + 19 * bys) % 256).astype(np.float64)
+    img = np.kron(vals, np.ones((8, 8)))
+    return _encode_gray_jpeg(img, restart_interval=wb), wb * 8, hb * 8
+
+
+def decode_jpeg_restart(payload: bytes) -> tuple[int, ...]:
+    """Decode a restart-interval greyscale JPEG and extract
+    (width, height, mean_px_e4, corner_tl, corner_br, n_blocks,
+    restart_interval) — the interval is re-sniffed from the DRI
+    segment, and the decode itself verifies every RSTn's byte alignment
+    and modulo-8 sequence (a mishandled marker is a hard error, a missed
+    DC-predictor reset breaks the value hash)."""
+    px = jpeg_pixels(payload)
+    h, w = px.shape
+    return (
+        w,
+        h,
+        _mean_e4(int(px.astype("int64").sum()), h * w),
+        int(px[0, 0]),
+        int(px[h - 1, w - 1]),
+        (h // 8) * (w // 8),
+        _jpeg_dri(payload),
+    )
+
+
+@register(
+    "mm_jpeg_restart_decode",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, 2 + (doc_id * 3) % 4 AS wb,
+                      2 + (doc_id * 5) % 4 AS hb
+               FROM documents),
+    blk AS (
+      SELECT doc_id, wb, hb, bx, by,
+             (doc_id * 7 + 13 * bx + 19 * by) % 256 AS v
+      FROM p, UNNEST(range(wb)) AS t1(bx), UNNEST(range(hb)) AS t2(by)),
+    q AS (
+      SELECT doc_id, wb, hb, bx, by, v,
+             CASE WHEN d1 >= 0 THEN FLOOR(d1 + 0.5)
+                  ELSE -FLOOR(-d1 + 0.5) END * {{q00}} / 8.0 AS d2
+      FROM (SELECT *, 8.0 * (v - 128) / {{q00}} AS d1 FROM blk)),
+    dec AS (SELECT doc_id, wb, hb, bx, by, {{dec_sql}} AS pix FROM q)
+    SELECT doc_id,
+           CAST(wb * 8 AS INT) AS width, CAST(hb * 8 AS INT) AS height,
+           CAST((SUM(pix) * 20000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS mean_px_e4,
+           CAST(MAX(CASE WHEN bx = 0 AND by = 0 THEN pix END) AS BIGINT)
+             AS corner_tl,
+           CAST(MAX(CASE WHEN bx = wb - 1 AND by = hb - 1 THEN pix END)
+                AS BIGINT) AS corner_br,
+           CAST(wb * hb AS BIGINT) AS n_blocks,
+           CAST(wb AS BIGINT) AS restart_interval
+    FROM dec GROUP BY doc_id, wb, hb
+    """.format(q00=_JPEG_Q00, dec_sql=_DEC_SQL),
+)
+def mm_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-interval (DRI/RSTn) JPEG decode (r11): real web JPEGs
+    routinely carry restart markers for error resilience, and the r8-r10
+    decoders rejected them.  The synthesis writes DRI = one block row,
+    so every payload interleaves 1-4 byte-aligned RSTn markers into the
+    entropy stream; the decoder byte-aligns at each interval, verifies
+    the modulo-8 marker sequence, and resets the DC predictor — the
+    predictor reset changes every post-restart DC DIFFERENCE, so a
+    decoder that ignored the reset produces wrong pixels and breaks the
+    value hash, while a decoder that mis-walks the marker bytes dies in
+    the bit reader.  ``restart_interval`` is re-sniffed from the DRI
+    segment.  General path differential-tested: restart and plain
+    encodings of the same random image must decode identically
+    (tests/test_jpeg_decode.py).  Same Arrow mapInPandas scale shape as
+    every decode stage."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id bigint, width int, height int, mean_px_e4 bigint, "
+        "corner_tl bigint, corner_br bigint, n_blocks bigint, "
+        "restart_interval bigint"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            feats = [
+                decode_jpeg_restart(synth_jpeg_restart(int(d))[0])
+                for d in pdf["doc_id"]
+            ]
+            out = pd.DataFrame(
+                feats,
+                columns=[
+                    "width", "height", "mean_px_e4", "corner_tl", "corner_br",
+                    "n_blocks", "restart_interval",
                 ],
             )
             out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))

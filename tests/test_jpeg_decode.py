@@ -136,3 +136,76 @@ def test_decode_jpeg_features():
     n = w * h
     assert mean_e4 == (int(px.astype(np.int64).sum()) * 20000 + n) // (2 * n)
     assert tl == px[0, 0] and br == px[-1, -1]
+
+
+# ---------------------------------------------------------------------------
+# r11: restart intervals (DRI / RSTn)
+# ---------------------------------------------------------------------------
+
+
+def test_restart_decode_equals_plain_decode():
+    """Restart markers are error-resilience plumbing, not data: the same
+    image encoded with and without DRI must decode identically."""
+    rng = np.random.RandomState(23)
+    for _ in range(10):
+        h, w = 8 * rng.randint(1, 6), 8 * rng.randint(1, 6)
+        img = rng.randint(0, 256, size=(h, w)).astype(np.float64)
+        plain = jpeg_pixels(_encode_gray_jpeg(img))
+        for ri in (1, 3, 7):
+            rst = jpeg_pixels(_encode_gray_jpeg(img, restart_interval=ri))
+            assert np.array_equal(plain, rst)
+
+
+def test_restart_marker_out_of_sequence_rejected():
+    img = np.random.RandomState(1).randint(0, 256, (16, 32)).astype(float)
+    payload = bytearray(_encode_gray_jpeg(img, restart_interval=1))
+    # find the first RST0 (FFD0) in the entropy stream and bump it to RST5
+    sos = payload.find(b"\xff\xda")
+    i = payload.find(b"\xff\xd0", sos)
+    assert i > 0
+    payload[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg_pixels(bytes(payload))
+
+
+def test_missing_restart_marker_rejected():
+    """DRI promises a marker every interval; a stream without them is
+    corrupt and must not decode silently."""
+    import struct
+
+    img = np.random.RandomState(2).randint(0, 256, (16, 32)).astype(float)
+    plain = _encode_gray_jpeg(img)  # no RSTs in the stream
+    # splice a DRI=1 segment before SOF0 (after DQT) without re-encoding
+    sof = plain.find(b"\xff\xc0")
+    dri = b"\xff\xdd\x00\x04\x00\x01"
+    spliced = plain[:sof] + dri + plain[sof:]
+    with pytest.raises(ValueError):
+        jpeg_pixels(spliced)
+
+
+def test_restart_synthesis_closed_form():
+    from dataframework_spark.operators.multimodal import (
+        decode_jpeg_restart,
+        synth_jpeg_restart,
+    )
+
+    q00 = 16
+    for d in (0, 5, 11, 42):
+        payload, w, h = synth_jpeg_restart(d)
+        got = decode_jpeg_restart(payload)
+        wb, hb = w // 8, h // 8
+
+        def pix(bx, by):
+            v = (d * 7 + 13 * bx + 19 * by) % 256
+            d1 = 8.0 * (v - 128) / q00
+            r1 = np.floor(d1 + 0.5) if d1 >= 0 else -np.floor(-d1 + 0.5)
+            d2 = r1 * q00 / 8.0
+            r2 = np.floor(d2 + 0.5) if d2 >= 0 else -np.floor(-d2 + 0.5)
+            return int(min(max(r2 + 128, 0), 255))
+
+        total = sum(pix(bx, by) * 64 for bx in range(wb) for by in range(hb))
+        n = w * h
+        assert got == (
+            w, h, (total * 20000 + n) // (2 * n), pix(0, 0),
+            pix(wb - 1, hb - 1), wb * hb, wb,
+        )

@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(ROOT, "SCALEPROBE_LSHLIFE_r10.json")
+OUT = os.path.join(ROOT, "SCALEPROBE_LSHLIFE_r11.json")
 OFFSET = 10_000_000_000  # probe_textmut copy stride (synth offsets ≤ 6e6 ≪ this)
 
 
@@ -150,7 +150,7 @@ def main() -> None:
                 r[f"{k.removesuffix('_sec')}_ratio_vs_1x"] = round(r[k] / base[k], 2)
         results[f"m{m}"] = r
     out = {
-        "probe": "lsh_lifecycle_nonreplica_r10",
+        "probe": "lsh_lifecycle_nonreplica_r11",
         "ops": ["dedup_lsh_persist_serve", "dedup_lsh_incremental_append"],
         "note": (
             "token-renamed corpus (copies shingle-disjoint): build+serve "

@@ -79,31 +79,19 @@ EXCLUSIONS: dict[str, str] = {
         "(SCALEPROBE_R9OPS_r9.json): pairs grow ~M with ~zero cross-copy "
         "mass — the 2^-64 key width this operator exists to buy"
     ),
-    "dedup_lsh_persist_serve": (
-        "near-dup index lifecycle: on the replica every delta doc's "
-        "signature matches the M identical index copies of its original, "
-        "so verified candidate pairs grow ~M^2 by construction (the "
-        "dedup_simhash_hamming degeneracy).  MEASURED on the non-replica "
-        "token-renamed corpus instead (SCALEPROBE_LSHLIFE_r10.json): "
-        "verdict counts exactly ~M, ZERO cross-copy verified pairs at "
-        "10x/100x, and a FIXED crawl batch served against the 100x index "
-        "stays FLAT (1.06x) — the production ingest claim"
-    ),
-    "dedup_lsh_incremental_append": (
-        "same lifecycle on the appended index: replica in-band pair mass "
-        "is ~M^2 by construction.  MEASURED on the token-renamed corpus "
-        "(SCALEPROBE_LSHLIFE_r10.json): build wall 4.7x and serve wall "
-        "2.2x at 100x data with byte-identical verdict distributions, "
-        "zero cross-copy pairs"
-    ),
     "stream_lsh_ingest": (
-        "streaming composition of lsh_serve/append: replica in-band "
-        "pair mass is ~M^2 by construction (see dedup_lsh_persist_serve) "
-        "and four sequential serve rounds multiply it.  The composed "
-        "stages are MEASURED on the non-replica token-renamed corpus in "
-        "SCALEPROBE_LSHLIFE_r10.json (verdicts ~M, zero cross-copy, "
-        "fixed batch flat vs the 100x index); the stream adds only "
-        "per-trigger orchestration on top"
+        "streaming composition of lsh_serve/append: four sequential "
+        "serve+append rounds inside foreachBatch, each rebuilding scratch "
+        "state — ~4x the swept dedup_lsh_incremental_append wall plus "
+        "trigger orchestration, so the replica sweep would spend tens of "
+        "minutes re-measuring stages that ARE swept (both batch lifecycle "
+        "queries re-entered the sweep in r11 after the exact-hash "
+        "pre-collapse removed the replica's in-band M^2 degeneracy — "
+        "identical replica copies now fold by digest before MinHash).  "
+        "Composed stages MEASURED non-replica in "
+        "SCALEPROBE_LSHLIFE_r11.json and adversarially in "
+        "SCALEPROBE_HOTBUCKET_r11.json (boilerplate flood FLAT at 100x "
+        "batch size)"
     ),
     "dedup_simhash": (
         "near-dup pair emitter (simhash band buckets): every doc is an "
