@@ -2573,10 +2573,20 @@ def _jpeg_rt_sql(v: str, q00: int) -> str:
     )
 
 
-def _jpeg_color_rgb_sql(where: str) -> str:
+def _jpeg_color_rgb_sql(where: str, fm: dict | None = None) -> str:
     """Nested-subquery form of the MCU-constant color decode (doc_id,
     wm, hm, mx, my, r, g, b) — composable into any oracle (the router
-    arm embeds it with a WHERE, the registered query without)."""
+    arm embeds it with a WHERE, the registered queries without).
+    ``fm`` overrides the synthesis formulas (SQL snippets for yv / cbv /
+    crv / wm / hm) — the progressive-color query uses its own constants
+    so the two containers cannot share graded values."""
+    fm = fm or {
+        "yv": "(doc_id + 13 * mx + 29 * my) % 256",
+        "cbv": "(3 * doc_id + 17 * mx + 7 * my) % 256",
+        "crv": "(5 * doc_id + 11 * mx + 19 * my) % 256",
+        "wm": "1 + doc_id % 3",
+        "hm": "1 + (doc_id * 5) % 3",
+    }
     return f"""(
       SELECT doc_id, wm, hm, mx, my,
              LEAST(GREATEST(CASE WHEN fr >= 0 THEN FLOOR(fr + 0.5)
@@ -2601,11 +2611,11 @@ def _jpeg_color_rgb_sql(where: str) -> str:
                                8.0 * (cbv - 128) / {_JPEG_QC00} AS d1_cb,
                                8.0 * (crv - 128) / {_JPEG_QC00} AS d1_cr
                         FROM (SELECT doc_id, wm, hm, mx, my,
-                                     (doc_id + 13 * mx + 29 * my) % 256     AS yv,
-                                     (3 * doc_id + 17 * mx + 7 * my) % 256  AS cbv,
-                                     (5 * doc_id + 11 * mx + 19 * my) % 256 AS crv
-                              FROM (SELECT doc_id, 1 + doc_id % 3 AS wm,
-                                           1 + (doc_id * 5) % 3 AS hm
+                                     {fm["yv"]}  AS yv,
+                                     {fm["cbv"]} AS cbv,
+                                     {fm["crv"]} AS crv
+                              FROM (SELECT doc_id, {fm["wm"]} AS wm,
+                                           {fm["hm"]} AS hm
                                     FROM documents {where}) p,
                                    UNNEST(range(wm)) AS t1(mx),
                                    UNNEST(range(hm)) AS t2(my))))))"""
@@ -3069,70 +3079,81 @@ def _dec_prog_scan(br, coefs, ss, se, ah, al, dtree, atree) -> None:
     if ah == 0:  # AC first scan
         eobrun = 0
         for b in range(nblocks):
-            if eobrun:
-                eobrun -= 1
+            eobrun = _dec_ac_first_block(br, coefs[b], ss, se, al, atree, eobrun)
+        return
+    eobrun = 0  # AC refinement scan
+    for b in range(nblocks):
+        eobrun = _dec_ac_refine_block(br, coefs[b], ss, se, al, atree, eobrun)
+
+
+def _dec_ac_first_block(br, zz, ss, se, al, atree, eobrun: int) -> int:
+    """One block of an AC first scan (T.81 G.2); returns the remaining
+    EOBRUN so multi-block runs span the caller's block loop."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huffdec_tree(br, atree)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
                 continue
-            k = ss
-            while k <= se:
-                sym = _huffdec_tree(br, atree)
-                r, s = sym >> 4, sym & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    eobrun = (1 << r) - 1
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows band")
+        zz[k] = _extend_amp(br.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _dec_ac_refine_block(br, zz, ss, se, al, atree, eobrun: int) -> int:
+    """One block of an AC refinement scan (T.81 G.2): positional
+    correction-bit walk; returns the remaining EOBRUN."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huffdec_tree(br, atree)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: current block finishes below
+                    eobrun = 1 << r
                     if r:
                         eobrun += br.bits(r)
                     break
-                k += r
-                if k > se:
-                    raise ValueError("AC run overflows band")
-                coefs[b][k] = _extend_amp(br.bits(s), s) << al
-                k += 1
-        return
-    # AC refinement scan
-    p1 = 1 << al
-    eobrun = 0
-    for b in range(nblocks):
-        zz = coefs[b]
-        k = ss
-        if eobrun == 0:
+                val = 0  # ZRL: skip 16 still-zero positions
+            elif s == 1:
+                val = p1 if br.bit() else -p1
+            else:
+                raise ValueError("refinement amplitude must be ±1")
             while k <= se:
-                sym = _huffdec_tree(br, atree)
-                r, s = sym >> 4, sym & 0x0F
-                if s == 0:
-                    if r < 15:  # EOBn: current block finishes below
-                        eobrun = 1 << r
-                        if r:
-                            eobrun += br.bits(r)
-                        break
-                    val = 0  # ZRL: skip 16 still-zero positions
-                elif s == 1:
-                    val = p1 if br.bit() else -p1
-                else:
-                    raise ValueError("refinement amplitude must be ±1")
-                while k <= se:
-                    if zz[k] != 0:
-                        # positional correction bit for a history coefficient
-                        if br.bit() and (abs(int(zz[k])) & p1) == 0:
-                            zz[k] += p1 if zz[k] > 0 else -p1
-                    else:
-                        if r == 0:
-                            break
-                        r -= 1
-                    k += 1
-                if val:
-                    if k > se:
-                        raise ValueError("refinement placement overflows band")
-                    zz[k] = val
-                k += 1
-        if eobrun > 0:
-            while k <= se:  # correction bits through the rest of the band
                 if zz[k] != 0:
+                    # positional correction bit for a history coefficient
                     if br.bit() and (abs(int(zz[k])) & p1) == 0:
                         zz[k] += p1 if zz[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
                 k += 1
-            eobrun -= 1
+            if val:
+                if k > se:
+                    raise ValueError("refinement placement overflows band")
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits through the rest of the band
+            if zz[k] != 0:
+                if br.bit() and (abs(int(zz[k])) & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def synth_jpeg_progressive(doc_id: int):
@@ -3237,6 +3258,442 @@ def mm_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=[
                     "width", "height", "mean_px_e4", "corner_tl", "corner_br",
                     "n_blocks", "n_scans",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# M16 — progressive COLOR JPEG: SOF2 over 4:2:0 YCbCr (r11)
+# ---------------------------------------------------------------------------
+#
+# The most common real-web JPEG is progressive AND color.  Composition of
+# the two tiers already in tree: the 4:2:0 MCU geometry / chroma tables /
+# YCbCr matrix of M14 and the Annex-G scan machinery of M15.  Per T.81,
+# DC scans may be interleaved (MCU order, per-component predictors) but
+# progressive AC scans are ALWAYS single-component, walking that
+# component's data units in raster order — the encoder emits the
+# conventional eight-scan script (interleaved DC first, per-component AC
+# firsts, interleaved DC refine, per-component AC refines).
+
+
+def _quant_plane_blocks(plane, q):
+    """FDCT + quantize one plane into zigzag-order int64 block arrays
+    (raster block order); returns (blocks, nbx)."""
+    import numpy as np
+
+    basis, s2 = _dct_basis()
+    h, w = plane.shape
+    shifted = plane.astype(np.float64) - 128.0
+    out = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = s2 * (basis @ blk @ basis.T)
+            out.append(_rnd_away(coef / q).astype(np.int64).reshape(-1)[_ZIGZAG])
+    return out, w // 8
+
+
+def _encode_ycc420_jpeg_progressive(Y, Cb, Cr) -> bytes:
+    """Progressive 4:2:0 YCbCr JPEG encoder (synthesis side): identical
+    quantized coefficients to the baseline color encoder, transmitted as
+    the eight-scan spectral-selection / successive-approximation script
+    (DC interleaved, AC per component — T.81 G.1)."""
+    import struct
+
+    import numpy as np
+
+    h, w = Y.shape
+    if h % 16 or w % 16:
+        raise ValueError("encoder expects multiple-of-16 dimensions")
+    if Cb.shape != (h // 2, w // 2) or Cr.shape != (h // 2, w // 2):
+        raise ValueError("chroma planes must be half-size (4:2:0)")
+    ql = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    qc = np.array(_JPEG_QTABLE_C, dtype=np.float64).reshape(8, 8)
+    yb, nbxy = _quant_plane_blocks(Y, ql)
+    cbb, nbxc = _quant_plane_blocks(Cb, qc)
+    crb, _ = _quant_plane_blocks(Cr, qc)
+    comp_blocks = [yb, cbb, crb]
+    # MCU traversal order of (comp, block-index) for the interleaved DC scans
+    mcu_units: list[tuple[int, int]] = []
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for j in range(2):
+                for i in range(2):
+                    mcu_units.append((0, (2 * my + j) * nbxy + 2 * mx + i))
+            mcu_units.append((1, my * nbxc + mx))
+            mcu_units.append((2, my * nbxc + mx))
+    dc_codes = [
+        _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS),
+        _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C),
+    ]
+    ac_codes = _huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qzl = np.array(_JPEG_QTABLE, dtype=np.int64)
+    qzc = np.array(_JPEG_QTABLE_C, dtype=np.int64)
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xFFDB,
+        bytes([0x00]) + bytes(int(qzl[z]) for z in _ZIGZAG)
+        + bytes([0x01]) + bytes(int(qzc[z]) for z in _ZIGZAG),
+    )
+    out += seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x01]) + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+        + bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS),
+    )
+    dc_sel = bytes([1, 0x00, 2, 0x10, 3, 0x10])  # Td: luma 0, chroma 1
+
+    # scan 1: interleaved DC first, Al=1 (arithmetic point transform)
+    bw = _BitWriter()
+    pdc = [0, 0, 0]
+    for c, bi in mcu_units:
+        v = int(comp_blocks[c][bi][0]) >> 1
+        diff = v - pdc[c]
+        pdc[c] = v
+        t, amp = _jpeg_amp(diff) if diff else (0, 0)
+        code, ln = dc_codes[min(c, 1)][t]
+        bw.write(code, ln)
+        if t:
+            bw.write(amp, t)
+    out += seg(0xFFDA, bytes([3]) + dc_sel + bytes([0, 0, 0x01]))
+    out += bw.flush()
+
+    # scans 2-4: AC first per component, Al=1
+    for c, cid in ((0, 1), (1, 2), (2, 3)):
+        bw = _BitWriter()
+        state = {"eobrun": 0, "bits": []}
+        for zz in comp_blocks[c]:
+            _enc_ac_first(bw, zz, 1, 63, 1, state, ac_codes)
+        _flush_eobrun(bw, state, ac_codes)
+        out += seg(0xFFDA, bytes([1, cid, 0x00, 1, 63, 0x01]))
+        out += bw.flush()
+
+    # scan 5: interleaved DC refine, Ah=1 Al=0 (one raw bit per unit)
+    bw = _BitWriter()
+    for c, bi in mcu_units:
+        bw.write(int(comp_blocks[c][bi][0]) & 1, 1)
+    out += seg(0xFFDA, bytes([3]) + dc_sel + bytes([0, 0, 0x10]))
+    out += bw.flush()
+
+    # scans 6-8: AC refine per component, Ah=1 Al=0
+    for c, cid in ((0, 1), (1, 2), (2, 3)):
+        bw = _BitWriter()
+        state = {"eobrun": 0, "bits": []}
+        for zz in comp_blocks[c]:
+            _enc_ac_refine(bw, zz, 1, 63, 0, state, ac_codes)
+        _flush_eobrun(bw, state, ac_codes)
+        out += seg(0xFFDA, bytes([1, cid, 0x00, 1, 63, 0x10]))
+        out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_color_progressive_pixels(payload: bytes):
+    """REAL progressive 4:2:0 color JPEG decode (T.81 Annex G over three
+    components): multi-scan marker walk, interleaved DC scans in MCU
+    order with per-component predictors, single-component AC scans in
+    raster data-unit order, one dequantize + IDCT + chroma upsample +
+    YCbCr→RGB at EOI.  Returns ((h, w, 3) uint8 RGB, n_scans).
+    Baseline SOF0, non-4:2:0 samplings, restart intervals, and 16-bit
+    tables are REJECTED, not mis-decoded."""
+    import struct
+
+    import numpy as np
+
+    if payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, object] = {}
+    dc_tree: dict[int, dict] = {}
+    ac_tree: dict[int, dict] = {}
+    dims = None
+    comps = None        # [(cid, hs, vs, tq)] in SOF order
+    coefs = None        # per component: np (nblocks, 64)
+    geoms = None        # per component: (nby, nbx)
+    n_scans = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if pos + 2 + size > len(payload):
+            raise ValueError(f"segment {marker:#x} overruns payload")
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xFFDB:
+            off = 0
+            while off < len(body):
+                if body[off] >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                tid = body[off] & 0x0F
+                tq = np.zeros(64, dtype=np.int64)
+                for i, z in enumerate(_ZIGZAG):
+                    tq[z] = body[off + 1 + i]
+                qtables[tid] = tq.reshape(8, 8)
+                off += 65
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC3):
+            raise ValueError("not a progressive (SOF2) JPEG")
+        elif marker == 0xFFDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xFFC2:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 3:
+                raise ValueError(
+                    f"unsupported SOF2: precision={prec} components={ncomp} "
+                    "(greyscale goes through jpeg_progressive_pixels)"
+                )
+            comps = []
+            for c in range(3):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            if [(c[1], c[2]) for c in comps] != [(2, 2), (1, 1), (1, 1)]:
+                raise ValueError("only 4:2:0 subsampling supported")
+            if h % 16 or w % 16:
+                raise ValueError("non-multiple-of-16 dims unsupported (no edge pad)")
+            dims = (h, w)
+            geoms = [(h // 8, w // 8), (h // 16, w // 16), (h // 16, w // 16)]
+            coefs = [
+                np.zeros((nby * nbx, 64), dtype=np.int64) for nby, nbx in geoms
+            ]
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nv])
+                tree: dict = {}
+                for sym, (code, ln) in _huff_codes(bits, vals).items():
+                    node = tree
+                    for b in format(code, f"0{ln}b"):
+                        node = node.setdefault(b, {})
+                    node["leaf"] = sym
+                (dc_tree if tc == 0 else ac_tree)[th] = tree
+                off += 17 + nv
+        elif marker == 0xFFDA:
+            if coefs is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            sel = {}
+            for c in range(ns):
+                cid, tdta = body[1 + 2 * c : 3 + 2 * c]
+                sel[cid] = (tdta >> 4, tdta & 0x0F)
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            end = _entropy_end(payload, pos + 2 + size)
+            br = _BitReader(payload[pos + 2 + size : end])
+            cidx = {comps[i][0]: i for i in range(3)}
+            if ss == 0:  # DC scan
+                if se != 0:
+                    raise ValueError("DC scan requires Se=0")
+                order: list[tuple[int, int]] = []
+                if ns == 3:  # interleaved: MCU traversal order
+                    h, w = dims
+                    nbxy = w // 8
+                    nbxc = w // 16
+                    for my in range(h // 16):
+                        for mx in range(w // 16):
+                            for j in range(2):
+                                for i in range(2):
+                                    order.append(
+                                        (0, (2 * my + j) * nbxy + 2 * mx + i)
+                                    )
+                            order.append((1, my * nbxc + mx))
+                            order.append((2, my * nbxc + mx))
+                elif ns == 1:  # non-interleaved DC: raster order
+                    ci = cidx[next(iter(sel))]
+                    order = [(ci, b) for b in range(len(coefs[ci]))]
+                else:
+                    raise ValueError(f"unsupported DC scan: {ns} components")
+                if ah == 0:
+                    prev = [0, 0, 0]
+                    for ci, bi in order:
+                        cid = comps[ci][0]
+                        dtree = dc_tree.get(sel[cid][0])
+                        t = _huffdec_tree(br, dtree)
+                        diff = _extend_amp(br.bits(t), t) if t else 0
+                        prev[ci] += diff
+                        coefs[ci][bi][0] = prev[ci] << al
+                else:
+                    for ci, bi in order:
+                        if br.bit():
+                            coefs[ci][bi][0] = int(coefs[ci][bi][0]) | (1 << al)
+            else:  # AC scan: single-component per spec (G.1.1.1.1)
+                if ns != 1:
+                    raise ValueError("progressive AC scans are single-component")
+                cid = next(iter(sel))
+                ci = cidx[cid]
+                atree = ac_tree.get(sel[cid][1])
+                blocks = coefs[ci]
+                eobrun = 0
+                if ah == 0:
+                    for b in range(len(blocks)):
+                        eobrun = _dec_ac_first_block(
+                            br, blocks[b], ss, se, al, atree, eobrun
+                        )
+                else:
+                    for b in range(len(blocks)):
+                        eobrun = _dec_ac_refine_block(
+                            br, blocks[b], ss, se, al, atree, eobrun
+                        )
+            n_scans += 1
+            pos = end
+            continue
+        pos += 2 + size
+    if dims is None or n_scans == 0:
+        raise ValueError("missing SOF2/SOS/DQT")
+    h, w = dims
+    basis, s2 = _dct_basis()
+    planes = []
+    for ci in range(3):
+        nby, nbx = geoms[ci]
+        q = qtables.get(comps[ci][3])
+        if q is None:
+            raise ValueError(f"component {comps[ci][0]} selects absent quant table")
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for b in range(nby * nbx):
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = coefs[ci][b]
+            deq = coef.reshape(8, 8) * q
+            blk = basis.T @ (s2 * deq) @ basis
+            px = np.clip(_rnd_away(blk + 128.0), 0, 255)
+            by, bx = divmod(b, nbx)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        planes.append(plane)
+    Y, Cb, Cr = planes
+    cb = np.repeat(np.repeat(Cb, 2, axis=0), 2, axis=1) - 128.0
+    cr = np.repeat(np.repeat(Cr, 2, axis=0), 2, axis=1) - 128.0
+    r = Y + _JPEG_CR_R * cr
+    g = Y - _JPEG_CB_G * cb - _JPEG_CR_G * cr
+    b = Y + _JPEG_CB_B * cb
+    rgb = np.stack(
+        [np.clip(_rnd_away(c), 0, 255).astype(np.uint8) for c in (r, g, b)],
+        axis=-1,
+    )
+    return rgb, n_scans
+
+
+def synth_jpeg_color_progressive(doc_id: int):
+    """MCU-constant 4:2:0 color image in a PROGRESSIVE container: MCU
+    (mx, my) has Y = (2·doc_id + 15mx + 23my) % 256,
+    Cb = (7·doc_id + 9mx + 21my) % 256, Cr = (11·doc_id + 5mx + 27my)
+    % 256; 1-3 MCUs per side.  Returns (payload, w, h)."""
+    import numpy as np
+
+    wm, hm = 1 + (doc_id * 7) % 3, 1 + (doc_id * 3) % 3
+    mys, mxs = np.meshgrid(np.arange(hm), np.arange(wm), indexing="ij")
+    yv = ((2 * doc_id + 15 * mxs + 23 * mys) % 256).astype(np.float64)
+    cbv = ((7 * doc_id + 9 * mxs + 21 * mys) % 256).astype(np.float64)
+    crv = ((11 * doc_id + 5 * mxs + 27 * mys) % 256).astype(np.float64)
+    Y = np.kron(yv, np.ones((16, 16)))
+    Cb = np.kron(cbv, np.ones((8, 8)))
+    Cr = np.kron(crv, np.ones((8, 8)))
+    return _encode_ycc420_jpeg_progressive(Y, Cb, Cr), wm * 16, hm * 16
+
+
+def decode_jpeg_color_progressive(payload: bytes) -> tuple[int, ...]:
+    """Decode a progressive 4:2:0 color JPEG and extract (width, height,
+    mean_rgb_e4, corner_r, corner_g, corner_b, checksum, n_mcus,
+    n_scans)."""
+    import numpy as np
+
+    rgb, n_scans = jpeg_color_progressive_pixels(payload)
+    h, w = rgb.shape[:2]
+    v = rgb.astype(np.int64)
+    n = h * w * 3
+    return (
+        w,
+        h,
+        _mean_e4(int(v.sum()), n),
+        int(rgb[0, 0, 0]),
+        int(rgb[0, 0, 1]),
+        int(rgb[0, 0, 2]),
+        int(v.sum()),
+        (h // 16) * (w // 16),
+        n_scans,
+    )
+
+
+_JPEG_COLOR_PROG_FM = {
+    "yv": "(2 * doc_id + 15 * mx + 23 * my) % 256",
+    "cbv": "(7 * doc_id + 9 * mx + 21 * my) % 256",
+    "crv": "(11 * doc_id + 5 * mx + 27 * my) % 256",
+    "wm": "1 + (doc_id * 7) % 3",
+    "hm": "1 + (doc_id * 3) % 3",
+}
+
+_JPEG_COLOR_PROG_ORACLE = f"""
+    SELECT doc_id,
+           CAST(wm * 16 AS INT) AS width, CAST(hm * 16 AS INT) AS height,
+           CAST((CAST(SUM((r + g + b) * 256) AS BIGINT) * 20000
+                 + 3 * 256 * COUNT(*))
+                // (2 * 3 * 256 * COUNT(*)) AS BIGINT)    AS mean_rgb_e4,
+           CAST(MAX(CASE WHEN mx = 0 AND my = 0 THEN r END) AS INT) AS corner_r,
+           CAST(MAX(CASE WHEN mx = 0 AND my = 0 THEN g END) AS INT) AS corner_g,
+           CAST(MAX(CASE WHEN mx = 0 AND my = 0 THEN b END) AS INT) AS corner_b,
+           CAST(CAST(SUM((r + g + b) * 256) AS BIGINT) AS BIGINT) AS checksum,
+           CAST(wm * hm AS BIGINT)                        AS n_mcus,
+           CAST(8 AS BIGINT)                              AS n_scans
+    FROM {_jpeg_color_rgb_sql('', _JPEG_COLOR_PROG_FM)} rgb
+    GROUP BY doc_id, wm, hm
+"""
+
+
+@register("mm_jpeg_color_progressive_decode", oracle=_JPEG_COLOR_PROG_ORACLE)
+def mm_jpeg_color_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive COLOR JPEG decode (r11) — the most common
+    real-web JPEG shape, composing the r10 4:2:0 machinery with the r11
+    Annex-G scan machinery: eight scans per payload (interleaved DC
+    first in MCU order with per-component predictors, per-component AC
+    firsts with EOBRUN batching, interleaved raw-bit DC refine,
+    per-component AC refines with positional correction walks), then one
+    dequantize + IDCT + chroma upsample + derived YCbCr→RGB at EOI.
+
+    MCU-constant synthesis (its own constants — this query cannot share
+    graded values with the baseline color query) gives the closed-form
+    oracle; the general path is differential-tested: progressive decode
+    must equal BASELINE color decode of the same random planes
+    byte-for-byte (tests/test_jpeg_progressive.py).  ``n_scans`` pins
+    the eight-scan walk.  Same Arrow mapInPandas scale shape as every
+    decode stage."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id bigint, width int, height int, mean_rgb_e4 bigint, "
+        "corner_r int, corner_g int, corner_b int, checksum bigint, "
+        "n_mcus bigint, n_scans bigint"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            feats = [
+                decode_jpeg_color_progressive(
+                    synth_jpeg_color_progressive(int(d))[0]
+                )
+                for d in pdf["doc_id"]
+            ]
+            out = pd.DataFrame(
+                feats,
+                columns=[
+                    "width", "height", "mean_rgb_e4", "corner_r", "corner_g",
+                    "corner_b", "checksum", "n_mcus", "n_scans",
                 ],
             )
             out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
@@ -4639,11 +5096,12 @@ def synth_mp3_stub(doc_id: int) -> bytes:
 
 
 def synth_media(doc_id: int) -> bytes:
-    """Synthesize the payload whose container format is ``doc_id % 10``:
+    """Synthesize the payload whose container format is ``doc_id % 11``:
     0 → WAV, 1 → BMP, 2 → PNG, 3 → greyscale JPEG, 4 → mp3
     (externals-only), 5 → GIF (r9), 6 → TIFF (r10), 7 → FLAC (r10),
-    8 → 4:2:0 color JPEG (r10), 9 → progressive (SOF2) JPEG (r11)."""
-    f = doc_id % 10
+    8 → 4:2:0 color JPEG (r10), 9 → progressive greyscale JPEG (r11),
+    10 → progressive 4:2:0 color JPEG (r11)."""
+    f = doc_id % 11
     if f == 0:
         return synth_wav(doc_id)
     if f == 1:
@@ -4662,7 +5120,9 @@ def synth_media(doc_id: int) -> bytes:
         return synth_flac(doc_id)
     if f == 8:
         return synth_jpeg_color(doc_id)[0]
-    return synth_jpeg_progressive(doc_id)[0]
+    if f == 9:
+        return synth_jpeg_progressive(doc_id)[0]
+    return synth_jpeg_color_progressive(doc_id)[0]
 
 
 def _jpeg_sof(payload: bytes) -> tuple[int, int]:
@@ -4730,6 +5190,12 @@ def route_media(payload: bytes):
     if payload[:2] == b"\xff\xd8":
         sof, ncomp = _jpeg_sof(payload)
         if sof == 0xC2:
+            if ncomp == 3:
+                rgb, _ = jpeg_color_progressive_pixels(payload)
+                h, w = rgb.shape[:2]
+                n = h * w * 3
+                return ("jpeg", "decoded", w, h, n,
+                        _mean_e4(int(rgb.astype(np.int64).sum()), n))
             px, _ = jpeg_progressive_pixels(payload)
             h, w = px.shape
             n = h * w
@@ -4779,28 +5245,28 @@ def route_media(payload: bytes):
       SELECT doc_id, 256 + doc_id % 128 AS n,
              list_transform(range(256 + doc_id % 128),
                             k -> abs((doc_id * 31 + k * 17) % 2003 - 1001)) AS a
-      FROM documents WHERE doc_id % 10 = 0),
+      FROM documents WHERE doc_id % 11 = 0),
     bmp_px AS (
       SELECT d.doc_id, 8 + d.doc_id % 9 AS w, 8 + (d.doc_id * 3) % 7 AS h, x, y, c
       FROM documents d,
            UNNEST(range(8 + d.doc_id % 9)) AS t1(x),
            UNNEST(range(8 + (d.doc_id * 3) % 7)) AS t2(y),
            UNNEST(range(3)) AS t3(c)
-      WHERE d.doc_id % 10 = 1),
+      WHERE d.doc_id % 11 = 1),
     png_px AS (
       SELECT d.doc_id, 9 + d.doc_id % 12 AS w, 7 + (d.doc_id * 5) % 11 AS h, x, y, c
       FROM documents d,
            UNNEST(range(9 + d.doc_id % 12)) AS t1(x),
            UNNEST(range(7 + (d.doc_id * 5) % 11)) AS t2(y),
            UNNEST(range(3)) AS t3(c)
-      WHERE d.doc_id % 10 = 2),
+      WHERE d.doc_id % 11 = 2),
     jpg_blk AS (
       SELECT d.doc_id, 2 + d.doc_id % 3 AS wb, 2 + (d.doc_id * 7) % 3 AS hb, bx, by,
              (d.doc_id + 11 * bx + 23 * by) % 256 AS v
       FROM documents d,
            UNNEST(range(2 + d.doc_id % 3)) AS t1(bx),
            UNNEST(range(2 + (d.doc_id * 7) % 3)) AS t2(by)
-      WHERE d.doc_id % 10 = 3),
+      WHERE d.doc_id % 11 = 3),
     jpg_q AS (
       SELECT doc_id, wb, hb,
              CASE WHEN d1 >= 0 THEN FLOOR(d1 + 0.5)
@@ -4814,7 +5280,7 @@ def route_media(payload: bytes):
       FROM documents d,
            UNNEST(range(2 + (d.doc_id * 5) % 3)) AS t1(bx),
            UNNEST(range(2 + (d.doc_id * 11) % 3)) AS t2(by)
-      WHERE d.doc_id % 10 = 9),
+      WHERE d.doc_id % 11 = 9),
     pjq_q AS (
       SELECT doc_id, wb, hb,
              CASE WHEN d1 >= 0 THEN FLOOR(d1 + 0.5)
@@ -4850,7 +5316,7 @@ def route_media(payload: bytes):
     SELECT doc_id, 'mp3', 'skipped:mp3',
            CAST(NULL AS INT), CAST(NULL AS INT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-    FROM documents WHERE doc_id % 10 = 4
+    FROM documents WHERE doc_id % 11 = 4
     UNION ALL
     SELECT doc_id, 'gif', 'decoded',
            CAST(MAX(w) AS INT), CAST(MAX(h) AS INT),
@@ -4861,7 +5327,7 @@ def route_media(payload: bytes):
           FROM documents d,
                UNNEST(range(8 + d.doc_id % 13)) AS t1(x),
                UNNEST(range(6 + (d.doc_id * 7) % 10)) AS t2(y)
-          WHERE d.doc_id % 10 = 5) GROUP BY doc_id
+          WHERE d.doc_id % 11 = 5) GROUP BY doc_id
     UNION ALL
     SELECT doc_id, 'tiff', 'decoded',
            CAST(MAX(w) AS INT), CAST(MAX(h) AS INT),
@@ -4872,7 +5338,7 @@ def route_media(payload: bytes):
           FROM documents d,
                UNNEST(range(24 + d.doc_id % 25)) AS t1(x),
                UNNEST(range(16 + (d.doc_id * 7) % 17)) AS t2(y)
-          WHERE d.doc_id % 10 = 6) GROUP BY doc_id
+          WHERE d.doc_id % 11 = 6) GROUP BY doc_id
     UNION ALL
     SELECT doc_id, 'flac', 'decoded',
            CAST(NULL AS INT), CAST(NULL AS INT),
@@ -4881,7 +5347,7 @@ def route_media(payload: bytes):
     FROM (SELECT doc_id, 600 + doc_id % 201 AS n,
                  list_transform(range(600 + doc_id % 201),
                                 k -> abs((doc_id * 37 + k * 19) % 1999 - 999)) AS a
-          FROM documents WHERE doc_id % 10 = 7)
+          FROM documents WHERE doc_id % 11 = 7)
     UNION ALL
     SELECT doc_id, 'jpeg', 'decoded',
            CAST(MAX(wb) * 8 AS INT), CAST(MAX(hb) * 8 AS INT),
@@ -4895,15 +5361,24 @@ def route_media(payload: bytes):
            CAST((CAST(SUM((r + g + b) * 256) AS BIGINT) * 20000
                  + 3 * 256 * COUNT(*))
                 // (2 * 3 * 256 * COUNT(*)) AS BIGINT)
-    FROM {_jpeg_color_rgb_sql('WHERE doc_id % 10 = 8')} crgb GROUP BY doc_id
-    """.format(q00=_JPEG_Q00, dec_sql=_DEC_SQL),
+    FROM {{pcrgb}} pcrgb GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 'jpeg', 'decoded',
+           CAST(MAX(wm) * 16 AS INT), CAST(MAX(hm) * 16 AS INT),
+           CAST(MAX(wm) * MAX(hm) * 256 * 3 AS BIGINT),
+           CAST((CAST(SUM((r + g + b) * 256) AS BIGINT) * 20000
+                 + 3 * 256 * COUNT(*))
+                // (2 * 3 * 256 * COUNT(*)) AS BIGINT)
+    FROM {_jpeg_color_rgb_sql('WHERE doc_id % 11 = 8')} crgb GROUP BY doc_id
+    """.format(q00=_JPEG_Q00, dec_sql=_DEC_SQL,
+               pcrgb=_jpeg_color_rgb_sql('WHERE doc_id % 11 = 10', _JPEG_COLOR_PROG_FM)),
 )
 def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format media ingest: ONE pass over opaque payloads, routed
     by MAGIC BYTES to the real parsers (RIFF/PCM16 WAV, 24bpp BMP,
     RFC 2083 PNG, ITU-T T.81 baseline JPEG — greyscale AND 4:2:0 color,
     GIF89a LZW — r9, strip-LZW TIFF and Rice/LPC FLAC — r10,
-    progressive SOF2 JPEG — r11) with an
+    progressive SOF2 JPEG in BOTH greyscale and 4:2:0 color — r11) with an
     explicit ``skipped:<fmt>`` verdict for the externals-only tier (mp3)
     and a ``rejected:unknown`` verdict for unrecognized containers — the
     production counterpart of the reference's decode-time loader
@@ -4912,7 +5387,7 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     GIF pixels are palette-mapped before the mean, so a non-greyscale
     color table would be priced correctly too.
 
-    Each doc synthesizes the container its ``doc_id % 10`` selects, so
+    Each doc synthesizes the container its ``doc_id % 11`` selects, so
     the oracle knows every payload's format and closed-form content:
     the format MIX, the per-format dims/units, and the fixed-point
     decoded means are all value-hashed.  Scale shape: Arrow

@@ -158,8 +158,71 @@ def test_entropy_end_skips_stuffing():
 
 
 def test_router_dispatches_progressive():
-    payload, w, h = synth_jpeg_progressive(19)  # 19 % 10 == 9
+    payload, w, h = synth_jpeg_progressive(19)
     assert _jpeg_sof(payload) == (0xC2, 1)
     fmt, verdict, rw, rh, n, feat = route_media(payload)
     assert (fmt, verdict, rw, rh, n) == ("jpeg", "decoded", w, h, w * h)
     assert feat == decode_jpeg_progressive(payload)[2]
+
+
+# ---------------------------------------------------------------------------
+# r11: progressive COLOR (SOF2 over 4:2:0 YCbCr)
+# ---------------------------------------------------------------------------
+
+
+def test_color_progressive_equals_color_baseline():
+    from dataframework_spark.operators.multimodal import (
+        _encode_ycc420_jpeg,
+        _encode_ycc420_jpeg_progressive,
+        jpeg_color_pixels,
+        jpeg_color_progressive_pixels,
+    )
+
+    rng = np.random.RandomState(31)
+    for _ in range(10):
+        hm, wm = rng.randint(1, 4), rng.randint(1, 4)
+        h, w = 16 * hm, 16 * wm
+        Y = rng.randint(0, 256, (h, w)).astype(float)
+        Cb = rng.randint(0, 256, (h // 2, w // 2)).astype(float)
+        Cr = rng.randint(0, 256, (h // 2, w // 2)).astype(float)
+        base = jpeg_color_pixels(_encode_ycc420_jpeg(Y, Cb, Cr))
+        prog, ns = jpeg_color_progressive_pixels(
+            _encode_ycc420_jpeg_progressive(Y, Cb, Cr)
+        )
+        assert ns == 8
+        assert np.array_equal(base, prog)
+
+
+def test_color_progressive_rejections():
+    from dataframework_spark.operators.multimodal import (
+        _encode_ycc420_jpeg,
+        jpeg_color_pixels,
+        jpeg_color_progressive_pixels,
+        synth_jpeg_color_progressive,
+    )
+
+    payload, _, _ = synth_jpeg_color_progressive(7)
+    # baseline color decoder must reject the progressive container
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_color_pixels(payload)
+    # progressive color decoder must reject a baseline container
+    Y = np.full((16, 16), 80.0)
+    C = np.full((8, 8), 120.0)
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_color_progressive_pixels(_encode_ycc420_jpeg(Y, C, C))
+    # and truncation dies, never mis-decodes
+    with pytest.raises(ValueError):
+        jpeg_color_progressive_pixels(payload[: len(payload) // 2])
+
+
+def test_router_dispatches_progressive_color():
+    from dataframework_spark.operators.multimodal import (
+        decode_jpeg_color_progressive,
+        synth_jpeg_color_progressive,
+    )
+
+    payload, w, h = synth_jpeg_color_progressive(21)  # 21 % 11 == 10 in the mix
+    assert _jpeg_sof(payload) == (0xC2, 3)
+    fmt, verdict, rw, rh, n, feat = route_media(payload)
+    assert (fmt, verdict, rw, rh, n) == ("jpeg", "decoded", w, h, w * h * 3)
+    assert feat == decode_jpeg_color_progressive(payload)[2]

@@ -29,14 +29,15 @@ from dataframework_spark.operators.multimodal import (
 )
 
 
-@pytest.mark.parametrize("doc_id", range(20))
+@pytest.mark.parametrize("doc_id", range(22))
 def test_router_fmt_matches_synthesis(doc_id):
-    # ten-way since r11: progressive SOF2 JPEG joined the r10 mix
+    # eleven-way since r11: progressive SOF2 JPEG (grey AND 4:2:0 color)
+    # joined the r10 mix
     fmt, verdict, *_ = route_media(synth_media(doc_id))
     want = [
         "wav", "bmp", "png", "jpeg", "mp3", "gif", "tiff", "flac", "jpeg",
-        "jpeg",
-    ][doc_id % 10]
+        "jpeg", "jpeg",
+    ][doc_id % 11]
     assert fmt == want
     assert verdict == ("skipped:mp3" if want == "mp3" else "decoded")
 
