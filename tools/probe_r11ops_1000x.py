@@ -48,6 +48,8 @@ OUT = os.path.join(
 
 PROBE = [
     "mm_jpeg_progressive_decode",
+    "mm_jpeg_color_progressive_decode",
+    "mm_jpeg_restart_decode",
     "mm_png_palette_adam7_decode",
     "mm_decode_router",
     "text_langid_trained",
