@@ -1743,17 +1743,20 @@ def _lsh_nmatch(a_prefix: str, b_prefix: str) -> F.Column:
 
 def lsh_serve(
     spark: SparkSession, base: str, delta: DataFrame
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Dedup a crawl delta against the persisted index alone.
 
-    Returns ``(verdicts, rep_sigs)``: per-doc verdict rows
+    Returns ``(verdicts, rep_sigs, cache)``: per-doc verdict rows
     (``dup_of_base`` — ≥ 12/16 (``_LSH_MATCH``) signature match with an
     indexed doc; ``dup_in_delta`` — first seen earlier IN THIS BATCH,
     keeper = min doc_id, the repo tie discipline; ``new`` — enters the
-    corpus) plus the signature frame of the batch's exact-distinct
+    corpus), the signature frame of the batch's exact-distinct
     REPRESENTATIVES so the caller can append the ``new`` rows without
     recomputing (``lsh_index_append`` — every ``new`` doc is a
-    representative, so the frame covers the append by construction).
+    representative, so the frame covers the append by construction),
+    and the CACHED pre-collapse frame both branches derive from — the
+    caller owns ``cache.unpersist()`` once its verdicts/appends are
+    materialized (registry runs share one session; r10 ADVICE).
 
     Hot-bucket hardening (r10 VERDICT #1): the delta is exact-hash
     PRE-COLLAPSED before anything touches MinHash — docs sharing
@@ -1787,10 +1790,14 @@ def lsh_serve(
     # 16 longs, the text never shuffles), and a hot template key lands
     # as one linear partition of narrow rows, never as a pair blowup
     sig_all = minhash_signature_frame(delta, with_xh=True)
+    # cache the MARKED frame, not just the representative slice: the
+    # verdict union's exdup branch is its complement, and an uncached
+    # marked would re-run the whole delta scan + window exchange once
+    # per verdicts materialization (r11 review finding)
     marked = sig_all.withColumn(
         "kid", F.min("doc_id").over(Window.partitionBy("xh"))
-    )
-    dsig = marked.where("doc_id = kid").drop("kid", "xh").cache()
+    ).cache()
+    dsig = marked.where("doc_id = kid").drop("kid", "xh")
     exdup = marked.where("doc_id <> kid").select("doc_id")
     dbands = _lsh_band_frame(dsig)
 
@@ -1883,7 +1890,7 @@ def lsh_serve(
         # never signed, never banded
         .unionByName(exdup.select("doc_id", F.lit("dup_in_delta").alias("verdict")))
     )
-    return verdicts, dsig
+    return verdicts, dsig, marked
 
 
 def _lsh_verdict_agg(v: DataFrame) -> DataFrame:
@@ -2111,10 +2118,10 @@ def dedup_lsh_persist_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_docs, f1, _, corpus_cache = _lsh_corpus_split(spark, sf_dir)
     path = _scratch(sf_dir, "lsh_index")
     lsh_index_build(spark, base_docs, path)
-    verdicts, dsig = lsh_serve(spark, path, _lsh_delta1(base_docs, f1))
+    verdicts, _, dcache = lsh_serve(spark, path, _lsh_delta1(base_docs, f1))
     results = path + "/results_batch1"
     verdicts.write.mode("overwrite").parquet(results)
-    dsig.unpersist()
+    dcache.unpersist()
     corpus_cache.unpersist()
     return _lsh_verdict_agg(spark.read.parquet(results))
 
@@ -2168,7 +2175,7 @@ def dedup_lsh_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "lsh_index_inc")
     lsh_index_build(spark, base_docs, path)
     delta1 = _lsh_delta1(base_docs, f1).cache()  # batch-sized; 3 consumers
-    v1, dsig1 = lsh_serve(spark, path, delta1)
+    v1, dsig1, dcache1 = lsh_serve(spark, path, delta1)
     new_ids = v1.where(F.col("verdict") == "new").select("doc_id")
     # STAGE-then-COMMIT: materialize the batch's new signatures to a
     # staging path BEFORE appending them into the index.  Appending
@@ -2186,9 +2193,9 @@ def dedup_lsh_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = spark.read.parquet(staging)
     lsh_index_append(spark, staged, path)
     new_docs = delta1.join(F.broadcast(staged.select("doc_id")), "doc_id")
-    v2, dsig2 = lsh_serve(spark, path, _lsh_delta2(base_docs, f2, new_docs))
+    v2, _, dcache2 = lsh_serve(spark, path, _lsh_delta2(base_docs, f2, new_docs))
     results = path + "/results_batch2"
     v2.write.mode("overwrite").parquet(results)
-    for frame in (dsig2, dsig1, delta1, corpus_cache):
+    for frame in (dcache2, dcache1, delta1, corpus_cache):
         frame.unpersist()
     return _lsh_verdict_agg(spark.read.parquet(results))

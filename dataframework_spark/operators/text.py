@@ -1636,13 +1636,13 @@ def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: training is one corpus pass (trigram explode →
     map-side-combinable (lang, bucket) count, output bounded at
-    B × L = {b} × #langs rows); the model grid + priors are
+    B × L = 512 × #langs rows, B = ``_LID_B``); the model grid + priors are
     constants-bounded and broadcast; scoring is one held-out pass
     (explode → broadcast join → integer dot product per (doc, lang) →
     per-doc argmax over L rows).  No vocab-sized driver state, no
     floats in the per-doc path — weights are integer-quantized
     log-odds (see the block comment), so the argmax is exact and the
-    whole fit→score→confusion pipeline value-hashes.""".format(b=_LID_B)
+    whole fit→score→confusion pipeline value-hashes."""
     docs = load_table(
         spark, sf_dir, "documents", columns=["doc_id", "lang", "text"]
     ).where(F.length("text") >= 3)

@@ -922,7 +922,8 @@ def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism discipline: ordering across triggers is STRUCTURAL, not
     temporal — after writing batch k's file its mod-time is explicitly
-    set to epoch+k seconds (and asserted strictly increasing), so the
+    set to epoch+k+1 seconds (and each file asserted to carry exactly
+    its own batch's stamp), so the
     file source's timestamp order equals tag order even on filesystems
     whose write timestamps tie at coarse granularity (the r10 ADVICE
     hazard: two rapid writes sharing a mod-time leave the tie order
@@ -970,15 +971,16 @@ def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for name in sorted(os.listdir(crawl_path)):
             if name.endswith(".parquet") and name not in stamped:
-                stamped[name] = float(k + 1)
+                stamped[name] = float(k + 1)  # batch k's one new file → epoch+k+1
                 p = os.path.join(crawl_path, name)
                 os.utime(p, (stamped[name], stamped[name]))
-    mtimes = [
-        os.path.getmtime(os.path.join(crawl_path, n)) for n in sorted(stamped)
-    ]
-    assert sorted(stamped.values()) == sorted(mtimes) and len(
-        set(mtimes)
-    ) == _LSH_STREAM_BATCHES, "crawl batch mod-times must be distinct and tag-ordered"
+    # order-PINNING check: each file must carry exactly its own batch's
+    # stamp (a permutation would serve tag k+1 before tag k and still
+    # pass a distinctness-only check)
+    assert len(stamped) == _LSH_STREAM_BATCHES, "one data file per crawl batch"
+    for name, want in stamped.items():
+        got = os.path.getmtime(os.path.join(crawl_path, name))
+        assert got == want, f"{name}: mod-time {got} != its batch stamp {want}"
 
     schema = spark.read.parquet(crawl_path).schema
     stream = (
@@ -993,7 +995,7 @@ def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tags = sorted(r.tag for r in bdf.select("tag").distinct().collect())
         for tag in tags:  # tag-ordered even if a trigger packs 2 files
             docs = bdf.where(F.col("tag") == tag).select("doc_id", "text")
-            verdicts, dsig = lsh_serve(spark, idx, docs)
+            verdicts, dsig, dcache = lsh_serve(spark, idx, docs)
             # batch-sized; consumed by BOTH the staging write and the
             # results write — uncached each would re-run the serve DAG
             verdicts = verdicts.cache()
@@ -1008,7 +1010,7 @@ def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).parquet(results)
             lsh_index_append(spark, staged, idx)
             verdicts.unpersist()
-            dsig.unpersist()
+            dcache.unpersist()
 
     q = stream.writeStream.foreachBatch(_ingest).trigger(availableNow=True).start()
     try:

@@ -138,7 +138,7 @@ def test_lsh_serve_never_scans_corpus(spark, tmp_path):
     base = str(tmp_path / "idx")
     lsh_index_build(spark, _mini_docs(spark, range(20)), base)
     delta = _mini_docs(spark, [3, 7, 100])
-    verdicts, _ = lsh_serve(spark, base, delta)
+    verdicts, _, _c = lsh_serve(spark, base, delta)
     plan = plan_string(verdicts)
     assert "documents" not in plan, "serve plan touches the corpus"
     assert "idx/sigs" in plan.replace("\\", "/") and "idx/bands" in plan.replace(
@@ -169,7 +169,7 @@ def test_lsh_append_then_serve_equals_rebuild_then_serve(spark, tmp_path):
 
     inc = str(tmp_path / "inc")
     lsh_index_build(spark, base_docs, inc)
-    v1, dsig1 = lsh_serve(spark, inc, delta1)
+    v1, dsig1, _c1 = lsh_serve(spark, inc, delta1)
     new_ids = v1.where("verdict = 'new'").select("doc_id")
     # stage-then-commit, as the registered op does: an in-place append
     # invalidates path-derived caches and would flip the new-set
@@ -211,7 +211,7 @@ def test_lsh_new_set_is_append_stable(spark, tmp_path):
     idx = str(tmp_path / "idx")
     lsh_index_build(spark, base_docs, idx)
     delta1 = _lsh_delta1(base_docs, f1)
-    v1, dsig1 = lsh_serve(spark, idx, delta1)
+    v1, dsig1, _c1 = lsh_serve(spark, idx, delta1)
     new_ids = v1.where("verdict = 'new'").select("doc_id")
     n_pre = new_ids.count()
     assert n_pre > 0

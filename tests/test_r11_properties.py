@@ -31,9 +31,9 @@ def _serve(spark, tmp_path, base_rows, delta_rows):
 
     idx = str(tmp_path / "idx")
     lsh_index_build(spark, _docs(spark, base_rows), idx)
-    verdicts, dsig = lsh_serve(spark, idx, _docs(spark, delta_rows))
+    verdicts, _, dcache = lsh_serve(spark, idx, _docs(spark, delta_rows))
     got = {r["doc_id"]: r["verdict"] for r in verdicts.collect()}
-    dsig.unpersist()
+    dcache.unpersist()
     return got
 
 

@@ -80,7 +80,7 @@ def probe(spark, idx: str, b: int, near: bool) -> dict:
 
     delta = _batch(spark, b, near)
     t0 = time.perf_counter()
-    verdicts, dsig = lsh_serve(spark, idx, delta)
+    verdicts, _, dcache = lsh_serve(spark, idx, delta)
     counts = {
         row["verdict"]: row["n"]
         for row in verdicts.groupBy("verdict")
@@ -88,7 +88,7 @@ def probe(spark, idx: str, b: int, near: bool) -> dict:
         .collect()
     }
     wall = round(time.perf_counter() - t0, 3)
-    dsig.unpersist()
+    dcache.unpersist()
     spark.catalog.clearCache()
     return {"batch_docs": b, "serve_wall_sec": wall, "verdicts": counts}
 

@@ -71,7 +71,7 @@ def probe(spark, sf_dir: str, m: int, scratch: str) -> dict:
 
     delta = _lsh_delta1(base_docs, f1)
     t0 = time.perf_counter()
-    verdicts, dsig = lsh_serve(spark, path, delta)
+    verdicts, dsig, dcache = lsh_serve(spark, path, delta)
     counts = {row["verdict"]: row["n"] for row in
               verdicts.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()}
     r["serve_wall_sec"] = round(time.perf_counter() - t0, 3)
@@ -118,7 +118,7 @@ def probe(spark, sf_dir: str, m: int, scratch: str) -> dict:
         f1.where(F.col("doc_id") < OFFSET),
     )
     t0 = time.perf_counter()
-    v0, _ = lsh_serve(spark, path, delta0)
+    v0, _, dcache0 = lsh_serve(spark, path, delta0)
     n0 = v0.count()
     r["fixed_batch_serve_wall_sec"] = round(time.perf_counter() - t0, 3)
     r["fixed_batch_docs"] = int(n0)

@@ -4,7 +4,7 @@ every round's heaviest newcomers get a measured scale row).
 ``mm_jpeg_progressive_decode`` and ``mm_png_palette_adam7_decode`` are
 embarrassingly parallel Arrow mapInPandas decodes (progressive JPEG is
 the heaviest per-doc codec yet: six entropy-coded scans per payload);
-``mm_decode_router`` is re-probed at its new TEN-way mix.
+``mm_decode_router`` is re-probed at its new ELEVEN-way mix.
 ``text_langid_trained`` is one corpus-sized trigram explode into a
 B×L-bounded model plus one held-out scoring pass; ``corpus_mixture_sample_bpe``
 is the BPE fit (one corpus pass to the vocab table) plus the mixture's
