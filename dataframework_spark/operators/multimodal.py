@@ -1841,6 +1841,8 @@ def jpeg_pixels(payload: bytes):
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise ValueError("only baseline (SOF0) JPEG is supported")
         elif marker == 0xFFDD:
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             (ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFC0:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
@@ -2061,6 +2063,8 @@ def _jpeg_dri(payload: bytes) -> int:
             return 0
         (size,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         if marker == 0xFFDD:
+            if pos + 6 > len(payload):
+                raise ValueError("truncated DRI segment")
             return struct.unpack(">H", payload[pos + 4 : pos + 6])[0]
         pos += 2 + size
     return 0

@@ -86,7 +86,9 @@ def _family(name: str) -> str:
     return name.split("_", 1)[0]
 
 
-def _driver_history() -> tuple[set[str], set[str], set[str]]:
+def _driver_history(
+    known: set[str] | None = None, root: str | None = None
+) -> tuple[set[str], set[str], set[str]]:
     """Return (needs_regrade, rows_only, ever_sampled) sets read from
     ``CORRECTNESS_r*.json``.
 
@@ -102,7 +104,8 @@ def _driver_history() -> tuple[set[str], set[str], set[str]]:
     import json
     import os
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sampled: set[str] = set()
     latest: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -124,13 +127,24 @@ def _driver_history() -> tuple[set[str], set[str], set[str]]:
     # (oracle + engine updated in lockstep, e.g. the r11 lsh_serve
     # pre-collapse or the ten-way router mix).  A green verdict from an
     # earlier round proves the OLD semantics; these must re-enter the
-    # graded prefix to prove the new ones.  Unknown names are ignored, so
-    # a stale file degrades to a no-op.
+    # graded prefix to prove the new ones.  A name not in the registry is
+    # a typo that would silently drop an intended regrade — warn loudly.
     req = os.path.join(root, "REGRADE_REQUEST")
     if os.path.exists(req):
-        for line in open(req):
-            name = line.split("#", 1)[0].strip()
-            if name:
+        with open(req) as f:
+            for line in f:
+                name = line.split("#", 1)[0].strip()
+                if not name:
+                    continue
+                if known is not None and name not in known:
+                    import warnings
+
+                    warnings.warn(
+                        f"REGRADE_REQUEST lists unknown query {name!r}; "
+                        "it will not be regraded (typo?)",
+                        stacklevel=2,
+                    )
+                    continue
                 regrade.add(name)
     rows_only = {
         name
@@ -165,7 +179,7 @@ def _interleaved(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     prefix slots until the backlog of never-graded queries is burned
     down.
     """
-    regrade, rows_only, sampled = _driver_history()
+    regrade, rows_only, sampled = _driver_history(known=set(reg))
 
     def _cls(spec: QuerySpec) -> int:
         if spec.name in regrade:

@@ -971,16 +971,25 @@ def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for name in sorted(os.listdir(crawl_path)):
             if name.endswith(".parquet") and name not in stamped:
-                stamped[name] = float(k + 1)  # batch k's one new file → epoch+k+1
+                # batch k's one new file → epoch + 10*(k+1); the 10 s
+                # spacing survives coarse-granularity filesystems (FAT
+                # rounds to 2 s) without collapsing adjacent batches
+                stamped[name] = float((k + 1) * 10)
                 p = os.path.join(crawl_path, name)
                 os.utime(p, (stamped[name], stamped[name]))
-    # order-PINNING check: each file must carry exactly its own batch's
-    # stamp (a permutation would serve tag k+1 before tag k and still
-    # pass a distinctness-only check)
+    # order-PINNING check: observed mod-times must be STRICTLY increasing
+    # in batch order (a permutation would serve tag k+1 before tag k and
+    # still pass a distinctness-only check).  Rank order, not exact float
+    # equality — mtime-normalizing mounts may truncate the stamp (r11
+    # ADVICE) but cannot reorder a 10 s spacing.
     assert len(stamped) == _LSH_STREAM_BATCHES, "one data file per crawl batch"
-    for name, want in stamped.items():
-        got = os.path.getmtime(os.path.join(crawl_path, name))
-        assert got == want, f"{name}: mod-time {got} != its batch stamp {want}"
+    got_in_batch_order = [
+        os.path.getmtime(os.path.join(crawl_path, name))
+        for name, _ in sorted(stamped.items(), key=lambda kv: kv[1])
+    ]
+    assert all(
+        a < b for a, b in zip(got_in_batch_order, got_in_batch_order[1:])
+    ), f"crawl-file mod-times not strictly increasing in batch order: {got_in_batch_order}"
 
     schema = spark.read.parquet(crawl_path).schema
     stream = (
