@@ -1734,3 +1734,277 @@ def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(ok * 20000 + total) div (2 * total)").alias("accuracy_e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (r11 VERDICT #3): distill the heuristic
+# keep-rule into an error-billed model
+# ---------------------------------------------------------------------------
+#
+# ``text_quality_score`` is a heuristic panel; a real pretraining filter
+# TRAINS its quality dimension (fastText/logreg on weak labels) so the
+# decision generalizes past the rule and carries a measured error rate.
+# This is that derivation, the ``text_langid_trained`` recipe applied to
+# the quality axis: binned integer doc features → binned Naive Bayes fit
+# on a deterministic 70% split against a DERIVED WEAK LABEL (the
+# registered heuristic's own keep-rule, re-stated in exact integer
+# arithmetic), scored on the held-out 30% with precision / recall /
+# accuracy AND a fixed-bin calibration curve billed in the output.
+#
+# Determinism discipline (what makes it oracle-checkable): features are
+# INTEGER bin ids (pure integer comparisons and divisions — no float
+# ratio ever computed), weights are quantized log-odds
+# floor(1e6·ln((c+1)/(n_y+10))) from exact integer counts, per-doc scores
+# are integer sums, and the keep/drop argmax is a sign test on the
+# integer margin.  The quantization-grid margin is MEASURED on the graded
+# corpora by ``tests/test_r12_advice.py`` (the langid precedent).
+
+_TQ_SCALE = 1_000_000
+_TQ_TRAIN_PCT = 7
+_TQ_BINS = 10
+_TQ_FEATS = 4
+# calibration bins: fixed thresholds in integer log-odds (1e6·nats) —
+# scale-free units, so the reliability curve needs no data-dependent
+# quantiles (and therefore no global sort)
+_TQ_CAL = (
+    "CASE WHEN m < -4000000 THEN 0 WHEN m < -1000000 THEN 1 "
+    "WHEN m <= 1000000 THEN 2 WHEN m <= 4000000 THEN 3 ELSE 4 END"
+)
+_TQ_E4 = "({num} * 20000 + {den}) {div} (2 * {den})"
+
+
+def _tq_e4(num: str, den: str, div: str) -> str:
+    # half-up e4 share, guarded against an empty denominator class
+    return (
+        f"CASE WHEN {den} = 0 THEN -1 "
+        f"ELSE {_TQ_E4.format(num=num, den=den, div=div)} END"
+    )
+
+
+_TQUAL_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {DUCK_TOKENS_SQL} AS toks,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 10 AS s
+      FROM documents),
+    b AS (
+      SELECT doc_id, s,
+             len(toks)::BIGINT AS n,
+             len(list_distinct(toks))::BIGINT AS nd,
+             len(list_filter(toks, x -> x IN {_SW_DUCK}))::BIGINT AS nsw,
+             list_aggregate(list_transform(toks, x -> length(x)), 'sum')::BIGINT
+               AS tl
+      FROM t WHERE len(toks) >= 1),
+    f AS (
+      SELECT doc_id, s,
+             CASE WHEN n BETWEEN 30 AND 400
+                   AND (10 * nd >= 3 * n
+                        OR (100 * nsw >= n AND 2 * nsw <= n))
+                  THEN 1 ELSE 0 END AS y,
+             [LEAST(9, n // 50), LEAST(9, (10 * nd) // n),
+              LEAST(9, (20 * nsw) // n), LEAST(9, tl // n)] AS bins
+      FROM b),
+    ex AS (SELECT y, g.fi, bins[g.fi + 1] AS bin
+           FROM f, (SELECT UNNEST(range({_TQ_FEATS})) AS fi) g WHERE s < {_TQ_TRAIN_PCT}),
+    cnt AS (SELECT y, fi, bin, COUNT(*)::BIGINT AS c FROM ex GROUP BY 1, 2, 3),
+    nly AS (SELECT y, COUNT(*)::BIGINT AS ny FROM f
+            WHERE s < {_TQ_TRAIN_PCT} GROUP BY 1),
+    nn AS (SELECT SUM(ny) AS total FROM nly),
+    gs AS (SELECT a.fi, bb.b
+           FROM (SELECT UNNEST(range({_TQ_FEATS})) AS fi) a,
+                (SELECT UNNEST(range({_TQ_BINS})) AS b) bb),
+    grid AS (
+      SELECT l.y AS cls, gs.fi, gs.b,
+             CAST(FLOOR({_TQ_SCALE} * LN((COALESCE(c.c, 0) + 1.0)
+                                         / (l.ny + {_TQ_BINS}))) AS BIGINT) AS w
+      FROM nly l CROSS JOIN gs
+      LEFT JOIN cnt c ON c.y = l.y AND c.fi = gs.fi AND c.bin = gs.b),
+    pri AS (
+      SELECT y AS cls,
+             CAST(FLOOR({_TQ_SCALE} * LN((ny + 1.0)
+                    / ((SELECT total FROM nn) + 2))) AS BIGINT) AS pw
+      FROM nly),
+    tex AS (SELECT doc_id, y AS y_true, g.fi, bins[g.fi + 1] AS bin
+            FROM f, (SELECT UNNEST(range({_TQ_FEATS})) AS fi) g
+            WHERE s >= {_TQ_TRAIN_PCT}),
+    sc AS (
+      SELECT t.doc_id, t.y_true,
+             SUM(CASE WHEN gr.cls = 1 THEN gr.w ELSE 0 END)
+               + (SELECT pw FROM pri WHERE cls = 1)
+             - SUM(CASE WHEN gr.cls = 0 THEN gr.w ELSE 0 END)
+               - (SELECT pw FROM pri WHERE cls = 0) AS m
+      FROM tex t JOIN grid gr ON gr.fi = t.fi AND gr.b = t.bin
+      GROUP BY 1, 2),
+    p AS (SELECT doc_id, y_true, m,
+                 CASE WHEN m > 0 THEN 1 ELSE 0 END AS pred,
+                 {_TQ_CAL} AS bucket
+          FROM sc),
+    met AS (
+      SELECT SUM(CASE WHEN y_true = 1 AND pred = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+             SUM(CASE WHEN y_true = 0 AND pred = 1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+             SUM(CASE WHEN y_true = 1 AND pred = 0 THEN 1 ELSE 0 END)::BIGINT AS fn,
+             SUM(CASE WHEN y_true = pred THEN 1 ELSE 0 END)::BIGINT AS ok,
+             COUNT(*)::BIGINT AS tot
+      FROM p)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(y_true)::BIGINT AS n_weak_pos,
+           SUM(pred)::BIGINT AS n_pred_pos,
+           CAST({_tq_e4('SUM(y_true)', 'COUNT(*)', '//')} AS BIGINT) AS pos_rate_e4,
+           (SELECT CAST({_tq_e4('tp', '(tp + fp)', '//')} AS BIGINT) FROM met)
+             AS precision_e4,
+           (SELECT CAST({_tq_e4('tp', '(tp + fn)', '//')} AS BIGINT) FROM met)
+             AS recall_e4,
+           (SELECT CAST({_tq_e4('ok', 'tot', '//')} AS BIGINT) FROM met)
+             AS accuracy_e4
+    FROM p GROUP BY 1
+"""
+
+
+@register("text_quality_trained", oracle=_TQUAL_ORACLE)
+def text_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier: binned Naive Bayes over four integer
+    doc features (length band, type-token band, stopword band, mean
+    token length), fit on a deterministic 70% split against the derived
+    weak keep-label (``text_quality_score``'s q ≥ 0.7 rule in exact
+    integer form), scored on the held-out 30%.  Billed per fixed
+    log-odds calibration bucket: doc counts, observed weak-positive
+    rate (the reliability curve), plus global held-out precision /
+    recall / accuracy — the full bill a production corpus filter needs
+    before its keep/drop threshold moves petabytes.
+
+    Scale design: feature extraction is one narrow corpus pass (pure
+    integer expressions, no UDFs); training is one map-side-combinable
+    (class, feature, bin) count bounded at 2×{_TQ_FEATS}×{_TQ_BINS}
+    cells; the model grid + priors broadcast; held-out scoring is an
+    integer dot product per doc with a sign-test argmax; calibration
+    buckets are FIXED thresholds in log-odds units, so the reliability
+    curve needs no global sort at any corpus size.  Weights are
+    integer-quantized once (the ``text_langid_trained`` discipline), so
+    both engines classify every doc identically and the whole
+    fit→score→bill pipeline value-hashes."""
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    split = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) "
+        "as bigint) % 10"
+    )
+    t = docs.withColumn("toks", tokens()).where(F.size("toks") >= 1)
+    base = t.select(
+        "doc_id",
+        split.alias("s"),
+        F.size("toks").cast("bigint").alias("n"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("nd"),
+        F.expr(f"size(filter(toks, x -> array_contains({_SW_ARRAY}, x)))")
+        .cast("bigint")
+        .alias("nsw"),
+        F.expr("aggregate(transform(toks, x -> length(x)), 0L, (acc, v) -> acc + v)")
+        .alias("tl"),
+    )
+    feat = base.select(
+        "doc_id",
+        "s",
+        F.expr(
+            "case when n between 30 and 400 "
+            "and (10 * nd >= 3 * n or (100 * nsw >= n and 2 * nsw <= n)) "
+            "then 1 else 0 end"
+        ).alias("y"),
+        F.expr(
+            "array(least(9L, n div 50), least(9L, (10 * nd) div n), "
+            "least(9L, (20 * nsw) div n), least(9L, tl div n))"
+        ).alias("bins"),
+    )
+    tr = feat.where(F.col("s") < _TQ_TRAIN_PCT)
+    ex = tr.select("y", F.posexplode("bins").alias("fi", "bin"))
+    cnt = ex.groupBy("y", "fi", "bin").agg(F.count(F.lit(1)).alias("c"))
+    nly = tr.groupBy("y").agg(F.count(F.lit(1)).alias("ny"))
+    nn = nly.agg(F.sum("ny").alias("total"))
+    gs = spark.range(_TQ_FEATS).select(F.col("id").cast("int").alias("fi")).crossJoin(
+        spark.range(_TQ_BINS).select(F.col("id").alias("b"))
+    )
+    grid = (
+        nly.crossJoin(gs)
+        .join(
+            cnt.withColumnRenamed("bin", "b"),
+            ["y", "fi", "b"],
+            "left",
+        )
+        .select(
+            F.col("y").alias("cls"),
+            "fi",
+            "b",
+            F.floor(
+                _TQ_SCALE
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("ny") + _TQ_BINS)
+                )
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    pri = (
+        nly.crossJoin(F.broadcast(nn))
+        .select(
+            "y",
+            F.floor(
+                _TQ_SCALE * F.log((F.col("ny") + 1.0) / (F.col("total") + 2))
+            )
+            .cast("bigint")
+            .alias("pw"),
+        )
+        .agg(
+            F.max(F.when(F.col("y") == 1, F.col("pw"))).alias("pw1"),
+            F.max(F.when(F.col("y") == 0, F.col("pw"))).alias("pw0"),
+        )
+    )
+    tex = feat.where(F.col("s") >= _TQ_TRAIN_PCT).select(
+        "doc_id", F.col("y").alias("y_true"), F.posexplode("bins").alias("fi", "bin")
+    )
+    # model grid is bounded by construction constants (2 x FEATS x BINS):
+    # broadcast is the right side discipline, opposite to corpus joins
+    sc = (
+        tex.join(
+            F.broadcast(grid.withColumnRenamed("b", "bin")), ["fi", "bin"]
+        )
+        .groupBy("doc_id", "y_true")
+        .agg(
+            F.sum(F.when(F.col("cls") == 1, F.col("w")).otherwise(F.lit(0))).alias("s1"),
+            F.sum(F.when(F.col("cls") == 0, F.col("w")).otherwise(F.lit(0))).alias("s0"),
+        )
+        .crossJoin(F.broadcast(pri))
+        .withColumn("m", (F.col("s1") + F.col("pw1")) - (F.col("s0") + F.col("pw0")))
+    )
+    p = sc.select(
+        "doc_id",
+        "y_true",
+        "m",
+        F.expr("case when m > 0 then 1 else 0 end").alias("pred"),
+        F.expr(_TQ_CAL).alias("bucket"),
+    )
+    met = p.agg(
+        F.sum(F.expr("case when y_true = 1 and pred = 1 then 1 else 0 end")).alias("tp"),
+        F.sum(F.expr("case when y_true = 0 and pred = 1 then 1 else 0 end")).alias("fp"),
+        F.sum(F.expr("case when y_true = 1 and pred = 0 then 1 else 0 end")).alias("fn"),
+        F.sum(F.expr("case when y_true = pred then 1 else 0 end")).alias("ok"),
+        F.count(F.lit(1)).alias("tot"),
+    )
+    return (
+        p.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y_true").alias("n_weak_pos"),
+            F.sum("pred").alias("n_pred_pos"),
+        )
+        .crossJoin(F.broadcast(met))
+        .select(
+            "bucket",
+            "n_docs",
+            "n_weak_pos",
+            "n_pred_pos",
+            F.expr(_tq_e4("n_weak_pos", "n_docs", "div")).alias("pos_rate_e4"),
+            F.expr(_tq_e4("tp", "(tp + fp)", "div")).alias("precision_e4"),
+            F.expr(_tq_e4("tp", "(tp + fn)", "div")).alias("recall_e4"),
+            F.expr(_tq_e4("ok", "tot", "div")).alias("accuracy_e4"),
+        )
+    )

@@ -169,6 +169,45 @@ def test_langid_weight_grid_margin_on_actual_corpus(sf_dir):
     )
 
 
+def test_quality_weight_grid_margin_on_actual_corpus(sf_dir):
+    """Same measurement for r12's ``text_quality_trained`` grid (the
+    other floor(1e6·ln) quantization in a graded query): every
+    (class, feature, bin) cell and both priors on the graded corpus
+    must sit ≥ 1e-6 from a FLOOR boundary (measured: ≥ 5.2e-3 at both
+    local SFs — 3 orders of magnitude inside the bound)."""
+    from dataframework_spark.operators.text import _TQ_SCALE, _TQUAL_ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    prefix = _TQUAL_ORACLE.split("grid AS")[0].rstrip().rstrip(",")
+    cells = con.execute(
+        prefix
+        + """
+        SELECT COALESCE(c.c, 0) + 1.0 AS num, l.ny + 10 AS den
+        FROM nly l CROSS JOIN gs
+        LEFT JOIN cnt c ON c.y = l.y AND c.fi = gs.fi AND c.bin = gs.b
+        UNION ALL
+        SELECT ny + 1.0, (SELECT SUM(ny) FROM nly) + 2 FROM nly
+        """
+    ).fetchall()
+    con.close()
+    assert len(cells) == 2 * 4 * 10 + 2
+    worst = min(
+        min(frac, 1.0 - frac)
+        for frac in (
+            (x - math.floor(x))
+            for x in (_TQ_SCALE * math.log(num / den) for num, den in cells)
+        )
+    )
+    assert worst >= 1e-6, (
+        f"a quality weight sits {worst:.2e} from a FLOOR grid boundary — "
+        "inside cross-libm ulp territory; re-derive the weight scheme"
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. streaming mtime pin is rank-order, not exact-float
 # ---------------------------------------------------------------------------
