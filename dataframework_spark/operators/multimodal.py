@@ -5423,3 +5423,331 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return docs.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# M14 — MP4 / ISO BMFF structural metadata probe (r11 VERDICT #4)
+# ---------------------------------------------------------------------------
+#
+# The video modality tier corpus curation actually needs: full codec
+# decode is out of scope by the mp3 precedent (H.264/HEVC entropy coding
+# depends on tabulated CABAC/CAVLC state machines), but the CONTAINER is
+# pure structure from the public spec (ISO/IEC 14496-12): length-prefixed
+# boxes, versioned full boxes, fixed-layout sample entries.  Writer
+# (synthesis) and reader are independent implementations; the probe
+# re-sniffs every feature from the payload bytes (the _jpeg_dri
+# discipline), and malformed containers — truncated boxes, children that
+# overrun or under-tile their parent, a size-0 box anywhere but the last
+# top-level slot — are REJECTED, never mis-probed.
+
+
+def _u32(v: int) -> bytes:
+    import struct
+
+    return struct.pack(">I", v)
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return _u32(8 + len(payload)) + fourcc + payload
+
+
+def _fullbox(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+def synth_mp4(doc_id: int) -> bytes:
+    """Valid ISO BMFF container, deterministic per doc: one video track
+    (``avc1`` on even docs, ``hev1`` on odd; width/height from doc_id)
+    plus ``doc_id % 3`` mono/stereo ``mp4a`` audio tracks at 44100 or
+    48000 Hz; movie timescale 1000 so duration_ms is exact.  Three
+    container layouts appear in every corpus: plain 32-bit ``mdat``
+    before ``moov`` (the default), a 64-bit largesize ``mdat``
+    (doc_id % 5 == 0), and a streaming-style ``moov``-first file whose
+    last box is a size-0-to-EOF ``mdat`` (doc_id % 7 == 0, which wins
+    when both apply)."""
+    import struct
+
+    dur_ms = 1000 + (doc_id * 37) % 9000
+    w, h = 320 + 16 * (doc_id % 8), 240 + 16 * ((doc_id * 3) % 6)
+    vcodec = b"avc1" if doc_id % 2 == 0 else b"hev1"
+    n_audio = doc_id % 3
+    sr = 44100 + (doc_id % 2) * 3900
+    ch = 1 + doc_id % 2
+
+    ftyp = _box(b"ftyp", b"isom" + _u32(512) + b"isom" + b"mp42")
+
+    def tkhd(track_id: int, tw: int, th: int) -> bytes:
+        matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        return _fullbox(
+            b"tkhd",
+            0,
+            3,
+            _u32(0) + _u32(0) + _u32(track_id) + _u32(0) + _u32(dur_ms)
+            + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0x0100 if tw == 0 else 0, 0)
+            + matrix + _u32(tw << 16) + _u32(th << 16),
+        )
+
+    def mdhd() -> bytes:
+        return _fullbox(
+            b"mdhd",
+            0,
+            0,
+            _u32(0) + _u32(0) + _u32(1000) + _u32(dur_ms)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+
+    def hdlr(handler: bytes, name: bytes) -> bytes:
+        return _fullbox(b"hdlr", 0, 0, _u32(0) + handler + b"\x00" * 12 + name + b"\x00")
+
+    def visual_entry() -> bytes:
+        return _box(
+            vcodec,
+            b"\x00" * 6 + struct.pack(">H", 1)           # data_reference_index
+            + b"\x00" * 16                                # pre_defined/reserved
+            + struct.pack(">HH", w, h)
+            + _u32(0x00480000) + _u32(0x00480000)         # 72 dpi
+            + _u32(0) + struct.pack(">H", 1)              # frame_count
+            + b"\x00" * 32                                # compressorname
+            + struct.pack(">Hh", 24, -1),                 # depth, pre_defined
+        )
+
+    def audio_entry() -> bytes:
+        return _box(
+            b"mp4a",
+            b"\x00" * 6 + struct.pack(">H", 1)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", ch, 16, 0, 0)
+            + _u32(sr << 16),
+        )
+
+    def trak(track_id: int, video: bool) -> bytes:
+        entry = visual_entry() if video else audio_entry()
+        stsd = _fullbox(b"stsd", 0, 0, _u32(1) + entry)
+        stbl = _box(b"stbl", stsd)
+        minf = _box(b"minf", stbl)
+        mdia = _box(
+            b"mdia",
+            mdhd()
+            + hdlr(b"vide" if video else b"soun", b"video" if video else b"audio")
+            + minf,
+        )
+        return _box(b"trak", tkhd(track_id, w if video else 0, h if video else 0) + mdia)
+
+    n_tracks = 1 + n_audio
+    mvhd = _fullbox(
+        b"mvhd",
+        0,
+        0,
+        _u32(0) + _u32(0) + _u32(1000) + _u32(dur_ms) + _u32(0x10000)
+        + struct.pack(">H", 0x0100) + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + _u32(n_tracks + 1),
+    )
+    traks = b"".join(
+        trak(i + 1, i == 0) for i in range(n_tracks)
+    )
+    moov = _box(b"moov", mvhd + traks)
+    media = bytes((doc_id + i) % 256 for i in range(16 + doc_id % 16))
+    if doc_id % 7 == 0:
+        # streaming layout: moov first, size-0 mdat extends to EOF
+        return ftyp + moov + _u32(0) + b"mdat" + media
+    if doc_id % 5 == 0:
+        mdat = _u32(1) + b"mdat" + struct.pack(">Q", 16 + len(media)) + media
+    else:
+        mdat = _box(b"mdat", media)
+    return ftyp + mdat + moov
+
+
+def _mp4_children(buf: bytes, start: int, end: int, top: bool = False):
+    """Walk the boxes tiling ``buf[start:end]`` exactly: yields
+    (fourcc, payload_start, payload_end, form) where form is 0 for a
+    32-bit size, 1 for largesize, 2 for size-0-to-EOF.  Truncation, an
+    overrun past the parent, a size-0 box anywhere but the LAST
+    top-level slot, and trailing garbage between boxes are all
+    rejections — a probe that guesses on broken structure poisons the
+    catalog it feeds."""
+    import struct
+
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated box header")
+        size = struct.unpack(">I", buf[pos : pos + 4])[0]
+        fourcc = buf[pos + 4 : pos + 8]
+        if size == 0:
+            if not top:
+                raise ValueError("size-0 box below top level")
+            yield fourcc, pos + 8, end, 2
+            return
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize header")
+            big = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+            if big < 16 or pos + big > end:
+                raise ValueError("largesize box overruns parent")
+            yield fourcc, pos + 16, pos + big, 1
+            pos += big
+            continue
+        if size < 8:
+            raise ValueError(f"box size {size} below header size")
+        if pos + size > end:
+            raise ValueError("box overruns parent")
+        yield fourcc, pos + 8, pos + size, 0
+        pos += size
+    if pos != end:
+        raise ValueError("children do not tile parent")
+
+
+def _mp4_first(buf: bytes, start: int, end: int, fourcc: bytes):
+    for fc, s, e, _f in _mp4_children(buf, start, end):
+        if fc == fourcc:
+            return s, e
+    raise ValueError(f"missing {fourcc.decode()} box")
+
+
+def mp4_probe(payload: bytes) -> tuple:
+    """REAL ISO BMFF box walk: top-level tiling check, ``ftyp``-first
+    check, ``mvhd`` movie header (version 0 only — others REJECTED, not
+    guessed), every ``trak``'s ``tkhd``/``mdhd``/``hdlr``/``stsd``
+    chain, first visual and first audio sample entries.  Every reported
+    feature is re-sniffed from the bytes; nothing rides on the
+    synthesis parameters."""
+    import struct
+
+    boxes = list(_mp4_children(payload, 0, len(payload), top=True))
+    if not boxes or boxes[0][0] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (ftyp not first)")
+    mdat_form = 0
+    moov_span = None
+    for fc, s, e, form in boxes:
+        if fc == b"mdat":
+            mdat_form = form
+        elif fc == b"moov":
+            moov_span = (s, e)
+    if moov_span is None:
+        raise ValueError("missing moov box")
+    ms, me = moov_span
+    hs, he = _mp4_first(payload, ms, me, b"mvhd")
+    version = payload[hs]
+    if version != 0:
+        raise ValueError(f"unsupported mvhd version {version}")
+    # v0 mvhd payload: version(1) flags(3) creation(4) modification(4)
+    # timescale(4) duration(4) ...
+    timescale, duration = struct.unpack(">II", payload[hs + 12 : hs + 20])
+    if timescale == 0:
+        raise ValueError("mvhd timescale 0")
+    duration_ms = duration * 1000 // timescale
+    n_video = n_audio = 0
+    width = height = channels = sample_rate = 0
+    video_codec = audio_codec = ""
+    for fc, ts, te, _f in _mp4_children(payload, ms, me):
+        if fc != b"trak":
+            continue
+        ds, de = _mp4_first(payload, ts, te, b"mdia")
+        hls, _hle = _mp4_first(payload, ds, de, b"hdlr")
+        handler = payload[hls + 8 : hls + 12]
+        mfs, mfe = _mp4_first(payload, ds, de, b"minf")
+        sts, ste = _mp4_first(payload, mfs, mfe, b"stbl")
+        sds, sde = _mp4_first(payload, sts, ste, b"stsd")
+        (n_entries,) = struct.unpack(">I", payload[sds + 4 : sds + 8])
+        if n_entries < 1:
+            raise ValueError("empty stsd")
+        entries = list(_mp4_children(payload, sds + 8, sde))
+        fourcc, es, ee, _ = entries[0]
+        if handler == b"vide":
+            n_video += 1
+            if n_video == 1:
+                if ee - es < 70:
+                    raise ValueError("truncated visual sample entry")
+                video_codec = fourcc.decode("ascii")
+                width, height = struct.unpack(">HH", payload[es + 24 : es + 28])
+        elif handler == b"soun":
+            n_audio += 1
+            if n_audio == 1:
+                if ee - es < 28:
+                    raise ValueError("truncated audio sample entry")
+                audio_codec = fourcc.decode("ascii")
+                channels = struct.unpack(">H", payload[es + 16 : es + 18])[0]
+                sample_rate = struct.unpack(">I", payload[es + 24 : es + 28])[0] >> 16
+    return (
+        n_video + n_audio,
+        n_video,
+        n_audio,
+        duration_ms,
+        width,
+        height,
+        video_codec,
+        audio_codec,
+        channels,
+        sample_rate,
+        mdat_form,
+    )
+
+
+@register(
+    "mm_mp4_probe",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 3 AS INT)                       AS n_tracks,
+           CAST(1 AS INT)                                    AS n_video,
+           CAST(doc_id % 3 AS INT)                           AS n_audio,
+           CAST(1000 + (doc_id * 37) % 9000 AS BIGINT)       AS duration_ms,
+           CAST(320 + 16 * (doc_id % 8) AS INT)              AS width,
+           CAST(240 + 16 * ((doc_id * 3) % 6) AS INT)        AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS video_codec,
+           CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'mp4a' END  AS audio_codec,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                     ELSE 1 + doc_id % 2 END AS INT)         AS channels,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                     ELSE 44100 + (doc_id % 2) * 3900 END AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 2
+                     WHEN doc_id % 5 = 0 THEN 1
+                     ELSE 0 END AS INT)                      AS mdat_form
+    FROM documents
+    """,
+)
+def mm_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO BMFF structural metadata probe: synthesize a valid MP4
+    container per doc (1 video + 0-2 audio tracks; three mdat layouts —
+    plain, 64-bit largesize, streaming moov-first with a size-0-to-EOF
+    mdat), then genuinely box-walk it — top-level tiling, mvhd,
+    per-trak tkhd/mdhd/hdlr/stsd chains, first visual + audio sample
+    entries — and report duration, track table, codec fourccs,
+    resolution, channel layout.  The oracle recomputes every feature
+    from the synthesis formula, so a box-walk slip (an offset into the
+    wrong fixed-layout field, a largesize mishandled, a track counted
+    under the wrong handler) flips the value hash.
+
+    This is the video-modality tier corpus curation needs (VERDICT r11
+    #4): WHAT is in the file — not the pixels.  Codec payload decode
+    stays out of scope by the mp3 precedent (CABAC/CAVLC need tabulated
+    state machines); the container walk is pure structure from ISO/IEC
+    14496-12.  Kept OUT of ``mm_decode_router`` by design: the router
+    mixes pixel/sample DECODERS, and container metadata is a different
+    family.  Same Arrow mapInPandas scale shape as every mm op —
+    embarrassingly parallel, no shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id bigint, n_tracks int, n_video int, n_audio int, "
+        "duration_ms bigint, width int, height int, video_codec string, "
+        "audio_codec string, channels int, sample_rate int, mdat_form int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [mp4_probe(synth_mp4(int(d))) for d in pdf["doc_id"]]
+            out = pd.DataFrame(
+                feats,
+                columns=[
+                    "n_tracks", "n_video", "n_audio", "duration_ms", "width",
+                    "height", "video_codec", "audio_codec", "channels",
+                    "sample_rate", "mdat_form",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)
