@@ -225,7 +225,11 @@ def _band_cols() -> list[str]:
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    WITH d0 AS (SELECT doc_id, md5(text) AS xh, {DUCK_TOKENS_SQL} AS toks
+                FROM documents),
+    k0 AS (SELECT xh, MIN(doc_id) AS kid FROM d0 GROUP BY xh),
+    t AS (SELECT d.doc_id, d.toks FROM d0 d
+          JOIN k0 ON k0.xh = d.xh AND k0.kid = d.doc_id),
     s AS (SELECT doc_id, {duck_shingles_sql('toks')} AS sh FROM t),
     sz AS (SELECT doc_id, len(sh) AS n FROM s),
     feat AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
@@ -245,10 +249,16 @@ def _band_cols() -> list[str]:
       JOIN sz sza ON sza.doc_id = c.doc_a JOIN sz szb ON szb.doc_id = c.doc_b)
     SELECT doc_a, doc_b, ROUND(inter::DOUBLE / (tot - inter), 4) AS jaccard
     FROM ver WHERE inter::DOUBLE / (tot - inter) >= {_JACCARD_THRESHOLD}
+    UNION ALL
+    SELECT k0.kid AS doc_a, d.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM d0 d JOIN k0 ON k0.xh = d.xh WHERE d.doc_id <> k0.kid
     """,
 )
 def dedup_minhash_lsh(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    precollapse: bool = True,
 ) -> DataFrame:
     """MinHash (16 perms) + LSH banding (4 bands × 4 rows) near-dedup.
 
@@ -262,16 +272,52 @@ def dedup_minhash_lsh(
     (the r1 single-partition scale-killer).  Signature construction is now
     a narrow map + one groupBy(doc_id) shuffle, which is the 100 TB shape.
 
+    ``precollapse`` (default on — the REGISTERED semantics since r12,
+    the ``lsh_serve`` hardening ported to the batch emitter per VERDICT
+    r11 #5): docs sharing ``md5(text)`` are folded to their min-doc_id
+    keeper BEFORE banding, and each exact-duplicate group emits LINEAR
+    (keeper, member) star edges at jaccard 1.0 instead of the C(k,2)
+    all-pairs expansion.  Connectivity-preserving for ``dedup_clusters``
+    by construction — identical text ⇒ identical signature ⇒ the keeper
+    meets every bucket the member would have — so components are
+    unchanged while a 100k-copy boilerplate flood costs one bucket entry
+    + 100k star rows instead of a single-task 5×10⁹-struct
+    ``collect_set`` array.  Star edges are digest-decided, so they also
+    cover exact-dup docs too short to shingle.  ``precollapse=False``
+    keeps the pre-r12 exact-all-pairs form (eval/truth tier).
+
     ``docs`` (optional): a pre-filtered (doc_id, text) frame — used by
     ``dedup_lsh_eval(sample_frac=...)`` to price the banding on a sample."""
     if docs is None:
         docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
         # single-split local scan → spread CPU-bound shingling across cores
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    s = docs.withColumn("toks", tokens()).select(
-        "doc_id", F.expr(shingles_sql("toks")).alias("sh")
-    )
-    s.cache()  # reused for candidates AND verification
+    star = None
+    if precollapse:
+        # digest + shingles in ONE map pass, then a window-min over xh —
+        # one shingle-set-sized exchange, the same order as the
+        # verification exchange below; the flood payoff is structural
+        # (no k² bucket arrays), measured by probe_pairflood_r12
+        marked = docs.withColumn("toks", tokens()).select(
+            "doc_id",
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("xh"),
+            F.expr(shingles_sql("toks")).alias("sh"),
+        )
+        marked = marked.withColumn(
+            "kid", F.min("doc_id").over(Window.partitionBy("xh"))
+        )
+        marked.cache()  # both branches (reps pipeline + star edges) derive from it
+        s = marked.where("doc_id = kid").select("doc_id", "sh")
+        star = marked.where("doc_id <> kid").select(
+            F.col("kid").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    else:
+        s = docs.withColumn("toks", tokens()).select(
+            "doc_id", F.expr(shingles_sql("toks")).alias("sh")
+        )
+        s.cache()  # reused for candidates AND verification
     feat = s.select("doc_id", F.explode("sh").alias("shingle"))
     ft = feat.select("doc_id", F.expr(tid_sql("shingle", _MH_P)).alias("tid"))
     sig = ft.groupBy("doc_id").agg(*[F.expr(e) for e in _mh_exprs_spark()])
@@ -322,9 +368,12 @@ def dedup_minhash_lsh(
         .withColumn("tot", F.size("sh_a") + F.size("sh_b"))
     )
     jac = F.col("inter") / (F.col("tot") - F.col("inter"))
-    return ver.where(jac >= _JACCARD_THRESHOLD).select(
+    out = ver.where(jac >= _JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
+    if star is not None:
+        out = out.unionByName(star)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -455,12 +504,15 @@ def _sh64_duck_bitsums() -> str:
     )
 
 
-def simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash64_signatures(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Per-document 64-bit SimHash signatures — one corpus scan, one
     map-side-combinable groupBy(doc_id); the 64 conditional sums stay
     inside whole-stage codegen."""
-    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     feat = docs.select("doc_id", F.explode(tokens()).alias("token"))
     ft = feat.select(
         "doc_id",
@@ -474,7 +526,11 @@ def simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash_hamming",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {DUCK_TOKENS_SQL} AS toks FROM documents),
+    WITH d0 AS (SELECT doc_id, md5(text) AS xh, {DUCK_TOKENS_SQL} AS toks
+                FROM documents),
+    k0 AS (SELECT xh, MIN(doc_id) AS kid FROM d0 GROUP BY xh),
+    t AS (SELECT d.doc_id, d.toks FROM d0 d
+          JOIN k0 ON k0.xh = d.xh AND k0.kid = d.doc_id),
     feat AS (SELECT doc_id, unnest(toks) AS token FROM t),
     bitsum AS (SELECT doc_id, {_sh64_duck_bitsums()} FROM feat GROUP BY doc_id),
     sig AS (SELECT doc_id, {_sh64_sig_sql('duck')} AS sig FROM bitsum)
@@ -482,13 +538,33 @@ def simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sig, b.sig)) <= {_SH64_R}
+    UNION ALL
+    SELECT k0.kid AS doc_a, d.doc_id AS doc_b, CAST(0 AS INT) AS hamming
+    FROM d0 d JOIN k0 ON k0.xh = d.xh WHERE d.doc_id <> k0.kid
     """,
 )
-def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_hamming(
+    spark: SparkSession,
+    sf_dir: str,
+    precollapse: bool = True,
+    docs: DataFrame | None = None,
+) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash within Hamming distance ≤ 3,
     via LOSSLESS band-bucket candidate generation — the production form
     of `dedup_simhash` (Manku, Jain & Sarma, WWW 2007: simhash dedup at
     web scale runs exactly this shape at f = 64, k = 3).
+
+    ``precollapse`` (default on — the REGISTERED semantics since r12,
+    VERDICT r11 #5, the ``dedup_minhash_lsh`` port): exact-duplicate
+    docs fold to their min-doc_id keeper by ``md5(text)`` before the
+    band self-join, and each group emits linear (keeper, member) star
+    edges at hamming 0 instead of C(k,2) all-pairs.  Identical text ⇒
+    identical signature, so the keeper inherits every band bucket the
+    members would have hit — components under ``dedup_clusters``-style
+    resolution are unchanged, and an exact-dup flood can no longer
+    square the candidate join.  The digest frames are narrow
+    (doc_id + 16-byte hash); the signature join that drops the members
+    is on doc_id.  ``precollapse=False`` keeps the pre-r12 form.
 
     Why this exists next to the 16-bit bucket version: the r9
     token-rename probe measured the 16-bit key's n²/2¹⁶ birthday pair
@@ -511,7 +587,27 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the Hamming verify runs on candidate pairs only — at 100 TB the
     band value is the partition-pruning key and the all-pairs oracle
     formulation is what this plan exists to avoid."""
-    sig = simhash64_signatures(spark, sf_dir).cache()  # both join sides
+    sig = simhash64_signatures(spark, sf_dir, docs=docs)
+    star = None
+    if precollapse:
+        if docs is None:
+            docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+        xh0 = docs.select(
+            "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("xh")
+        )
+        k0 = xh0.groupBy("xh").agg(F.min("doc_id").alias("kid"))
+        # narrow digest frames (doc_id + 16-byte hash) — both the keeper
+        # table and the member join are data-dependent sizes, so pin
+        # shuffled-hash (the repo's broadcast-OOM discipline)
+        mem = xh0.join(k0.hint("shuffle_hash"), "xh").cache()  # star + reps
+        star = mem.where(F.col("doc_id") != F.col("kid")).select(
+            F.col("kid").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+        reps = mem.where(F.col("doc_id") == F.col("kid")).select("doc_id")
+        sig = sig.join(reps.hint("shuffle_hash"), "doc_id")
+    sig = sig.cache()  # both join sides
     bands = sig.select(
         "doc_id",
         "sig",
@@ -539,9 +635,12 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ham = F.expr("bit_count(sa ^ sb)")
-    return cand.where(ham <= _SH64_R).select(
+    out = cand.where(ham <= _SH64_R).select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
+    if star is not None:
+        out = out.unionByName(star)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1339,7 +1339,16 @@ def ivfpq_serve(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
         )
         .select("query_id", "qcid", "qr")
     )
-    codes_pq = spark.read.parquet(paths["codes"])
+    # static nprobe pruning (r12, measured by the SIMLIFE probe): the
+    # query batch's cells are known BEFORE the index is read, so push
+    # them as a literal partition filter — the codes scan then reads
+    # only the ≤ batch-size matching cell directories instead of every
+    # cell (the dynamic join filter alone scanned the whole table and
+    # made the fixed-batch serve wall grow with the index).
+    # bounded collect: ≤ _N_QUERIES (8) distinct cells — one per query
+    # in the batch, never corpus-sized
+    qcells = sorted({r["qcid"] for r in q.select("qcid").distinct().collect()})
+    codes_pq = spark.read.parquet(paths["codes"]).where(F.col("cid").isin(qcells))
     adc_d = F.round(
         F.expr(
             f"aggregate(sequence(0, {_PQ_M - 1}), 0D, (acc, m) -> acc + "

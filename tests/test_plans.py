@@ -456,6 +456,18 @@ def test_ivfpq_serve_never_rescans_corpus(spark, sf_dir):
     for b in emb_blocks:
         assert "GreaterThanOrEqual(vec_id,100)" in b and "LessThan(vec_id,108)" in b, b
     assert "ivfpq_index_plantest/codes" in p.replace("\\", "/"), p
+    # r12: the query batch's cells are pushed as a STATIC partition
+    # filter — the codes scan must prune to the ≤8 matching cell
+    # directories, not scan every cell and filter at the join
+    codes_blocks = [
+        b
+        for b in blocks
+        if "ivfpq_index_plantest/codes" in b.replace("\\", "/")
+        and b.startswith("Scan parquet")
+    ]
+    assert codes_blocks, p
+    for b in codes_blocks:
+        assert re.search(r"PartitionFilters: \[cid#\d+ IN \(", b), b
 
 
 def test_ivfpq_serve_from_fresh_session_matches(spark, sf_dir):

@@ -144,3 +144,120 @@ def test_sim_index_serve_recall_is_bounded_and_bills_the_topk(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hits"] <= _TOPK
         assert abs(r["recall"] - r["n_hits"] / _TOPK) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# r12 pre-collapse port to the batch pair emitters (VERDICT r11 #5)
+# ---------------------------------------------------------------------------
+
+_FLOOD_TXT = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+
+def _flood_docs(spark, n_copies=40):
+    rows = [(i, _FLOOD_TXT) for i in range(n_copies)]
+    rows += [(1000, _FLOOD_TXT + " kilo"),  # near-dup of the flood text
+             (2000, "mike november oscar papa quebec romeo sierra tango uniform victor")]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_flood_emits_star_edges_not_all_pairs(spark):
+    from dataframework_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh(spark, "", docs=_flood_docs(spark)).collect()
+    }
+    # 39 star edges (keeper 0 ↔ members 1..39), all at exact 1.0
+    for m in range(1, 40):
+        assert pairs[(0, m)] == 1.0
+    # no member-member pair survives
+    assert not any(1 <= a < 40 and 1 <= b < 40 for a, b in pairs)
+    # the near-dup pairs with the KEEPER only, never with members
+    assert (0, 1000) in pairs
+    assert not any(b == 1000 and a != 0 for a, b in pairs)
+    # the unrelated doc pairs with nothing
+    assert not any(2000 in p for p in pairs)
+
+
+def test_minhash_precollapse_off_keeps_all_pairs_form(spark):
+    from dataframework_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = _flood_docs(spark, n_copies=8)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, "", docs=docs, precollapse=False).collect()
+    }
+    # all C(8,2) member pairs + every copy pairs with the near-dup
+    assert {(a, b) for a in range(8) for b in range(a + 1, 8)} <= pairs
+    assert {(m, 1000) for m in range(8)} <= pairs
+
+
+def test_minhash_precollapse_preserves_connectivity(spark):
+    """Components over the star-edge pair graph must equal components
+    over the all-pairs graph — the property dedup_clusters relies on."""
+    from dataframework_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = _flood_docs(spark, n_copies=12)
+
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        comp = {}
+        for n in parent:
+            comp.setdefault(find(n), set()).add(n)
+        return {frozenset(v) for v in comp.values()}
+
+    star = components(
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, "", docs=docs).collect()
+    )
+    full = components(
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, "", docs=docs, precollapse=False).collect()
+    )
+    assert star == full and len(star) > 0
+
+
+def test_minhash_star_edges_cover_unshingleable_exact_dups(spark):
+    """Two identical docs too short to shingle (< 3 tokens) never meet a
+    bucket — the digest decides them anyway."""
+    from dataframework_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id bigint, text string"
+    )
+    rows = dedup_minhash_lsh(spark, "", docs=docs).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_simhash_hamming_flood_emits_star_edges(spark):
+    """Collapsed output must be EXACTLY: star edges (keeper, member, 0)
+    plus the uncollapsed pair set restricted to representatives — no
+    member ever reaches the band join.  (A one-token edit can flip more
+    than 3 simhash bits, so whether the near-dup doc pairs with the
+    keeper is decided by the uncollapsed reference, not assumed.)"""
+    from dataframework_spark.operators.dedup import dedup_simhash_hamming
+
+    docs = _flood_docs(spark, n_copies=20)
+    collapsed = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_simhash_hamming(spark, "", docs=docs).collect()
+    }
+    reps_only = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_simhash_hamming(
+            spark, "", docs=docs.where(F.col("doc_id").isin(0, 1000, 2000)),
+            precollapse=False,
+        ).collect()
+    }
+    star = {(0, m): 0 for m in range(1, 20)}
+    assert collapsed == {**reps_only, **star}
+    assert not any(1 <= a < 20 and 1 <= b < 20 for a, b in collapsed)
