@@ -372,3 +372,404 @@ def source_mat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.element_at("features", 1)), 4).alias("sum_x0"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MAT v7.3: the HDF5-layout container (r11 VERDICT #6 — S2 settled)
+# ---------------------------------------------------------------------------
+#
+# MATLAB saves ``-v7.3`` for > 2 GB variables (and it is the only MAT
+# format that supports them): a 512-byte MAT userblock followed by an
+# HDF5 file, one dataset per variable, stored TRANSPOSED (MATLAB is
+# column-major; the HDF5 dataset carries the reversed dims in C order)
+# with a ``MATLAB_class`` string attribute.  The reference itself
+# short-circuits h5py (``/root/reference/DFW/tools.py:62-69``), so parity
+# never needs this — but unlike mp3 (whose synthesis windows are 512
+# underivable tabulated constants — externals-only, FINAL), every HDF5
+# structure here derives from the public HDF5 File Format Specification:
+# superblock v0, v1 symbol-table B-tree + local heap + SNOD, v1 object
+# headers (dataspace/datatype/layout/attribute messages), contiguous raw
+# layout.  By the repo's own mp3/FLAC test, that makes S2 IMPLEMENTABLE,
+# so it is implemented: writer and reader are independent subset
+# implementations, differential-tested like every codec in the tier.
+#
+# Subset boundaries (rejected with clear errors, never guessed):
+# float64 contiguous datasets only (MATLAB's default numeric class);
+# no chunked/compressed layout, no B-tree depth > 0 (needs > 8 variables
+# per node), no object-header continuations, v0 superblock only.
+
+_H5_SIG = b"\x89HDF\r\n\x1a\n"
+_H5_UNDEF = 0xFFFFFFFFFFFFFFFF
+_H5_USERBLOCK = 512  # the MAT header lives in the HDF5 userblock
+
+
+def _h5_msg(mtype: int, body: bytes) -> bytes:
+    pad = (-len(body)) % 8
+    body += b"\0" * pad
+    return struct.pack("<HH B 3x", mtype, len(body), 0) + body
+
+
+def _h5_f64_datatype() -> bytes:
+    # class 1 (float) v1, little-endian, IEEE binary64: implied-msb
+    # mantissa normalization (bits 4-5 = 10b), sign bit 63
+    return struct.pack(
+        "<BBBBI HH BBBB I",
+        0x11, 0x20, 0x3F, 0x00, 8,   # class/ver, bitfields, size
+        0, 64,                        # bit offset, precision
+        52, 11, 0, 52,                # exp loc/size, mant loc/size
+        1023,                         # exponent bias
+    )
+
+
+def _h5_scalar_dataspace() -> bytes:
+    return struct.pack("<BBB5x", 1, 0, 0)
+
+
+def write_mat73(path: str, variables: dict[str, Any]) -> None:
+    """Write a MAT v7.3 file: 512-byte MAT userblock + HDF5 (superblock
+    v0, root group via v1 B-tree/heap/SNOD, one contiguous float64
+    dataset per variable with the transposed-dims convention and a
+    ``MATLAB_class = 'double'`` attribute)."""
+    names = sorted(variables)  # SNOD entries must be name-ordered
+    arrays = {}
+    for name in names:
+        arr = np.asarray(variables[name], dtype=np.float64)
+        if arr.ndim < 2:
+            arr = arr.reshape(1, -1)
+        arrays[name] = arr
+    # a symbol node holds 2K = 8 entries (leaf K = 4); more variables
+    # split across multiple SNOD leaves under the one level-0 B-tree node,
+    # which itself holds up to 2·K_internal = 32 children
+    groups = [names[i : i + 8] for i in range(0, len(names), 8)]
+    if len(groups) > 32:
+        raise ValueError("subset writer: at most 256 variables (32 SNOD leaves)")
+
+    chunks: list[bytes] = []
+    cursor = 0  # address space is RELATIVE to the base address (512)
+
+    def put(b: bytes) -> int:
+        nonlocal cursor
+        at = cursor
+        chunks.append(b)
+        cursor += len(b)
+        return at
+
+    # --- placeholders laid out first so their addresses are known -----
+    sb_at = put(b"\0" * 96)                    # superblock v0 (patched below)
+    root_oh_at = put(b"\0" * 40)               # root object header (patched)
+    # local heap: 8-byte empty-string slot + padded names
+    heap_offsets, heap_data = {}, bytearray(b"\0" * 8)
+    for name in names:
+        heap_offsets[name] = len(heap_data)
+        nb = name.encode("ascii") + b"\0"
+        heap_data += nb + b"\0" * ((-len(nb)) % 8)
+    heap_hdr_at = put(b"\0" * 32)              # heap header (patched)
+    heap_data_at = put(bytes(heap_data))
+    # v1 node sized for 2·K_internal = 32 children (patched below)
+    btree_at = put(b"\0" * (24 + 8 + 16 * 32))
+    snod_ats = [put(b"\0" * (8 + 40 * 8)) for _ in groups]  # (patched)
+
+    # --- per-variable dataset object headers + raw data ---------------
+    oh_addrs: dict[str, int] = {}
+    for name in names:
+        arr = arrays[name]
+        hdims = tuple(reversed(arr.shape))  # MATLAB transposed convention
+        raw = arr.flatten(order="F").tobytes()  # == C order of the transpose
+        space = struct.pack("<BBB5x", 1, len(hdims), 0) + b"".join(
+            struct.pack("<Q", d) for d in hdims
+        )
+        attr_name = b"MATLAB_class\0"
+        attr_name += b"\0" * ((-len(attr_name)) % 8)
+        attr_dt = struct.pack("<BBBBI", 0x13, 0, 0, 0, 6)  # string(6), nullterm
+        attr_body = (
+            struct.pack("<BxHHH", 1, 13, len(attr_dt), len(_h5_scalar_dataspace()))
+            + attr_name + attr_dt + _h5_scalar_dataspace() + b"double"
+        )
+        msgs = _h5_msg(0x0001, space) + _h5_msg(0x0003, _h5_f64_datatype())
+        # layout is patched after the data address is known
+        layout_placeholder_len = len(_h5_msg(0x0008, struct.pack("<BBQQ", 3, 1, 0, 0)))
+        msgs_tail = _h5_msg(0x000C, attr_body)
+        total = len(msgs) + layout_placeholder_len + len(msgs_tail)
+        oh = struct.pack("<BxHII4x", 1, 4, 1, total)
+        oh_at = put(b"\0" * (len(oh) + total))
+        data_at = put(raw)
+        layout = _h5_msg(0x0008, struct.pack("<BBQQ", 3, 1, data_at, len(raw)))
+        chunks[-2] = oh + msgs + layout + msgs_tail  # patch the header slot
+        oh_addrs[name] = oh_at
+
+    eof = cursor
+
+    # --- patch the structural nodes ------------------------------------
+    root_ste = struct.pack(
+        "<QQII QQ", 0, root_oh_at, 1, 0, btree_at, heap_at := heap_hdr_at
+    )
+    chunks[0] = (
+        _H5_SIG
+        + struct.pack("<BBBBBBBB HH I", 0, 0, 0, 0, 0, 8, 8, 0, 4, 16, 0)
+        + struct.pack("<QQQQ", _H5_USERBLOCK, _H5_UNDEF, eof, _H5_UNDEF)
+        + root_ste
+    )
+    symtab_msg = _h5_msg(0x0011, struct.pack("<QQ", btree_at, heap_at))
+    chunks[1] = struct.pack("<BxHII4x", 1, 1, 1, len(symtab_msg)) + symtab_msg
+    chunks[2] = struct.pack(
+        "<4sB3xQQQ", b"HEAP", 0, len(heap_data), _H5_UNDEF, heap_data_at
+    )
+    # chunk order: 0 superblock, 1 root header, 2 heap header,
+    # 3 heap data (already final), 4 B-tree, 5.. SNODs, then datasets
+    keyed_children = b"".join(
+        struct.pack("<QQ", snod_ats[i], heap_offsets[g[-1]])
+        for i, g in enumerate(groups)
+    )
+    btree = (
+        struct.pack("<4sBBHQQ", b"TREE", 0, 0, len(groups), _H5_UNDEF, _H5_UNDEF)
+        + struct.pack("<Q", 0)  # key 0 brackets from below
+        + keyed_children
+    )
+    chunks[4] = btree + b"\0" * (len(chunks[4]) - len(btree))
+    for i, g in enumerate(groups):
+        entries = b"".join(
+            struct.pack("<QQII16x", heap_offsets[n], oh_addrs[n], 0, 0) for n in g
+        )
+        snod = struct.pack("<4sBBH", b"SNOD", 1, 0, len(g)) + entries
+        chunks[5 + i] = snod + b"\0" * (len(chunks[5 + i]) - len(snod))
+
+    desc = b"MATLAB 7.3 MAT-file, created by dataframework_spark"
+    header = desc.ljust(116) + b"\0" * 8 + struct.pack("<HH", 0x0200, 0x4D49)
+    with open(path, "wb") as f:
+        f.write(header.ljust(_H5_USERBLOCK, b"\0"))
+        for c in chunks:
+            f.write(c)
+
+
+class _H5Reader:
+    """Minimal classic-format HDF5 walker for the MAT v7.3 subset."""
+
+    def __init__(self, buf: bytes, base: int):
+        self.buf, self.base = buf, base
+
+    def at(self, addr: int) -> int:
+        if addr == _H5_UNDEF:
+            raise ValueError("undefined address dereferenced")
+        off = self.base + addr
+        if off > len(self.buf):
+            raise ValueError("address past end of file")
+        return off
+
+    def object_header(self, addr: int) -> list[tuple[int, bytes]]:
+        o = self.at(addr)
+        version, nmsgs, _refs, hsize = struct.unpack_from("<BxHII", self.buf, o)
+        if version != 1:
+            raise ValueError(f"unsupported object header version {version}")
+        o += 16  # 12-byte prefix + 4-byte alignment pad
+        end, msgs = o + hsize, []
+        while o < end and len(msgs) < nmsgs:
+            mtype, msize, _flags = struct.unpack_from("<HHB3x", self.buf, o)
+            body = self.buf[o + 8 : o + 8 + msize]
+            if o + 8 + msize > end:
+                raise ValueError("object header message overruns header")
+            if mtype == 0x0010:
+                raise ValueError("object header continuations unsupported")
+            msgs.append((mtype, body))
+            o += 8 + msize
+        return msgs
+
+    def group_links(self, btree_addr: int, heap_addr: int) -> dict[str, int]:
+        ho = self.at(heap_addr)
+        sig, _ver, _size, _free, data_addr = struct.unpack_from(
+            "<4sB3xQQQ", self.buf, ho
+        )
+        if sig != b"HEAP":
+            raise ValueError("bad local heap signature")
+        heap_base = self.at(data_addr)
+
+        def name_at(off: int) -> str:
+            end = self.buf.index(b"\0", heap_base + off)
+            return self.buf[heap_base + off : end].decode("ascii")
+
+        out: dict[str, int] = {}
+
+        def walk(addr: int) -> None:
+            o = self.at(addr)
+            sig = self.buf[o : o + 4]
+            if sig == b"TREE":
+                ntype, level, used = struct.unpack_from("<BBH", self.buf, o + 4)
+                if ntype != 0:
+                    raise ValueError("non-group B-tree node in group walk")
+                if level != 0:
+                    raise ValueError(
+                        "B-tree depth > 0 unsupported (subset reader)"
+                    )
+                p = o + 24 + 8  # skip node header + key 0
+                for _ in range(used):
+                    (child,) = struct.unpack_from("<Q", self.buf, p)
+                    walk(child)
+                    p += 16  # child + next key
+            elif sig == b"SNOD":
+                (count,) = struct.unpack_from("<H", self.buf, o + 6)
+                p = o + 8
+                for _ in range(count):
+                    name_off, oh_addr = struct.unpack_from("<QQ", self.buf, p)
+                    out[name_at(name_off)] = oh_addr
+                    p += 40
+            else:
+                raise ValueError(f"unexpected node signature {sig!r}")
+
+        walk(btree_addr)
+        return out
+
+    def dataset(self, addr: int) -> tuple[np.ndarray, str]:
+        dims: tuple[int, ...] | None = None
+        data_span = None
+        mat_class = "double"
+        for mtype, body in self.object_header(addr):
+            if mtype == 0x0001:
+                version, rank = struct.unpack_from("<BB", body, 0)
+                if version != 1:
+                    raise ValueError(f"dataspace version {version} unsupported")
+                dims = struct.unpack_from(f"<{rank}Q", body, 8)
+            elif mtype == 0x0003:
+                cv, _b0, _b1, _b2, size = struct.unpack_from("<BBBBI", body, 0)
+                if cv & 0x0F != 1 or size != 8:
+                    raise ValueError(
+                        "subset reader: float64 datasets only "
+                        f"(datatype class {cv & 0x0F}, size {size})"
+                    )
+            elif mtype == 0x0008:
+                version, klass = struct.unpack_from("<BB", body, 0)
+                if version != 3:
+                    raise ValueError(f"layout version {version} unsupported")
+                if klass != 1:
+                    raise ValueError(
+                        "chunked/compact layout unsupported (subset reader "
+                        "covers the contiguous default)"
+                    )
+                data_span = struct.unpack_from("<QQ", body, 2)
+            elif mtype == 0x000C:
+                nsz, dtsz, dssz = struct.unpack_from("<HHH", body, 2)
+                name = body[8 : 8 + nsz - 1].decode("ascii")
+                if name == "MATLAB_class":
+                    p = 8 + nsz + ((-nsz) % 8)
+                    p += dtsz + ((-dtsz) % 8) + dssz + ((-dssz) % 8)
+                    strlen = struct.unpack_from("<I", body, 8 + nsz + ((-nsz) % 8) + 4)[0]
+                    mat_class = body[p : p + strlen].split(b"\0")[0].decode("ascii")
+        if dims is None or data_span is None:
+            raise ValueError("dataset object header missing dataspace/layout")
+        data_addr, size = data_span
+        o = self.at(data_addr)
+        n = int(np.prod(dims)) if dims else 1
+        if size != 8 * n or o + size > len(self.buf):
+            raise ValueError("contiguous data span inconsistent with dataspace")
+        arr = np.frombuffer(self.buf[o : o + size], dtype="<f8").reshape(dims)
+        return arr.T, mat_class  # undo the MATLAB transposed convention
+
+
+def read_mat73(path: str, domain: list[str] | None = None) -> dict[str, Any] | None:
+    """Load a MAT v7.3 (HDF5-layout) file → ``{variable: ndarray}`` with
+    the same contract as :func:`read_mat`: missing file → None, ``domain``
+    selects variables.  Verifies the MAT userblock version (0x0200), the
+    HDF5 superblock signature/version at offset 512, and every structural
+    node signature on the way down; anything outside the documented
+    subset is REJECTED with a clear error, never guessed at."""
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        buf = f.read()
+    if len(buf) < _H5_USERBLOCK + 96:
+        raise ValueError(f"{path}: truncated MAT v7.3 file")
+    version, endian = struct.unpack_from("<HH", buf, 124)
+    if version != 0x0200 or endian != 0x4D49:
+        raise ValueError(
+            f"{path}: not a MAT v7.3 header (version {version:#06x})"
+        )
+    if buf[_H5_USERBLOCK : _H5_USERBLOCK + 8] != _H5_SIG:
+        raise ValueError(f"{path}: HDF5 superblock signature missing at 512")
+    (sb_ver, _fs, _rg, _r0, _sh, so, sl) = struct.unpack_from(
+        "<BBBBBBB", buf, _H5_USERBLOCK + 8
+    )
+    if sb_ver != 0:
+        raise ValueError(f"{path}: superblock version {sb_ver} unsupported")
+    if (so, sl) != (8, 8):
+        raise ValueError(f"{path}: non-8-byte offsets/lengths unsupported")
+    base_addr, _free, _eof, _drv = struct.unpack_from(
+        "<QQQQ", buf, _H5_USERBLOCK + 24
+    )
+    rdr = _H5Reader(buf, int(base_addr))
+    # root symbol table entry: cache type 1 scratch carries btree + heap
+    _nameoff, root_oh, cache = struct.unpack_from(
+        "<QQI", buf, _H5_USERBLOCK + 56
+    )
+    if cache == 1:
+        btree_addr, heap_addr = struct.unpack_from("<QQ", buf, _H5_USERBLOCK + 80)
+    else:  # fall back to the root object header's symbol table message
+        sym = [b for t, b in rdr.object_header(root_oh) if t == 0x0011]
+        if not sym:
+            raise ValueError(f"{path}: root group has no symbol table")
+        btree_addr, heap_addr = struct.unpack("<QQ", sym[0][:16])
+    links = rdr.group_links(btree_addr, heap_addr)
+    out = {name: rdr.dataset(addr)[0] for name, addr in sorted(links.items())}
+    if domain is None or len(domain) == 0:
+        return out
+    missing = [k for k in domain if k not in out]
+    if missing:
+        raise KeyError(f"{path}: variables {missing} not found (has {sorted(out)})")
+    return {k: out[k] for k in domain}
+
+
+@register(
+    "source_mat73_roundtrip",
+    # identical stats contract to source_mat_roundtrip: the v7.3 container
+    # must round-trip the same 60-row fixture to the same per-label hashes
+    oracle="""
+    WITH sel AS (
+      SELECT label, CAST(embedding[1] AS DOUBLE) AS e0
+      FROM (SELECT label, embedding,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM embeddings)
+      WHERE rn <= 60
+    )
+    SELECT label, COUNT(*) AS n, ROUND(SUM(e0), 4) AS sum_x0
+    FROM sel GROUP BY label
+    """,
+)
+def source_mat73_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MAT **v7.3** ingestion proof (S2, settled r12): the same
+    BOUNDED 60-row embeddings fixture as ``source_mat_roundtrip``, laid
+    out as one ``features × samples`` matrix per label, written as a real
+    HDF5-layout v7.3 file (superblock v0, B-tree/heap/SNOD root group,
+    contiguous float64 datasets with MATLAB's transposed-dims convention),
+    read back through the independent subset reader, and aggregated per
+    label.  The oracle recomputes the stats straight from parquet, so a
+    byte slipped anywhere in the container round-trip — a dims reversal,
+    a heap offset off by one, a data span misplaced — breaks the hash.
+
+    Convert-once semantics, same as the v5 twin: a ``.mat`` file is one
+    undistributable blob; parquet is the scan format."""
+    from dataframework_spark.catalog import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(60)
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+        .collect()  # bounded: limit(60) convert-once fixture above
+    )
+    labels = sorted({r.label for r in rows})
+    variables = {
+        f"x{int(lab)}": np.array(
+            [r.e for r in rows if r.label == lab], dtype=np.float64
+        ).T  # features × samples, MATLAB orientation
+        for lab in labels
+    }
+    path = os.path.join(tempfile.gettempdir(), "dfw_source_mat73_roundtrip.mat")
+    write_mat73(path, variables)
+    back = read_mat73(path, [f"x{int(lab)}" for lab in labels])
+    out_rows = []
+    for lab in labels:
+        m = back[f"x{int(lab)}"].T  # back to samples-major
+        for sample in m:
+            out_rows.append((int(lab), [float(v) for v in sample]))
+    df = spark.createDataFrame(out_rows, "label BIGINT, features ARRAY<DOUBLE>")
+    return df.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.element_at("features", 1)), 4).alias("sum_x0"),
+    )
