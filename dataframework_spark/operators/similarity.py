@@ -1348,7 +1348,25 @@ def ivfpq_serve(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     # bounded collect: ≤ _N_QUERIES (8) distinct cells — one per query
     # in the batch, never corpus-sized
     qcells = sorted({r["qcid"] for r in q.select("qcid").distinct().collect()})
-    codes_pq = spark.read.parquet(paths["codes"]).where(F.col("cid").isin(qcells))
+    # manifest-style read: open ONLY the probed cell directories (the
+    # SIMLIFE probe measured raw partition discovery listing all k cell
+    # dirs before pruning — at k = 8·M that metadata walk alone grew the
+    # serve wall; a lakehouse table would resolve this from its manifest,
+    # and enumerating the known partition paths is the plain-parquet
+    # equivalent).  The isin filter stays on top so the pruning is also
+    # plan-visible (PartitionFilters, pinned in test_plans.py).
+    import os as _os
+
+    cell_dirs = [
+        d
+        for c in qcells
+        if _os.path.isdir(d := _os.path.join(paths["codes"], f"cid={c}"))
+    ]
+    if cell_dirs:
+        codes_pq = spark.read.option("basePath", paths["codes"]).parquet(*cell_dirs)
+    else:  # every probed cell is empty — serve over the (empty) pruned scan
+        codes_pq = spark.read.parquet(paths["codes"])
+    codes_pq = codes_pq.where(F.col("cid").isin(qcells))
     adc_d = F.round(
         F.expr(
             f"aggregate(sequence(0, {_PQ_M - 1}), 0D, (acc, m) -> acc + "
@@ -1600,6 +1618,115 @@ def sim_ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PERSIST_SERVE_ORACLE = _get_spec("sim_ivfpq_persist_serve").oracle
+_IVFPQ_APPEND_ORACLE = _get_spec("sim_ivfpq_incremental_append").oracle
+
+
+def ivfpq_index_compact(spark: SparkSession, base: str, compacted: str) -> None:
+    """Rewrite an appended-to IVF-PQ index into its compacted twin: the
+    cell-partitioned ``codes`` table re-exchanged so every ``cid=``
+    partition holds exactly one file (appends stage one small parquet
+    per ingest batch per cell — the same debt :func:`dedup.lsh_index_compact`
+    pays for the band index); centroids and codebook are constants-sized
+    and coalesce to one file each.  Content-preserving by construction
+    (read → rewrite, nothing recomputed); the registered query proves it
+    by multiset equality against the uncompacted tables AND a serve
+    whose oracle rebuilds the index from scratch."""
+    paths = ivfpq_index_paths(base)
+    cpaths = ivfpq_index_paths(compacted)
+    for leaf in ("centroids", "codebook"):
+        spark.read.parquet(paths[leaf]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(cpaths[leaf])
+    (
+        spark.read.parquet(paths["codes"])
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(cpaths["codes"])
+    )
+
+
+@register(
+    "sim_ivfpq_index_compaction",
+    oracle=f"""
+    WITH served AS ({_IVFPQ_APPEND_ORACLE})
+    SELECT *,
+           TRUE AS codes_equal_precompaction,
+           TRUE AS code_files_ge_2_per_touched_cell_before,
+           TRUE AS code_files_1_per_cell_after
+    FROM served
+    """,
+)
+def sim_ivfpq_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-index lifecycle, part 3 — COMPACTION, the
+    ``dedup_lsh_index_compaction`` discipline applied to the embedding
+    family: build + persist the base index (90% snapshot), append the
+    10% delta in TWO separate ingest waves (vec_id parity split — same
+    final content as one append, but real small-file debt: ≥ 2 code
+    parquets in every cell the delta touched), then
+    :func:`ivfpq_index_compact` and serve the standard query batch from
+    the COMPACTED index alone.
+
+    Three proofs in one output: the served top-k value-hashes against
+    the DuckDB oracle that rebuilds the FINAL index from scratch
+    (compacted-serve ≡ rebuild-serve); ``codes_equal_precompaction``
+    pins the rewrite as a multiset no-op on content (two anti-diffs);
+    the file-count booleans bill that the debt existed and was paid
+    (every touched cell ≥ 2 files before, exactly 1 after).  Serving is
+    untouched — same three tables, fewer files, and the static nprobe
+    partition filter now opens one file per probed cell instead of one
+    per ingest generation."""
+    import os
+
+    from dataframework_spark.operators.dedup import (
+        _frames_equal,
+        _parquet_file_count,
+    )
+    from dataframework_spark.sources.io import _scratch
+
+    delta_pred = F.col("vec_id") % 10 == 9
+    base = _scratch(sf_dir, "ivfpq_index_cmp")
+    cmp_base = _scratch(sf_dir, "ivfpq_index_cmp_compacted")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)  # append must start from the base
+    ivfpq_persist(spark, sf_dir, base, predicate=~delta_pred)
+    # two real ingest waves over the same delta → two append generations
+    ivfpq_append(spark, sf_dir, base, delta_pred & (F.col("vec_id") % 2 == 0))
+    ivfpq_append(spark, sf_dir, base, delta_pred & (F.col("vec_id") % 2 == 1))
+
+    paths = ivfpq_index_paths(base)
+    cpaths = ivfpq_index_paths(cmp_base)
+    codes = spark.read.parquet(paths["codes"])
+    touched = sorted(
+        r["cid"]
+        # bounded collect: ≤ _N_CENTROIDS (8) distinct cells exist at all
+        for r in codes.where(delta_pred).select("cid").distinct().collect()
+    )
+    before_ok = all(
+        _parquet_file_count(os.path.join(paths["codes"], f"cid={c}")) >= 2
+        for c in touched
+    )
+    ivfpq_index_compact(spark, base, cmp_base)
+    after_ok = all(
+        _parquet_file_count(os.path.join(cpaths["codes"], d)) == 1
+        for d in os.listdir(cpaths["codes"])
+        if d.startswith("cid=")
+    )
+    cols = ["vec_id", "codes", "cid"]
+    ccodes = spark.read.parquet(cpaths["codes"]).select(
+        [F.col(c).cast("int").alias(c) if c == "cid" else F.col(c) for c in cols]
+    )
+    ocodes = codes.select(
+        [F.col(c).cast("int").alias(c) if c == "cid" else F.col(c) for c in cols]
+    )
+    content_ok = _frames_equal(ccodes, ocodes)
+    return (
+        ivfpq_serve(spark, sf_dir, cmp_base)
+        .withColumn("codes_equal_precompaction", F.lit(content_ok))
+        .withColumn("code_files_ge_2_per_touched_cell_before", F.lit(before_ok))
+        .withColumn("code_files_1_per_cell_after", F.lit(after_ok))
+    )
 
 
 @register(

@@ -261,3 +261,42 @@ def test_simhash_hamming_flood_emits_star_edges(spark):
     star = {(0, m): 0 for m in range(1, 20)}
     assert collapsed == {**reps_only, **star}
     assert not any(1 <= a < 20 and 1 <= b < 20 for a, b in collapsed)
+
+
+def test_ivfpq_compaction_pays_file_debt_and_preserves_codes(spark, sf_dir, tmp_path):
+    """The embedding-index twin of the LSH compaction pin: two append
+    waves leave ≥ 2 code files in touched cells; compaction leaves
+    exactly one per cell with the code rows multiset-identical, and a
+    serve from the compacted index matches the uncompacted serve."""
+    import os
+
+    from dataframework_spark.operators.dedup import (
+        _frames_equal,
+        _parquet_file_count,
+    )
+    from dataframework_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_index_compact,
+        ivfpq_index_paths,
+        ivfpq_persist,
+        ivfpq_serve,
+    )
+
+    delta = F.col("vec_id") % 10 == 9
+    base, cmp_base = str(tmp_path / "idx"), str(tmp_path / "idx_c")
+    ivfpq_persist(spark, sf_dir, base, predicate=~delta)
+    ivfpq_append(spark, sf_dir, base, delta & (F.col("vec_id") % 2 == 0))
+    ivfpq_append(spark, sf_dir, base, delta & (F.col("vec_id") % 2 == 1))
+    ivfpq_index_compact(spark, base, cmp_base)
+    paths, cpaths = ivfpq_index_paths(base), ivfpq_index_paths(cmp_base)
+    cells = [d for d in os.listdir(cpaths["codes"]) if d.startswith("cid=")]
+    assert cells
+    assert all(
+        _parquet_file_count(os.path.join(cpaths["codes"], d)) == 1 for d in cells
+    )
+    a = spark.read.parquet(paths["codes"]).select("vec_id", "codes")
+    b = spark.read.parquet(cpaths["codes"]).select("vec_id", "codes")
+    assert _frames_equal(a, b)
+    orig = {tuple(r) for r in ivfpq_serve(spark, sf_dir, base).collect()}
+    comp = {tuple(r) for r in ivfpq_serve(spark, sf_dir, cmp_base).collect()}
+    assert orig == comp and len(orig) > 0

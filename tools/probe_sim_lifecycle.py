@@ -89,9 +89,20 @@ def probe(spark, sf_dir: str, m: int, scratch: str) -> dict:
     r: dict = {}
     for regime, k in (("fixed8", 8), ("scaledk", 8 * m)):
         path = os.path.join(scratch, f"ivfpq_m{m}_{regime}")
-        t0 = time.perf_counter()
-        ivfpq_persist(spark, sf_dir, path, n_centroids=k)
-        build_wall = round(time.perf_counter() - t0, 3)
+        # the build is deterministic per (m, regime): reuse an existing
+        # index and its recorded wall so serve-side iterations don't pay
+        # the M·k coarse-assignment cost again
+        wall_sidecar = os.path.join(scratch, f"build_wall_m{m}_{regime}.json")
+        if os.path.exists(os.path.join(path, "codes", "_SUCCESS")) and os.path.exists(
+            wall_sidecar
+        ):
+            build_wall = json.load(open(wall_sidecar))["build_wall_sec"]
+        else:
+            t0 = time.perf_counter()
+            ivfpq_persist(spark, sf_dir, path, n_centroids=k)
+            build_wall = round(time.perf_counter() - t0, 3)
+            with open(wall_sidecar, "w") as f:
+                json.dump({"build_wall_sec": build_wall}, f)
 
         # serve the FIXED copy-0 query batch (vec_id 100..107) against
         # the persisted index — the production ingest-side question:
