@@ -71,14 +71,11 @@ EXCLUSIONS: dict[str, str] = {
         "~M^2 by construction (real corpora don't; at scale k grows with "
         "n keeping cluster size ~constant — the paper's core argument)"
     ),
-    "dedup_simhash_hamming": (
-        "64-bit simhash near-dup pair emitter: the replica's M-way EXACT "
-        "duplicates share identical signatures, so in-band pairs grow "
-        "~M^2 by construction (same degeneracy as dedup_simhash).  "
-        "MEASURED on the token-renamed corpus instead "
-        "(SCALEPROBE_R9OPS_r9.json): pairs grow ~M with ~zero cross-copy "
-        "mass — the 2^-64 key width this operator exists to buy"
-    ),
+    # dedup_simhash_hamming RE-ADMITTED in r12 (exclusions 13 -> 12): the
+    # exact-dup pre-collapse port folds the replica's M-way identical
+    # copies by md5(text) before the band self-join, so in-band pairs no
+    # longer grow ~M^2 — the same mechanism that re-admitted the LSH
+    # lifecycle pair in r11.  Flood evidence: SCALEPROBE_PAIRFLOOD_r12.
     "stream_lsh_ingest": (
         "streaming composition of lsh_serve/append: four sequential "
         "serve+append rounds inside foreachBatch, each rebuilding scratch "
