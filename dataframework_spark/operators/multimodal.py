@@ -5751,3 +5751,549 @@ def mm_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return docs.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# M15 — MPEG audio (mp3) frame-header probe (r12, beyond the verdict list)
+# ---------------------------------------------------------------------------
+#
+# The mp3 DECODE ruling is FINAL (externals-only: the synthesis window's
+# 512 tabulated coefficients are not derivable — see _real_decode above).
+# The container METADATA is a different question, and by the repo's own
+# mp3/FLAC test it is buildable: the 4-byte MPEG audio frame header and
+# the Layer III frame-length formula are pure structure from the public
+# spec (ISO/IEC 11172-3 §2.4.1.3), exactly like the ISO BMFF box walk.
+# Corpus curation needs WHAT the audio is (duration, bitrate mode,
+# channel layout) long before it needs the samples — this closes the
+# audio-metadata tier the way mm_mp4_probe closed video's.
+
+_MP3_BITRATE_KBPS = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_SAMPLE_RATE = (44100, 48000, 32000)
+_MP3_CHANNEL_MODE = ("stereo", "joint", "dual", "mono")
+
+
+def synth_mp3(doc_id: int) -> bytes:
+    """Valid MPEG-1 Layer III stream, deterministic per doc: ``4 +
+    doc_id % 9`` frames at sample rate ``[44100, 48000, 32000][doc_id %
+    3]``; CBR at bitrate index ``1 + doc_id % 14`` unless ``doc_id % 4
+    == 1`` (VBR: per-frame index ``1 + (doc_id + 3*i) % 14``); padding
+    bit ``(doc_id + i) % 2``; channel mode ``doc_id % 4``.  An ID3v2
+    tag precedes the audio when ``doc_id % 3 == 0`` and an ID3v1 TAG
+    block trails it when ``doc_id % 5 == 0`` — both must be skipped,
+    not mis-parsed as frames.  Filler bytes are ``% 251`` so no 0xFF
+    sync byte (and no ``TAG``) can appear inside a frame body."""
+    sr = _MP3_SAMPLE_RATE[doc_id % 3]
+    n_frames = 4 + doc_id % 9
+    vbr = doc_id % 4 == 1
+    ch = doc_id % 4
+    out = bytearray()
+    if doc_id % 3 == 0:
+        body = bytes((doc_id * 3 + j) % 251 for j in range(10 + doc_id % 20))
+        n = len(body)
+        syncsafe = bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+        out += b"ID3" + bytes((4, 0, 0)) + syncsafe + body
+    for i in range(n_frames):
+        bi = 1 + (doc_id + 3 * i) % 14 if vbr else 1 + doc_id % 14
+        pad = (doc_id + i) % 2
+        flen = 144 * _MP3_BITRATE_KBPS[bi] * 1000 // sr + pad
+        hdr = bytes(
+            (
+                0xFF,
+                0xFB,  # sync | MPEG-1 | Layer III | no CRC
+                (bi << 4) | ((doc_id % 3) << 2) | (pad << 1),
+                (ch << 6) | 0x04,  # mode ext 0, copyright 0, original 1
+            )
+        )
+        out += hdr + bytes((doc_id * 7 + i + j) % 251 for j in range(flen - 4))
+    if doc_id % 5 == 0:
+        out += b"TAG" + bytes((doc_id * 11 + j) % 251 for j in range(125))
+    return bytes(out)
+
+
+def mp3_probe(payload: bytes) -> tuple:
+    """REAL MPEG audio frame walk: skip a leading ID3v2 tag (syncsafe
+    size), then parse every 4-byte frame header back-to-back — sync
+    pattern, version/layer, bitrate + sample-rate indexes, padding bit,
+    channel mode — advancing by the Layer III frame-length formula
+    ``144 * bitrate // sample_rate + padding``; a trailing 128-byte
+    ID3v1 ``TAG`` block ends the walk.  Out-of-subset streams are
+    REJECTED, never guessed: non-MPEG-1 / non-Layer-III headers,
+    free-format (index 0) or reserved (15) bitrates, reserved sample
+    rate, a sample-rate or channel-mode change mid-stream, a frame that
+    overruns the file, bytes between frames that are neither a sync nor
+    a TAG block.  Every reported feature is re-sniffed from the bytes
+    (the mp4_probe discipline) — nothing rides on synthesis params."""
+    pos, end = 0, len(payload)
+    id3v2 = 0
+    if payload[:3] == b"ID3":
+        if end < 10:
+            raise ValueError("truncated ID3v2 header")
+        size_bytes = payload[6:10]
+        if any(b & 0x80 for b in size_bytes):
+            raise ValueError("invalid ID3v2 syncsafe size")
+        tag = (
+            (size_bytes[0] << 21)
+            | (size_bytes[1] << 14)
+            | (size_bytes[2] << 7)
+            | size_bytes[3]
+        )
+        pos = 10 + tag
+        if pos > end:
+            raise ValueError("ID3v2 tag overruns file")
+        id3v2 = 1
+    n_frames = 0
+    id3v1 = 0
+    sr = ch = None
+    br_min = br_max = 0
+    audio_bytes = 0
+    while pos < end:
+        if end - pos == 128 and payload[pos : pos + 3] == b"TAG":
+            id3v1 = 1
+            pos = end
+            break
+        if end - pos < 4:
+            raise ValueError("truncated frame header")
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError("lost MPEG frame sync")
+        if (b1 >> 3) & 3 != 3:
+            raise ValueError("unsupported MPEG version (MPEG-1 only)")
+        if (b1 >> 1) & 3 != 1:
+            raise ValueError("unsupported layer (Layer III only)")
+        bi = b2 >> 4
+        if bi == 0:
+            raise ValueError("free-format bitrate not supported")
+        if bi == 15:
+            raise ValueError("reserved bitrate index")
+        sri = (b2 >> 2) & 3
+        if sri == 3:
+            raise ValueError("reserved sample-rate index")
+        if sr is None:
+            sr = _MP3_SAMPLE_RATE[sri]
+            ch = b3 >> 6
+        elif sr != _MP3_SAMPLE_RATE[sri] or ch != b3 >> 6:
+            raise ValueError("sample-rate or channel-mode change mid-stream")
+        br = _MP3_BITRATE_KBPS[bi]
+        flen = 144 * br * 1000 // sr + ((b2 >> 1) & 1)
+        if pos + flen > end:
+            raise ValueError("frame overruns file")
+        br_min = br if n_frames == 0 else min(br_min, br)
+        br_max = br if n_frames == 0 else max(br_max, br)
+        audio_bytes += flen
+        n_frames += 1
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("no MPEG frames")
+    duration_ms = n_frames * 1152 * 1000 // sr
+    return (
+        n_frames,
+        sr,
+        _MP3_CHANNEL_MODE[ch],
+        br_min,
+        br_max,
+        int(br_min == br_max),
+        duration_ms,
+        audio_bytes,
+        id3v2,
+        id3v1,
+    )
+
+
+@register(
+    "mm_mp3_probe",
+    oracle="""
+    WITH gs AS (SELECT range AS g FROM range(13)),
+    p AS (
+      SELECT d.doc_id, g,
+             CASE WHEN d.doc_id % 4 = 1 THEN 1 + (d.doc_id + 3 * g) % 14
+                  ELSE 1 + d.doc_id % 14 END            AS bi,
+             (d.doc_id + g) % 2                         AS pad,
+             CASE d.doc_id % 3 WHEN 0 THEN 44100
+                               WHEN 1 THEN 48000
+                               ELSE 32000 END           AS sr,
+             4 + d.doc_id % 9                           AS nf
+      FROM documents d, gs
+      WHERE g < 4 + d.doc_id % 9
+    ),
+    f AS (
+      SELECT doc_id, g, sr, nf, pad,
+             CASE bi WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                     WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                     WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                     WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                     WHEN 13 THEN 256 ELSE 320 END      AS br
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(MAX(nf) AS INT)                          AS n_frames,
+           CAST(MAX(sr) AS INT)                          AS sample_rate,
+           CASE MAX(doc_id % 4) WHEN 0 THEN 'stereo' WHEN 1 THEN 'joint'
+                                WHEN 2 THEN 'dual' ELSE 'mono' END
+                                                         AS channel_mode,
+           CAST(MIN(br) AS INT)                          AS br_min_kbps,
+           CAST(MAX(br) AS INT)                          AS br_max_kbps,
+           CAST(CASE WHEN MIN(br) = MAX(br) THEN 1 ELSE 0 END AS INT) AS cbr,
+           CAST((MAX(nf) * 1152 * 1000) // MAX(sr) AS BIGINT) AS duration_ms,
+           CAST(SUM((144 * br * 1000) // sr + pad) AS BIGINT) AS audio_bytes,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS id3v2,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS id3v1
+    FROM f
+    GROUP BY doc_id
+    """,
+)
+def mm_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG audio (mp3) structural metadata probe: synthesize a valid
+    MPEG-1 Layer III stream per doc (CBR and VBR bitrate schedules,
+    padding bits, optional ID3v2 prefix and ID3v1 trailer), then
+    genuinely walk it frame-by-frame — sync/version/layer checks, the
+    Layer III frame-length formula, tag skipping — and report frame
+    count, sample rate, channel mode, bitrate envelope (min/max + CBR
+    flag), exact duration, and audio byte count.  The oracle recomputes
+    every feature from the synthesis formula via a per-frame expansion
+    CTE, so a header-walk slip (a misread bitrate index, a padding bit
+    dropped from the stride, a tag mis-skipped) flips the value hash.
+
+    Audio-family counterpart of ``mm_mp4_probe`` (ISO BMFF): the mp3
+    DECODE ruling stays FINAL (externals-only — ISO 11172-3's 512
+    tabulated window coefficients, ``_real_decode`` above), but the
+    frame HEADER is pure public structure, so curation-grade metadata
+    (duration, bitrate mode, channels) is derivable without a codec.
+    Kept OUT of ``mm_decode_router`` by design — the router mixes
+    pixel/sample decoders; container metadata is a separate family.
+    Same Arrow ``mapInPandas`` scale shape as every mm op:
+    embarrassingly parallel, no shuffle, no Python in any join path."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id bigint, n_frames int, sample_rate int, channel_mode string, "
+        "br_min_kbps int, br_max_kbps int, cbr int, duration_ms bigint, "
+        "audio_bytes bigint, id3v2 int, id3v1 int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [mp3_probe(synth_mp3(int(d))) for d in pdf["doc_id"]]
+            out = pd.DataFrame(
+                feats,
+                columns=[
+                    "n_frames", "sample_rate", "channel_mode", "br_min_kbps",
+                    "br_max_kbps", "cbr", "duration_ms", "audio_bytes",
+                    "id3v2", "id3v1",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# M16 — MP4 sample-table frame index (r12, beyond the verdict list)
+# ---------------------------------------------------------------------------
+#
+# mm_mp4_probe answers WHAT a video file is; frame SAMPLING needs WHERE
+# the frames live.  The ISO BMFF sample table (ISO/IEC 14496-12 §8.5-8.7:
+# stts decode times, stsz sizes, stsc sample-to-chunk runs, stco chunk
+# offsets) maps every sample to an absolute byte range — resolving it is
+# the pure-structure step that turns "sample every Nth frame from 100 TB
+# of video" into a byte-range read plan (path, offset, size) with no
+# codec in the loop and no full-file reads.
+
+
+def synth_mp4_indexed(doc_id: int) -> bytes:
+    """Valid ISO BMFF container with a REAL sample table, deterministic
+    per doc: one video track with ``8 + doc_id % 17`` samples of size
+    ``20 + (doc_id + 11*i) % 40``, chunked ``3 + doc_id % 4`` samples
+    per chunk (ragged last chunk), ``doc_id % 8`` filler bytes BETWEEN
+    chunks in the mdat (so sample offsets genuinely require stsc/stco
+    resolution, not a running sum), and a two-run stts (first half at
+    ``30 + doc_id % 20`` ms, rest 10 ms slower; timescale 1000)."""
+    import struct
+
+    n = 8 + doc_id % 17
+    spc = 3 + doc_id % 4
+    gap = doc_id % 8
+    d1 = 30 + doc_id % 20
+    sizes = [20 + (doc_id + 11 * i) % 40 for i in range(n)]
+
+    ftyp = _box(b"ftyp", b"isom" + _u32(512) + b"isom" + b"mp42")
+    mdat_payload = bytearray()
+    chunk_offsets = []
+    base = len(ftyp) + 8  # mdat payload file offset
+    i = 0
+    c = 0
+    while i < n:
+        if c > 0:
+            mdat_payload += bytes((doc_id + j) % 251 for j in range(gap))
+        chunk_offsets.append(base + len(mdat_payload))
+        for i2 in range(i, min(i + spc, n)):
+            mdat_payload += bytes(
+                (doc_id * 5 + i2 + j) % 251 for j in range(sizes[i2])
+            )
+        i += spc
+        c += 1
+    mdat = _box(b"mdat", bytes(mdat_payload))
+
+    n1 = n // 2
+    stts = _fullbox(
+        b"stts", 0, 0,
+        _u32(2) + _u32(n1) + _u32(d1) + _u32(n - n1) + _u32(d1 + 10),
+    )
+    stsz = _fullbox(
+        b"stsz", 0, 0,
+        _u32(0) + _u32(n) + b"".join(_u32(s) for s in sizes),
+    )
+    stsc = _fullbox(b"stsc", 0, 0, _u32(1) + _u32(1) + _u32(spc) + _u32(1))
+    stco = _fullbox(
+        b"stco", 0, 0,
+        _u32(len(chunk_offsets)) + b"".join(_u32(o) for o in chunk_offsets),
+    )
+    entry = _box(
+        b"avc1",
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", 640, 360) + _u32(0x00480000) + _u32(0x00480000)
+        + _u32(0) + struct.pack(">H", 1) + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _fullbox(b"stsd", 0, 0, _u32(1) + entry)
+    stbl = _box(b"stbl", stsd + stts + stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    dur = n1 * d1 + (n - n1) * (d1 + 10)
+    mdhd = _fullbox(
+        b"mdhd", 0, 0,
+        _u32(0) + _u32(0) + _u32(1000) + _u32(dur) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _fullbox(b"hdlr", 0, 0, _u32(0) + b"vide" + b"\x00" * 12 + b"video\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    tkhd = _fullbox(
+        b"tkhd", 0, 3,
+        _u32(0) + _u32(0) + _u32(1) + _u32(0) + _u32(dur) + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0) + matrix
+        + _u32(640 << 16) + _u32(360 << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        _u32(0) + _u32(0) + _u32(1000) + _u32(dur) + _u32(0x10000)
+        + struct.pack(">H", 0x0100) + b"\x00" * 10 + matrix + b"\x00" * 24 + _u32(2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def mp4_frame_index(payload: bytes, stride: int) -> list:
+    """REAL sample-table resolution for the first video track: walk
+    stts (multi-run decode times), stsz (uniform or per-sample sizes),
+    stsc (sample-to-chunk runs, ragged last chunk), stco (chunk
+    offsets); map every sample to its absolute byte range; return every
+    ``stride``-th sample as ``(sample_idx, byte_off, n_bytes, pts_ms)``.
+    Inconsistent tables are REJECTED, never guessed: stsz/stts count
+    mismatch, chunks that can't cover the samples, a sample byte range
+    outside the mdat payload, zero/negative stride."""
+    import struct
+
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    boxes = list(_mp4_children(payload, 0, len(payload), top=True))
+    if not boxes or boxes[0][0] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (ftyp not first)")
+    mdat_span = moov_span = None
+    for fc, s, e, _f in boxes:
+        if fc == b"mdat":
+            mdat_span = (s, e)
+        elif fc == b"moov":
+            moov_span = (s, e)
+    if moov_span is None or mdat_span is None:
+        raise ValueError("missing moov or mdat box")
+    stbl = None
+    for fc, ts, te, _f in _mp4_children(payload, *moov_span):
+        if fc != b"trak":
+            continue
+        ds, de = _mp4_first(payload, ts, te, b"mdia")
+        hls, _ = _mp4_first(payload, ds, de, b"hdlr")
+        if payload[hls + 8 : hls + 12] != b"vide":
+            continue
+        mfs, mfe = _mp4_first(payload, ds, de, b"minf")
+        stbl = _mp4_first(payload, mfs, mfe, b"stbl")
+        break
+    if stbl is None:
+        raise ValueError("no video track")
+    sts, ste = stbl
+
+    tts, tte = _mp4_first(payload, sts, ste, b"stts")
+    (n_runs,) = struct.unpack(">I", payload[tts + 4 : tts + 8])
+    runs = []
+    p = tts + 8
+    for _ in range(n_runs):
+        if p + 8 > tte:
+            raise ValueError("truncated stts")
+        cnt, delta = struct.unpack(">II", payload[p : p + 8])
+        runs.append((cnt, delta))
+        p += 8
+    n_tts = sum(c for c, _d in runs)
+
+    szs, sze = _mp4_first(payload, sts, ste, b"stsz")
+    uniform, n_samples = struct.unpack(">II", payload[szs + 4 : szs + 12])
+    if n_samples != n_tts:
+        raise ValueError("stsz/stts sample-count mismatch")
+    if uniform:
+        sizes = [uniform] * n_samples
+    else:
+        if szs + 12 + 4 * n_samples > sze:
+            raise ValueError("truncated stsz")
+        sizes = list(
+            struct.unpack(f">{n_samples}I", payload[szs + 12 : szs + 12 + 4 * n_samples])
+        )
+
+    scs, sce = _mp4_first(payload, sts, ste, b"stsc")
+    (n_sc,) = struct.unpack(">I", payload[scs + 4 : scs + 8])
+    sc_runs = []
+    p = scs + 8
+    for _ in range(n_sc):
+        if p + 12 > sce:
+            raise ValueError("truncated stsc")
+        first, per, _desc = struct.unpack(">III", payload[p : p + 12])
+        if per < 1 or first < 1:
+            raise ValueError("invalid stsc run")
+        sc_runs.append((first, per))
+        p += 12
+
+    cos, coe = _mp4_first(payload, sts, ste, b"stco")
+    (n_chunks,) = struct.unpack(">I", payload[cos + 4 : cos + 8])
+    if cos + 8 + 4 * n_chunks > coe:
+        raise ValueError("truncated stco")
+    offsets = list(
+        struct.unpack(f">{n_chunks}I", payload[cos + 8 : cos + 8 + 4 * n_chunks])
+    )
+
+    def samples_per_chunk(c1: int) -> int:  # c1 is 1-based
+        per = None
+        for first, p_ in sc_runs:
+            if first <= c1:
+                per = p_
+        if per is None:
+            raise ValueError("stsc does not cover chunk 1")
+        return per
+
+    # resolve every sample to (offset, size)
+    ranges = []
+    i = 0
+    mds, mde = mdat_span
+    for c in range(n_chunks):
+        per = samples_per_chunk(c + 1)
+        off = offsets[c]
+        for _ in range(per):
+            if i >= n_samples:
+                break
+            if off < mds or off + sizes[i] > mde:
+                raise ValueError("sample byte range outside mdat")
+            ranges.append((off, sizes[i]))
+            off += sizes[i]
+            i += 1
+    if i < n_samples:
+        raise ValueError("chunks do not cover all samples")
+
+    out = []
+    pts = 0
+    run_iter = iter(runs)
+    cnt, delta = next(run_iter) if runs else (0, 0)
+    used = 0
+    for idx in range(n_samples):
+        if used == cnt:
+            cnt, delta = next(run_iter)
+            used = 0
+        if idx % stride == 0:
+            off, sz = ranges[idx]
+            out.append((idx, off, sz, pts))
+        pts += delta
+        used += 1
+    return out
+
+
+@register(
+    "mm_mp4_frame_index",
+    oracle="""
+    WITH gs AS (SELECT range AS i FROM range(25)),
+    p AS (
+      SELECT d.doc_id, i,
+             8 + d.doc_id % 17                AS n,
+             3 + d.doc_id % 4                 AS spc,
+             d.doc_id % 8                     AS gap,
+             30 + d.doc_id % 20               AS d1,
+             2 + d.doc_id % 3                 AS stride,
+             20 + (d.doc_id + 11 * i) % 40    AS sz
+      FROM documents d, gs
+      WHERE i < 8 + d.doc_id % 17
+    ),
+    pre AS (
+      SELECT doc_id, i, n, spc, gap, d1, stride, sz,
+             COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS psum
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(i // stride AS INT)                        AS k,
+           CAST(i AS INT)                                  AS sample_idx,
+           CAST(32 + (i // spc) * gap + psum AS BIGINT)    AS byte_off,
+           CAST(sz AS INT)                                 AS n_bytes,
+           CAST(CASE WHEN i < n // 2 THEN i * d1
+                     ELSE (n // 2) * d1 + (i - n // 2) * (d1 + 10)
+                END AS BIGINT)                             AS pts_ms
+    FROM pre
+    WHERE i % stride = 0
+    """,
+)
+def mm_mp4_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 frame-sampling byte-range plan: synthesize a container with a
+    REAL sample table per doc (per-sample stsz sizes, uniform stsc runs
+    with a ragged last chunk, stco chunk offsets with filler gaps
+    between chunks, a two-run stts), genuinely resolve the
+    stts/stsz/stsc/stco chain to absolute byte ranges, and emit every
+    ``(2 + doc_id % 3)``-th video sample as ``(sample_idx, byte_off,
+    n_bytes, pts_ms)``.  The inter-chunk gaps make the offsets
+    unreachable by a running sum of sizes alone — a walker that skips
+    stsc/stco resolution hash-mismatches on every multi-chunk doc; the
+    two-run stts does the same for a walker that assumes uniform frame
+    times.
+
+    This is the step that turns "sample every Nth frame from 100 TB of
+    video" into a distributed byte-range read plan: at scale the output
+    (path, offset, size) rows feed ranged GETs — only the sampled
+    frames' bytes ever move, no full-file reads, no codec in the loop.
+    Companion of ``mm_mp4_probe`` (container identity) — this is
+    container GEOMETRY.  Same Arrow ``mapInPandas`` shape:
+    embarrassingly parallel, no shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    schema = (
+        "doc_id bigint, k int, sample_idx int, byte_off bigint, "
+        "n_bytes int, pts_ms bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                stride = 2 + d % 3
+                for idx, off, sz, pts in mp4_frame_index(
+                    synth_mp4_indexed(d), stride
+                ):
+                    recs.append((d, idx // stride, idx, off, sz, pts))
+            out = pd.DataFrame(
+                recs,
+                columns=["doc_id", "k", "sample_idx", "byte_off", "n_bytes", "pts_ms"],
+            )
+            for col, dt in (
+                ("doc_id", "int64"), ("k", "int32"), ("sample_idx", "int32"),
+                ("byte_off", "int64"), ("n_bytes", "int32"), ("pts_ms", "int64"),
+            ):
+                out[col] = out[col].astype(dt)
+            yield out
+
+    return docs.mapInPandas(run, schema=schema)
