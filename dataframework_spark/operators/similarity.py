@@ -1306,6 +1306,20 @@ def ivfpq_serve(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     id tie-break), so build and serve rank identically — the oracle
     rebuilds the index from scratch in DuckDB and must value-hash-match
     this served output."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.where(
+        (F.col("vec_id") >= _IVFPQ_Q0) & (F.col("vec_id") < _IVFPQ_Q0 + _N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe"))
+    return ivfpq_serve_frame(spark, base, qdf)
+
+
+def ivfpq_serve_frame(spark: SparkSession, base: str, qdf: DataFrame) -> DataFrame:
+    """:func:`ivfpq_serve` parameterized over the query batch: ``qdf``
+    is any (query_id, qe) frame (qe = double[{_DIM}]).  Same serve plan
+    — loaded centroids/codebook broadcast, build-time assignment
+    arithmetic, static nprobe partition pruning, manifest-style cell
+    reads; the distinct-cell bound is ``n_centroids``, not the batch
+    size, so arbitrarily large batches keep the bounded collect."""
     paths = ivfpq_index_paths(base)
     cents_row = spark.read.parquet(paths["centroids"]).agg(
         F.expr("transform(array_sort(collect_list(struct(cid, c))), s -> s.c)").alias(
@@ -1317,13 +1331,8 @@ def ivfpq_serve(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
             "cb"
         )
     )
-    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = (
-        emb.where(
-            (F.col("vec_id") >= _IVFPQ_Q0) & (F.col("vec_id") < _IVFPQ_Q0 + _N_QUERIES)
-        )
-        .select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe"))
-        .crossJoin(F.broadcast(cents_row))
+        qdf.crossJoin(F.broadcast(cents_row))
         .withColumn(
             "cs",
             F.expr(
@@ -1345,8 +1354,8 @@ def ivfpq_serve(spark: SparkSession, sf_dir: str, base: str) -> DataFrame:
     # only the ≤ batch-size matching cell directories instead of every
     # cell (the dynamic join filter alone scanned the whole table and
     # made the fixed-batch serve wall grow with the index).
-    # bounded collect: ≤ _N_QUERIES (8) distinct cells — one per query
-    # in the batch, never corpus-sized
+    # bounded collect: ≤ n_centroids (8 registered) distinct cells —
+    # cell-count-sized, never corpus- or batch-sized
     qcells = sorted({r["qcid"] for r in q.select("qcid").distinct().collect()})
     # manifest-style read: open ONLY the probed cell directories (the
     # SIMLIFE probe measured raw partition discovery listing all k cell
@@ -1486,6 +1495,19 @@ def ivfpq_append(spark: SparkSession, sf_dir: str, base: str, predicate) -> None
     hash-checks.  At 100 TB this is the ingest path: the daily delta
     pays one narrow assign+encode pass; the corpus already indexed is
     never touched."""
+    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    vecs = emb.where(predicate).select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    ivfpq_append_frame(spark, base, vecs)
+
+
+def ivfpq_append_frame(spark: SparkSession, base: str, vecs: DataFrame) -> None:
+    """:func:`ivfpq_append` parameterized over the delta rows: ``vecs``
+    is any (vec_id, e) frame (e = double[{_DIM}]) — the shape a
+    streaming microbatch hands over.  Same frozen-quantizer coding plan:
+    broadcast loaded centroids + codebook, build-time assignment
+    arithmetic, append into the existing cell partitions."""
     paths = ivfpq_index_paths(base)
     cents_row = spark.read.parquet(paths["centroids"]).agg(
         F.expr("transform(array_sort(collect_list(struct(cid, c))), s -> s.c)").alias(
@@ -1497,7 +1519,6 @@ def ivfpq_append(spark: SparkSession, sf_dir: str, base: str, predicate) -> None
             "cb"
         )
     )
-    emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     sub_d2 = (
         f"transform(sequence(0, {_PQ_M - 1}), m -> "
         f"transform(cb, c -> aggregate(zip_with("
@@ -1506,9 +1527,7 @@ def ivfpq_append(spark: SparkSession, sf_dir: str, base: str, predicate) -> None
         f"(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)))"
     )
     delta_coded = (
-        emb.where(predicate)
-        .select("vec_id", as_double("embedding").alias("e"))
-        .crossJoin(F.broadcast(cents_row))
+        vecs.crossJoin(F.broadcast(cents_row))
         # build-time arithmetic exactly: cs rounded 6 dp, argmin with id
         # tie-break, residual vs the chosen centroid
         .withColumn(

@@ -300,3 +300,37 @@ def test_ivfpq_compaction_pays_file_debt_and_preserves_codes(spark, sf_dir, tmp_
     orig = {tuple(r) for r in ivfpq_serve(spark, sf_dir, base).collect()}
     comp = {tuple(r) for r in ivfpq_serve(spark, sf_dir, cmp_base).collect()}
     assert orig == comp and len(orig) > 0
+
+
+# ---------------------------------------------------------------------------
+# stream_sim_ingest: search-before-insert invariants (r12, beyond-list)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_sim_ingest_sees_earlier_batches_never_its_own(spark):
+    """The streaming ingest's load-bearing claims, checked on the actual
+    sf0.001 run: (a) APPEND MATTERS — some neighbors come from earlier
+    streamed batches, so the run is distinguishable from serving every
+    batch against the static base index; (b) CAUSALITY — no neighbor
+    ever comes from the query's own batch or a later one (those rows
+    are appended after the serve)."""
+    from dataframework_spark.streaming import (
+        _SIM_STREAM_BATCHES,
+        stream_sim_ingest,
+    )
+
+    rows = stream_sim_ingest(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "stream produced no served rows"
+
+    def tag(v: int) -> int:
+        return (v // 5) % _SIM_STREAM_BATCHES if (v % 5 == 4 and v >= 8) else -1
+
+    cross = [r for r in rows if tag(r.neighbor_id) >= 0]
+    assert cross, "no neighbor from any streamed batch — append had no effect"
+    bad = [r for r in rows if tag(r.neighbor_id) >= r.batch and tag(r.neighbor_id) >= 0]
+    assert not bad, f"neighbor from own/later batch (served before appended): {bad[:3]}"
+    # per-query exactness: exactly top-5 ranks, densely numbered
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in rows)
+    assert set(per_q.values()) == {5}
