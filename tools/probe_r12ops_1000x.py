@@ -1,8 +1,14 @@
 """Scale probe of the r12 newcomers (the per-round discipline since r5:
 every round's heaviest newcomers get a measured scale row).
 
-``mm_mp4_probe`` is an embarrassingly parallel Arrow mapInPandas box
-walk (pure structure, no entropy coding).  ``text_quality_trained`` is
+``mm_mp4_probe``, ``mm_mp3_probe`` and ``mm_mp4_frame_index`` are
+embarrassingly parallel Arrow mapInPandas structure walks (no entropy
+coding; the frame index emits ~6 sampled rows per doc — linear).
+``stream_sim_ingest`` is NOT probed here: on a replica both its query
+batch and its per-cell code count grow ~M (quadratic ADC join by
+construction at fixed n_centroids) — its production claim is the fixed
+batch vs growing index, measured in SCALEPROBE_SIMLIFE_r12.json, and
+its composed stages are probed/swept individually.  ``text_quality_trained`` is
 one narrow feature pass into an 80-cell model plus one held-out scoring
 pass (the langid shape, token-level).  ``sim_index_serve_recall`` pays
 one index build + one persisted serve + one exact-truth scan — all
@@ -49,6 +55,8 @@ OUT = os.path.join(
 
 PROBE = [
     "mm_mp4_probe",
+    "mm_mp3_probe",
+    "mm_mp4_frame_index",
     "text_quality_trained",
     "sim_index_serve_recall",
     "sim_ivfpq_index_compaction",

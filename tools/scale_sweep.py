@@ -90,6 +90,18 @@ EXCLUSIONS: dict[str, str] = {
         "SCALEPROBE_HOTBUCKET_r11.json (boilerplate flood FLAT at 100x "
         "batch size)"
     ),
+    "stream_sim_ingest": (
+        "streaming composition of the IVF-PQ serve/append lifecycle, "
+        "search-before-insert: every streamed vector is ALSO a query, so "
+        "on the replica both the query batch and the per-cell code count "
+        "grow ~M and the ADC join grows ~M^2 by construction (at fixed "
+        "n_centroids).  The production claim is a FIXED query batch "
+        "against a growing index with cells ∝ corpus — MEASURED non-"
+        "replica in SCALEPROBE_SIMLIFE_r12.json (serve 0.98x FLAT at "
+        "100x index); the composed stages ARE swept "
+        "(sim_ivfpq_persist_serve, sim_ivfpq_incremental_append) and the "
+        "round causality is pinned by the sf0.001 stream-run unit test"
+    ),
     "dedup_simhash": (
         "near-dup pair emitter (simhash band buckets): every doc is an "
         "M-way dup on the replica, so the OUTPUT is ~M^2 pairs.  MEASURED "
