@@ -269,8 +269,12 @@ def dedup_minhash_lsh(
 
     Term ids come straight from a cross-dialect md5-prefix hash
     (``tid_sql``) — no shingle dictionary, no global ``row_number`` sort
-    (the r1 single-partition scale-killer).  Signature construction is now
-    a narrow map + one groupBy(doc_id) shuffle, which is the 100 TB shape.
+    (the r1 single-partition scale-killer).  Signature construction is
+    fully NARROW since the r12 optimization round: per-doc ``array_min``
+    over the term-id array (the ``minhash_signature_frame`` form) — the
+    former explode + groupBy(doc_id) exchange is gone, and the only
+    corpus-sized exchanges left are the xh window (8-byte term ids, not
+    shingle strings) and the verification joins.
 
     ``precollapse`` (default on — the REGISTERED semantics since r12,
     the ``lsh_serve`` hardening ported to the batch emitter per VERDICT
@@ -294,41 +298,69 @@ def dedup_minhash_lsh(
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
     star = None
     if precollapse:
-        # digest + shingles in ONE map pass, then a window-min over xh —
-        # one shingle-set-sized exchange, the same order as the
-        # verification exchange below; the flood payoff is structural
-        # (no k² bucket arrays), measured by probe_pairflood_r12
-        marked = docs.withColumn("toks", tokens()).select(
+        # r12 opt (guide §2.3 / §8: decide with small rows, keep heavy
+        # payloads out of exchanges).  The pre-r12-opt shape shuffled the
+        # shingle-STRING sets through the xh window and then paid a second
+        # corpus-sized exchange (explode → groupBy(doc_id)) to build
+        # signatures.  Now:
+        #   * ``s`` (doc_id, sh) is cached NARROW — populated with zero
+        #     shuffles; only the verification joins ever move shingle
+        #     strings.
+        #   * the xh window moves (doc_id, xh, tids) — 8-byte term ids,
+        #     ~3× lighter than the strings (md5-per-shingle runs ONCE,
+        #     below this exchange, so the projection barrier the Window
+        #     provides also stops Catalyst re-inlining it 16×).
+        #   * signatures are array_min over the tids array per KEEPER row
+        #     (identical min over the identical id set as the old
+        #     explode + groupBy — the shuffle is simply gone).
+        s = docs.withColumn("toks", tokens()).select(
             "doc_id",
             F.md5(F.encode(F.col("text"), "UTF-8")).alias("xh"),
             F.expr(shingles_sql("toks")).alias("sh"),
         )
-        marked = marked.withColumn(
-            "kid", F.min("doc_id").over(Window.partitionBy("xh"))
+        s.cache()  # verification + the tid/window branch both derive from it
+        tidf = s.select(
+            "doc_id", "xh", F.expr(f"transform(sh, t -> {tid_sql('t', _MH_P)})").alias("tids")
         )
-        marked.cache()  # both branches (reps pipeline + star edges) derive from it
-        s = marked.where("doc_id = kid").select("doc_id", "sh")
+        marked = tidf.withColumn("kid", F.min("doc_id").over(Window.partitionBy("xh")))
+        marked.cache()  # both branches (keeper signatures + star edges) derive from it
+        keep = marked.where("doc_id = kid").select("doc_id", "tids")
         star = marked.where("doc_id <> kid").select(
             F.col("kid").alias("doc_a"),
             F.col("doc_id").alias("doc_b"),
             F.lit(1.0).alias("jaccard"),
         )
+        s = s.select("doc_id", "sh")
     else:
         s = docs.withColumn("toks", tokens()).select(
             "doc_id", F.expr(shingles_sql("toks")).alias("sh")
         )
-        s.cache()  # reused for candidates AND verification
-    feat = s.select("doc_id", F.explode("sh").alias("shingle"))
-    ft = feat.select("doc_id", F.expr(tid_sql("shingle", _MH_P)).alias("tid"))
-    sig = ft.groupBy("doc_id").agg(*[F.expr(e) for e in _mh_exprs_spark()])
-    # one signature row per doc (tiny) — cache it, or each band arm and
-    # each side of the candidate self-join re-runs the whole explode +
-    # dictionary join + min-agg pipeline (8× at 4 bands)
-    sig = sig.cache()
-    bands = None
-    for i, band in enumerate(_band_cols()):
-        piece = sig.select("doc_id", F.expr(band).alias("bk"), F.lit(i).alias("band"))
-        bands = piece if bands is None else bands.unionByName(piece)
+        s.cache()  # reused: signature branch AND verification
+        keep = s.select(
+            "doc_id", F.expr(f"transform(sh, t -> {tid_sql('t', _MH_P)})").alias("tids")
+        )
+    # Per-doc signature = min over the doc's own term ids — a narrow array
+    # expression (docs with no shingles produced no rows under the old
+    # explode, hence the size filter).  The md5 term-id pass stays
+    # single-evaluation: ``tids`` is materialized in the ``marked`` cache
+    # on the precollapse path, and on the plain path CollapseProject
+    # refuses to inline a non-cheap alias referenced 16× (the same
+    # guarantee ``minhash_signature_frame`` relies on).
+    sig = keep.where(F.size("tids") > 0).select(
+        "doc_id",
+        *[
+            F.expr(f"array_min(transform(tids, t -> pmod({a} * t + {b}, {_MH_P})))").alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(_MH_PARAMS)
+        ],
+    )
+    # one posexplode pass replaces the former 4-arm union over a cached
+    # signature table (same rows: (doc_id, band, bk))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(b) for b in _band_cols()])).alias("band", "bk"),
+    )
     # Candidate generation is NOT a self-join: the band table is
     # CORPUS-sized, and a self-join invites Catalyst to broadcast a side
     # whose columnar size estimate (~tens of MB) hides a 10× JVM build
@@ -595,11 +627,14 @@ def dedup_simhash_hamming(
         xh0 = docs.select(
             "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("xh")
         )
-        k0 = xh0.groupBy("xh").agg(F.min("doc_id").alias("kid"))
-        # narrow digest frames (doc_id + 16-byte hash) — both the keeper
-        # table and the member join are data-dependent sizes, so pin
-        # shuffled-hash (the repo's broadcast-OOM discipline)
-        mem = xh0.join(k0.hint("shuffle_hash"), "xh").cache()  # star + reps
+        # r12 opt (guide §2.4): the keeper id is a window-min over the
+        # digest — ONE xh-keyed exchange of the narrow (doc_id, xh) frame,
+        # where the former groupBy + shuffle_hash join-back shape paid the
+        # same exchange twice more (k0 build + join) and re-scanned docs
+        # for the second side.  Identical kid per row by definition.
+        mem = xh0.withColumn(
+            "kid", F.min("doc_id").over(Window.partitionBy("xh"))
+        ).cache()  # star + reps
         star = mem.where(F.col("doc_id") != F.col("kid")).select(
             F.col("kid").alias("doc_a"),
             F.col("doc_id").alias("doc_b"),

@@ -3074,12 +3074,15 @@ def agg_cms_audit(
     100 TB escape hatch for exact-distinct/heavy-hitter work, and an
     escape hatch is only trustworthy if its error is measured.
 
-    Plan: the sketch build is ONE map-side-combinable aggregate — the x4
-    explode collapses to <= 256 cells per partition before the exchange,
-    so 100 TB of rows shuffles a few hundred counters per partition.
-    The 256-cell table is broadcast onto the 10-row probe set; truth is
-    one key-keyed aggregate (the exact pass the sketch replaces at
-    scale — kept here precisely so the audit can bill the difference).
+    Plan (r12 shape): ONE scan collapses the stream to per-key counts
+    (map-side-combinable, key-universe-sized exchange); the sketch cells
+    are the SUM of their keys' counts — value-identical to counting raw
+    rows, but the d-row bucket hashing runs over the key universe, not
+    every stream row, and the former second full scan for the exact pass
+    is gone.  The 256-cell table is broadcast onto the 10-row probe set;
+    truth is the same key-count table re-read from cache (the exact pass
+    the sketch replaces at scale — kept here precisely so the audit can
+    bill the difference).
 
     ``exact_sample_frac`` is the production escape hatch (VERDICT r5 #5):
     the deliberate exact pass is the one stage that shuffles every key at
@@ -3096,13 +3099,23 @@ def agg_cms_audit(
         spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"]
     ).select(F.expr(_cms_key_spark()).alias("k"))
     js = F.array(*[F.lit(j) for j in range(_CMS_D)])
+    # r12 opt (guide §1.2 "distributed algorithm" / §2.3 "aggregate before
+    # you shuffle"): collapse the stream to per-KEY counts FIRST (one scan,
+    # one map-side-combinable exchange over ~3k keys), then build BOTH the
+    # sketch and the truth from that key-count table.  A cell's count is
+    # exactly the sum of its keys' counts, so the sketch is value-identical
+    # — but the d× bucket-hash md5 now runs over the key UNIVERSE (3k×4)
+    # instead of every stream row (6M×4 at sf0.1), and the former second
+    # full scan for the exact pass disappears (before/after numbers in
+    # OPTIMIZATION_r12.md).
+    keycnt = li.groupBy("k").agg(F.count(F.lit(1)).alias("true_count")).cache()
     cells = (
-        li.withColumn("j", F.explode(js))
+        keycnt.withColumn("j", F.explode(js))
         .withColumn("bucket", F.expr(_cms_bucket_spark("j", "k")))
         .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("true_count").alias("c"))
     )
-    truth_src = li
+    truth_src = keycnt
     if exact_sample_frac < 1.0:
         # per-KEY sample: all rows of a key are kept or dropped together,
         # so kept keys bill exact counts (see docstring)
@@ -3110,13 +3123,8 @@ def agg_cms_audit(
             "cast(conv(substring(md5(concat('cms-exact:', cast(k as string))), "
             "1, 15), 16, 10) as bigint) % 1000000"
         ) < int(round(exact_sample_frac * 1_000_000))
-        truth_src = li.where(pred)
-    truth = (
-        truth_src.groupBy("k")
-        .agg(F.count(F.lit(1)).alias("true_count"))
-        .orderBy(F.col("true_count").desc(), "k")
-        .limit(_CMS_TOP)
-    )
+        truth_src = keycnt.where(pred)
+    truth = truth_src.orderBy(F.col("true_count").desc(), "k").limit(_CMS_TOP)
     probes = truth.withColumn("j", F.explode(js)).withColumn(
         "bucket", F.expr(_cms_bucket_spark("j", "k"))
     )

@@ -80,16 +80,24 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic across engines.  This is the recall-1.0 baseline the
     LSH/IVF tiers are measured against."""
     e = _corpus(spark, sf_dir)
-    q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    # r12 opt (guide §1.2 per-task work): hoist the norms out of the pair
+    # loop — ||v|| is computed once per corpus row and ||q|| once per query
+    # row instead of once per (query, corpus) PAIR.  The pair expression
+    # keeps the identical IEEE shape dot/(nq*nv), so every cosine is
+    # bit-equal to the un-hoisted form (same ops, same order) and the
+    # rounded ranking keys cannot move.
+    norm = "sqrt(aggregate({0}, 0D, (acc, v) -> acc + v * v))"
+    ev = e.withColumn("nv", F.expr(norm.format("v")))
+    q = ev.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     scored = (
         F.broadcast(q)
-        .join(e, F.col("vec_id") != F.col("query_id"))
+        .join(ev, F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+            F.round(F.expr(f"({dot_sql('qv', 'v')}) / (nq * nv)"), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
