@@ -1042,9 +1042,18 @@ def dedup_lsh_eval(
             .where(_doc_sample_pred(sample_frac, "lsheval"))
             .repartition(spark.sparkContext.defaultParallelism)
         )
-    lsh = dedup_minhash_lsh(spark, sf_dir, docs=docs).select("doc_a", "doc_b")
-    truth = dedup_ngram_jaccard(spark, sf_dir, docs=docs).select(
-        F.col("doc_a").alias("ta"), F.col("doc_b").alias("tb")
+    # r12 opt (guide §1.2 "don't compute things you throw away"): each pair
+    # list feeds TWO consumers (its own count + the hits join), and Catalyst
+    # does not dedupe identical logical subtrees — only physically identical
+    # exchanges get ReuseExchange, so without materialization the banding
+    # and verification pipelines re-ran once per consumer (28 parquet scans
+    # in the before-plan vs 11 after).  Both frames are candidate-pair-sized
+    # (bounded output of the registered queries), so the cache is tiny.
+    lsh = dedup_minhash_lsh(spark, sf_dir, docs=docs).select("doc_a", "doc_b").cache()
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir, docs=docs)
+        .select(F.col("doc_a").alias("ta"), F.col("doc_b").alias("tb"))
+        .cache()
     )
     hits = lsh.join(
         truth, (F.col("doc_a") == F.col("ta")) & (F.col("doc_b") == F.col("tb"))
@@ -1474,10 +1483,19 @@ def dedup_exact_substring(
     — exact semantics, oracle unchanged."""
     _check_frac(sample_frac, "sample_frac")
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # r12 opt (guide §2.3 narrower types / §1.2 per-task work): the span key
+    # only ever decides "does this exact token window occur twice" — it is
+    # never emitted — so it is folded to a 64-bit ``xxhash64`` INSIDE the
+    # row instead of a 32-char md5 hex string: 8 bytes cross the span-hash
+    # exchange instead of ~32, and the JVM-intrinsic hash replaces a full
+    # md5 per span (the dedup_contamination precedent).  A spurious dup
+    # needs two DIFFERENT spans to collide in 64 bits: ~n²/2⁶⁵ ≈ 1e-7 at
+    # sf0.1 — the oracle still computes md5 over the real span text and
+    # hash-matches.
     span_sql = (
         f"case when size({TOKENS_SQL}) < {_ESS_W} then array() "
         f"else transform(sequence(1, size({TOKENS_SQL}) - {_ESS_W - 1}), "
-        f"i -> struct(i as pos, md5(array_join(slice({TOKENS_SQL}, i, {_ESS_W}), ' ')) as h)) end"
+        f"i -> struct(i as pos, xxhash64(array_join(slice({TOKENS_SQL}, i, {_ESS_W}), ' ')) as h)) end"
     )
     spans = docs.select(
         "doc_id",

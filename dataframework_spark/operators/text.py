@@ -821,11 +821,20 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     from dataframework_spark.functions.arrays import shingles_sql
 
+    # r12 opt (guide §2.3 "shuffle keys, not payloads"): the shingle string
+    # is never emitted — only its corpus frequency matters — so it folds to
+    # a 64-bit ``xxhash64`` inside the row before the shingle-keyed
+    # exchange: 8-byte keys cross the wire instead of ~20-char 3-gram
+    # strings, and the window's sort compares longs instead of strings
+    # (the dedup_contamination precedent).  A miscount needs two DIFFERENT
+    # shingles to collide in 64 bits (~n²/2⁶⁵ ≈ 1e-8 at sf0.1); the oracle
+    # still groups by the real shingle strings and hash-matches.
+    toks_sql = "split(trim(text), '\\\\s+')"
     s = docs.select(
         "doc_id",
-        F.explode(F.expr(shingles_sql("split(trim(text), '\\\\s+')", _BOILER_N))).alias(
-            "shingle"
-        ),
+        F.explode(
+            F.expr(f"transform({shingles_sql(toks_sql, _BOILER_N)}, x -> xxhash64(x))")
+        ).alias("shingle"),
     )
     w = Window.partitionBy("shingle")
     flagged = s.withColumn(
@@ -1657,8 +1666,14 @@ def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.expr(tri).alias("tri"))
         .select("lang", F.expr(_lid_hash_spark("tri")).alias("g"))
     )
-    cnt = trg.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c"))
-    tot = trg.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    # r12 opt (guide §1.2: one pass, not two): ``cnt`` is the bounded
+    # (lang, bucket) count table; the per-lang trigram total is its
+    # bucket-sum (every trigram lands in exactly one bucket), so ``tot``
+    # derives from ``cnt`` instead of re-running the full trigram explode +
+    # md5 pass over the training corpus (the before-plan exploded the
+    # train split twice).  Integer sum of integer counts — value-identical.
+    cnt = trg.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c")).cache()
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
     nl = (
         d.where(F.col("s") < _LID_TRAIN_PCT)
         .groupBy("lang")
