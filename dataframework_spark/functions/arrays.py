@@ -111,6 +111,27 @@ def cosine(a: str, b: str) -> Column:
     return F.expr(cosine_sql(a, b))
 
 
+def norm_sql(a: str) -> str:
+    """Spark SQL: L2 norm of an array<double> expression — the exact
+    per-side subexpression of :func:`cosine_sql`."""
+    return f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + v * v))"
+
+
+def cosine_prenorm_sql(a: str, b: str, na: str, nb: str) -> str:
+    """Spark SQL: cosine similarity with the two norms PRECOMPUTED
+    (``na``/``nb`` are column names holding :func:`norm_sql` values).
+
+    r12 optimization-round helper (guide §1.2 per-task work): inside a
+    (query × corpus) pair loop, :func:`cosine_sql` re-evaluates both norm
+    aggregates per PAIR — three O(d) interpreted higher-order-function
+    passes where one suffices.  Hoisting ``norm_sql`` to one evaluation per
+    row and dividing by the product keeps the IDENTICAL IEEE shape
+    (same dot, same ``(na) * (nb)`` product, same division, same op order),
+    so every cosine is bit-equal to the un-hoisted form and rounded ranking
+    keys cannot move."""
+    return f"({dot_sql(a, b)}) / (({na}) * ({nb}))"
+
+
 def duck_cosine_sql(a: str, b: str) -> str:
     """DuckDB twin of :func:`cosine_sql` — forced to double precision."""
     return f"list_cosine_similarity(({a})::DOUBLE[], ({b})::DOUBLE[])"

@@ -296,35 +296,46 @@ def dedup_minhash_lsh(
         docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
         # single-split local scan → spread CPU-bound shingling across cores
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # Per-doc signature = min over the doc's own term ids — a narrow array
+    # expression (docs with no shingles produced no rows under the old
+    # explode, hence the ``nsh`` filter).  The md5 term-id pass stays
+    # single-evaluation: CollapseProject refuses to inline the non-cheap
+    # ``tids`` alias referenced 17× (the ``minhash_signature_frame``
+    # guarantee).
+    sig_cols = [
+        F.expr(f"array_min(transform(tids, t -> pmod({a} * t + {b}, {_MH_P})))").alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
     star = None
     if precollapse:
         # r12 opt (guide §2.3 / §8: decide with small rows, keep heavy
         # payloads out of exchanges).  The pre-r12-opt shape shuffled the
-        # shingle-STRING sets through the xh window and then paid a second
-        # corpus-sized exchange (explode → groupBy(doc_id)) to build
-        # signatures.  Now:
-        #   * ``s`` (doc_id, sh) is cached NARROW — populated with zero
-        #     shuffles; only the verification joins ever move shingle
-        #     strings.
-        #   * the xh window moves (doc_id, xh, tids) — 8-byte term ids,
-        #     ~3× lighter than the strings (md5-per-shingle runs ONCE,
-        #     below this exchange, so the projection barrier the Window
-        #     provides also stops Catalyst re-inlining it 16×).
-        #   * signatures are array_min over the tids array per KEEPER row
-        #     (identical min over the identical id set as the old
-        #     explode + groupBy — the shuffle is simply gone).
+        # shingle-STRING sets through the xh window; the first r12 cut
+        # moved 8-byte term-id ARRAYS instead (~3× lighter).  Now the
+        # 16-slot signature is computed per doc BELOW the window —
+        # signatures of exact-dup texts are identical by construction, so
+        # keeper selection loses nothing — and the xh exchange moves
+        # (doc_id, xh, nsh, h0..h15): ~170 B/doc instead of the
+        # ~8·|shingles| B/doc tids array, another ~5-8× cut.  The wasted
+        # work is 16 ``array_min``s per DUPLICATE doc (whose keeper
+        # recomputes the same signature) — trivial next to the md5 term-id
+        # pass, which already ran per doc in every previous shape.
         s = docs.withColumn("toks", tokens()).select(
             "doc_id",
             F.md5(F.encode(F.col("text"), "UTF-8")).alias("xh"),
             F.expr(shingles_sql("toks")).alias("sh"),
         )
-        s.cache()  # verification + the tid/window branch both derive from it
-        tidf = s.select(
+        s.cache()  # verification + the signature branch both derive from it
+        sigall = s.select(
             "doc_id", "xh", F.expr(f"transform(sh, t -> {tid_sql('t', _MH_P)})").alias("tids")
-        )
-        marked = tidf.withColumn("kid", F.min("doc_id").over(Window.partitionBy("xh")))
+        ).select("doc_id", "xh", F.size("tids").alias("nsh"), *sig_cols)
+        marked = sigall.withColumn("kid", F.min("doc_id").over(Window.partitionBy("xh")))
         marked.cache()  # both branches (keeper signatures + star edges) derive from it
-        keep = marked.where("doc_id = kid").select("doc_id", "tids")
+        sig = marked.where("doc_id = kid").where(F.col("nsh") > 0).select(
+            "doc_id", *[f"h{i}" for i in range(_MH_K)]
+        )
         star = marked.where("doc_id <> kid").select(
             F.col("kid").alias("doc_a"),
             F.col("doc_id").alias("doc_b"),
@@ -339,22 +350,7 @@ def dedup_minhash_lsh(
         keep = s.select(
             "doc_id", F.expr(f"transform(sh, t -> {tid_sql('t', _MH_P)})").alias("tids")
         )
-    # Per-doc signature = min over the doc's own term ids — a narrow array
-    # expression (docs with no shingles produced no rows under the old
-    # explode, hence the size filter).  The md5 term-id pass stays
-    # single-evaluation: ``tids`` is materialized in the ``marked`` cache
-    # on the precollapse path, and on the plain path CollapseProject
-    # refuses to inline a non-cheap alias referenced 16× (the same
-    # guarantee ``minhash_signature_frame`` relies on).
-    sig = keep.where(F.size("tids") > 0).select(
-        "doc_id",
-        *[
-            F.expr(f"array_min(transform(tids, t -> pmod({a} * t + {b}, {_MH_P})))").alias(
-                f"h{i}"
-            )
-            for i, (a, b) in enumerate(_MH_PARAMS)
-        ],
-    )
+        sig = keep.where(F.size("tids") > 0).select("doc_id", *sig_cols)
     # one posexplode pass replaces the former 4-arm union over a cached
     # signature table (same rows: (doc_id, band, bk))
     bands = sig.select(
@@ -1576,7 +1572,6 @@ def dedup_exact_substring(
 # D9 — SemDeDup: cluster-then-prune semantic dedup (the scalable shape)
 # ---------------------------------------------------------------------------
 
-from dataframework_spark.functions.arrays import cosine_sql as _cos_spark
 from dataframework_spark.functions.arrays import duck_cosine_sql as _cos_duck
 from dataframework_spark.operators.similarity import (
     _bucket_sql_duck as _sd_bucket_duck,
@@ -1638,16 +1633,31 @@ def dedup_semdedup(
     bucket_sql = (
         _sd_bucket_spark("v") if n_planes is None else _sd_bucket_spark("v", n_planes)
     )
+    from dataframework_spark.functions.arrays import cosine_prenorm_sql, norm_sql
+
     e = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    e = e.withColumn("bucket", F.expr(bucket_sql)).cache()
-    a = e.select(F.col("bucket").alias("bka"), F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    b = e.select(F.col("bucket").alias("bkb"), F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    # r12 opt: ‖v‖ once per vector, materialized in the cache, instead of
+    # twice per in-cluster PAIR (bit-equal by cosine_prenorm_sql's
+    # construction — same dot, same norm product, same division).
+    e = (
+        e.withColumn("bucket", F.expr(bucket_sql))
+        .withColumn("nv", F.expr(norm_sql("v")))
+        .cache()
+    )
+    a = e.select(
+        F.col("bucket").alias("bka"), F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"), F.col("nv").alias("na"),
+    )
+    b = e.select(
+        F.col("bucket").alias("bkb"), F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
+    )
     pruned = (
         a.hint("shuffle_hash")
         .join(b, (F.col("bka") == F.col("bkb")) & (F.col("a_id") < F.col("b_id")), "inner")
-        .where(F.expr(_cos_spark("va", "vb")) >= _SEMDEDUP_T)
+        .where(F.expr(cosine_prenorm_sql("va", "vb", "na", "nb")) >= _SEMDEDUP_T)
         .select(F.col("b_id").alias("pruned_id"))
         .distinct()
     )

@@ -1567,13 +1567,18 @@ def ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors the same mining runs over each anchor's ANN candidate set
     (``sim_ivfpq_*``) instead of the full scan — mine within the cell,
     exclude by label, rank identically."""
-    from dataframework_spark.functions.arrays import as_double, cosine_sql
+    from dataframework_spark.functions.arrays import as_double, cosine_prenorm_sql, norm_sql
 
     emb = load_table(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
-    e = emb.select("vec_id", as_double("embedding").alias("v"), "label")
+    # r12 opt: norms hoisted out of the pair loop (bit-equal by
+    # cosine_prenorm_sql's construction).
+    e = emb.select("vec_id", as_double("embedding").alias("v"), "label").withColumn(
+        "nv", F.expr(norm_sql("v"))
+    )
     q = e.where(F.col("vec_id") < _HN_QUERIES).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
         F.col("label").alias("anchor_label"),
     )
     scored = (
@@ -1584,7 +1589,7 @@ def ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_label",
             F.col("vec_id").alias("negative_id"),
             F.col("label").alias("negative_label"),
-            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+            F.round(F.expr(cosine_prenorm_sql("qv", "v", "nq", "nv")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(

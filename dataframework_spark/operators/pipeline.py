@@ -285,13 +285,23 @@ def pipeline_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the shared scored table, not another corpus pass."""
     from pyspark.sql.window import Window
 
-    from dataframework_spark.functions.arrays import cosine_sql
+    from dataframework_spark.functions.arrays import cosine_prenorm_sql, norm_sql
     from dataframework_spark.operators.similarity import _corpus
     from dataframework_spark.operators.text import _BM25_NQ, _bm25_scored
 
     scored = _bm25_scored(spark, sf_dir).where(F.col("doc_id") != F.col("query_id"))
     wl = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
-    lex_full = scored.withColumn("lex_rank", F.row_number().over(wl).cast("bigint"))
+    # r12 opt (guide §1.2): the ranked lexical list feeds TWO products (the
+    # standalone bm25 top-{_HYBRID_TOPK} and the fusion's top-{_HYBRID_N}),
+    # and Catalyst does not dedupe logical subtrees — without
+    # materialization the whole scored pipeline (joins + rank window over
+    # the cached inverted index) ran once per product.  The cached frame is
+    # ≤ NQ × {_HYBRID_N} rows.
+    lex_full = (
+        scored.withColumn("lex_rank", F.row_number().over(wl).cast("bigint"))
+        .where(F.col("lex_rank") <= _HYBRID_N)
+        .cache()
+    )
     bm25_list = lex_full.where(F.col("lex_rank") <= _HYBRID_TOPK).select(
         F.lit("bm25").alias("system"),
         "query_id",
@@ -299,12 +309,12 @@ def pipeline_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.col("lex_rank").alias("rank"),
     )
-    lex = lex_full.where(F.col("lex_rank") <= _HYBRID_N).select(
-        "query_id", "doc_id", "lex_rank"
-    )
-    e = _corpus(spark, sf_dir)
+    lex = lex_full.select("query_id", "doc_id", "lex_rank")
+    # r12 opt: norms hoisted out of the dense pair loop (bit-equal by
+    # cosine_prenorm_sql's construction).
+    e = _corpus(spark, sf_dir).withColumn("nv", F.expr(norm_sql("v")))
     q = e.where(F.col("vec_id") < _BM25_NQ).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     wd = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
     dense = (
@@ -313,7 +323,7 @@ def pipeline_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos"),
+            F.round(F.expr(cosine_prenorm_sql("qv", "v", "nq", "nv")), 4).alias("cos"),
         )
         .withColumn("dense_rank", F.row_number().over(wd).cast("bigint"))
         .where(F.col("dense_rank") <= _HYBRID_N)

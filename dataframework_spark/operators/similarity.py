@@ -33,10 +33,11 @@ from pyspark.sql.window import Window
 from dataframework_spark.catalog import load_table
 from dataframework_spark.functions.arrays import (
     as_double,
-    cosine_sql,
+    cosine_prenorm_sql,
     dot_sql,
     duck_cosine_sql,
     duck_dot_sql,
+    norm_sql,
 )
 from dataframework_spark.registry import register
 
@@ -181,9 +182,16 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is written bucketed/partitioned by ``bucket``, making each
     query a partition-pruned scan of ~1/256 of the data; candidates << n
     is what turns O(n) per query into sub-linear."""
-    e = _corpus(spark, sf_dir).withColumn("bucket", F.expr(_bucket_sql_spark("v")))
+    # r12 opt: norms hoisted out of the pair loop (one per row, not one per
+    # pair) — bit-equal by cosine_prenorm_sql's construction.
+    e = (
+        _corpus(spark, sf_dir)
+        .withColumn("bucket", F.expr(_bucket_sql_spark("v")))
+        .withColumn("nv", F.expr(norm_sql("v")))
+    )
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"), F.col("nv").alias("nq"),
     )
     scored = (
         F.broadcast(q)
@@ -192,7 +200,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "bucket",
-            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+            F.round(F.expr(cosine_prenorm_sql("qv", "v", "nq", "nv")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -242,21 +250,26 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partition (nprobe=1); raising nprobe = scanning the next-nearest
     cells.  The codebook itself would come from Spark ML k-means offline;
     using fixed seeds keeps the operator oracle-checkable."""
-    e = _corpus(spark, sf_dir)
+    # r12 opt: ‖v‖ once per vector (not once per (vector, centroid) pair and
+    # again per (query, neighbor) pair), ‖c‖ once per centroid — carried
+    # through assignment so the scoring join recomputes nothing; bit-equal
+    # by cosine_prenorm_sql's construction.
+    e = _corpus(spark, sf_dir).withColumn("nv", F.expr(norm_sql("v")))
     cent = e.where(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nv").alias("ncv")
     )
     aw = Window.partitionBy("vec_id").orderBy(
-        F.round(F.expr(cosine_sql("v", "cv")), 4).desc(), F.col("cid")
+        F.round(F.expr(cosine_prenorm_sql("v", "cv", "nv", "ncv")), 4).desc(), F.col("cid")
     )
     assigned = (
         e.join(F.broadcast(cent))
         .withColumn("rn", F.row_number().over(aw))
         .where(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        .select("vec_id", "v", "nv", "cid")
     )
     q = assigned.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _N_QUERIES)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("cid").alias("qcid")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"), F.col("cid").alias("qcid"),
     )
     scored = (
         F.broadcast(q)
@@ -265,7 +278,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("cid").alias("cell"),
-            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+            F.round(F.expr(cosine_prenorm_sql("qv", "v", "nq", "nv")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -328,10 +341,15 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["ss"]
     )
     inertia_ok = bool(model.summary.trainingCost <= global_ss * 1.0001)
-    assigned = model.transform(e).select("vec_id", "v", "cell")
+    # r12 opt: norms hoisted out of the in-cell pair loop (bit-equal by
+    # cosine_prenorm_sql's construction).
+    assigned = model.transform(e).select(
+        "vec_id", "v", "cell", F.expr(norm_sql("v")).alias("nv")
+    )
     cell_sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
     q = assigned.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("cell").alias("qcell")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"), F.col("cell").alias("qcell"),
     )
     scored = (
         F.broadcast(q)
@@ -340,7 +358,7 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "cell",
-            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+            F.round(F.expr(cosine_prenorm_sql("qv", "v", "nq", "nv")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -425,10 +443,17 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes ⇒ smaller buckets ⇒ cheaper search but lower recall; this
     query is the measurement loop that tunes plane count at scale (run it
     on a sample, pick the knee)."""
-    e = _corpus(spark, sf_dir).withColumn("bucket", F.expr(_bucket_sql_spark("v")))
+    # r12 opt: norms hoisted out of the pair loop (and materialized in the
+    # cache) — bit-equal by cosine_prenorm_sql's construction.
+    e = (
+        _corpus(spark, sf_dir)
+        .withColumn("bucket", F.expr(_bucket_sql_spark("v")))
+        .withColumn("nv", F.expr(norm_sql("v")))
+    )
     e = e.cache()  # reused: exact ranking + two bucket lookups
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"), F.col("nv").alias("nq"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     exact = (
@@ -439,7 +464,7 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qb",
             F.col("vec_id").alias("neighbor_id"),
             F.col("bucket").alias("nb"),
-            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+            F.round(F.expr(cosine_prenorm_sql("qv", "v", "nq", "nv")), 4).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _TOPK)
@@ -1203,11 +1228,13 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured recall (0–0.2 per query here) honestly shows the truncation
     cost the eval exists to price."""
     brute = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # r12 opt: prefix-norms hoisted out of the pair loop (bit-equal by
+    # cosine_prenorm_sql's construction).
     e = _corpus(spark, sf_dir).select(
         "vec_id", F.expr(f"slice(v, 1, {_MRL_DIM})").alias("v")
-    )
+    ).withColumn("nv", F.expr(norm_sql("v")))
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     scored = (
         F.broadcast(q)
@@ -1215,7 +1242,7 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
+            F.round(F.expr(cosine_prenorm_sql("qv", "v", "nq", "nv")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -1972,17 +1999,23 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, no rank window).  At 100 TB: corpus never shuffles; radius
     search over the bucketed layout prunes to the query's bucket(s),
     and THIS query is the measurement that licenses the pruning."""
-    e = _corpus(spark, sf_dir).withColumn("bucket", F.expr(_bucket_sql_spark("v")))
+    # r12 opt: norms hoisted out of the pair loop (bit-equal by
+    # cosine_prenorm_sql's construction).
+    e = (
+        _corpus(spark, sf_dir)
+        .withColumn("bucket", F.expr(_bucket_sql_spark("v")))
+        .withColumn("nv", F.expr(norm_sql("v")))
+    )
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("bucket").alias("qb"),
+        F.col("bucket").alias("qb"), F.col("nv").alias("nq"),
     )
     s = (
         F.broadcast(q)
         .join(e, F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
-            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("c"),
+            F.round(F.expr(cosine_prenorm_sql("qv", "v", "nq", "nv")), 4).alias("c"),
             (F.col("bucket") == F.col("qb")).alias("same_bucket"),
         )
     )
@@ -2068,17 +2101,23 @@ def sim_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window).  On a corpus bucketed by code at write time, probe
     depth h scans C(8,<=h)/256 of the layout — 9/256 then 37/256 — which
     is exactly the partition-pruning fraction this query prices."""
-    e = _corpus(spark, sf_dir).withColumn("bucket", F.expr(_bucket_sql_spark("v")))
+    # r12 opt: norms hoisted out of the pair loop (bit-equal by
+    # cosine_prenorm_sql's construction).
+    e = (
+        _corpus(spark, sf_dir)
+        .withColumn("bucket", F.expr(_bucket_sql_spark("v")))
+        .withColumn("nv", F.expr(norm_sql("v")))
+    )
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("bucket").alias("qb"),
+        F.col("bucket").alias("qb"), F.col("nv").alias("nq"),
     )
     s = (
         F.broadcast(q)
         .join(e, F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
-            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("c"),
+            F.round(F.expr(cosine_prenorm_sql("qv", "v", "nq", "nv")), 4).alias("c"),
             F.expr(_hamming_sql("bucket ^ qb")).alias("ham"),
         )
     )
@@ -2321,9 +2360,11 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lex_rank") <= _RRF_N)
         .select("query_id", "doc_id", "lex_rank")
     )
-    e = _corpus(spark, sf_dir)
+    # r12 opt: norms hoisted out of the dense pair loop (bit-equal by
+    # cosine_prenorm_sql's construction).
+    e = _corpus(spark, sf_dir).withColumn("nv", F.expr(norm_sql("v")))
     q = e.where(F.col("vec_id") < _RRF_NQ).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     wd = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
     dense = (
@@ -2332,7 +2373,7 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos"),
+            F.round(F.expr(cosine_prenorm_sql("qv", "v", "nq", "nv")), 4).alias("cos"),
         )
         .withColumn("dense_rank", F.row_number().over(wd).cast("bigint"))
         .where(F.col("dense_rank") <= _RRF_N)

@@ -567,13 +567,21 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = docs.select("doc_id", F.explode(tokens()).alias("term"))
     ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c")).cache()
     utot = ucnt.agg(F.sum("c").cast("double").alias("n"))
+    # r12 opt (guide §1.2 per-task work): -log(c/n) depends only on the
+    # TERM, so it is computed once per vocabulary entry inside the
+    # broadcast table instead of once per corpus token after the join.
+    # Identical inputs through the identical IEEE ops (c/n then log then
+    # negate) — every per-token addend is bit-equal, so the avg is too.
+    lp = (
+        ucnt.crossJoin(F.broadcast(utot))
+        .select("term", (-F.log(F.col("c") / F.col("n"))).alias("nll"))
+    )
     return (
-        uni.join(F.broadcast(ucnt), "term")
-        .crossJoin(F.broadcast(utot))
+        uni.join(F.broadcast(lp), "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("cross_entropy"),
+            F.round(F.avg("nll"), 4).alias("cross_entropy"),
         )
     )
 
