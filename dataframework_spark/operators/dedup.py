@@ -1130,8 +1130,19 @@ def dedup_ngram_containment(
     _check_frac(probe_sample_frac, "probe_sample_frac")
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # r12 opt (guide §2.3 narrower shuffle keys): shingle STRINGS are
+    # folded to xxhash64 longs right after shingling and never travel
+    # again — the df-count exchange, the prefix window sort, the semi
+    # join, the candidate exchange, and the exact verification
+    # ``array_intersect`` all run on 8-byte ids (the
+    # `dedup_exact_substring` / `text_boilerplate_ngrams` precedent;
+    # collision odds ~|shingles|²/2⁶⁵).  The prefix filter stays lossless
+    # under ANY consistent global shingle order (rarest-by-df with hash
+    # tie-break included): if A shares none of its k+1 rarest shingles
+    # with B then |A\B| > (1-t)·|A|, independent of how ties rank.
     s = docs.withColumn("toks", tokens()).select(
-        "doc_id", F.expr(shingles_sql("toks")).alias("sh")
+        "doc_id",
+        F.expr(f"transform({shingles_sql('toks')}, x -> xxhash64(x))").alias("sh"),
     )
     s = s.withColumn("n", F.size("sh")).cache()
     inv = s.select("doc_id", "n", F.explode("sh").alias("shingle"))

@@ -650,12 +650,22 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"]
     )
     supp = load_table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
-    # (part, supplier)-sized; cached — tot and dominant both consume it,
-    # and without materialization each consumer re-scans lineitem
-    per = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty")).cache()
-    tot = per.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    # r12 opt (guide §2.4: establish the partitioning once).  The old shape
+    # paid three exchanges + a cache: per-(part,supp) agg, per-part
+    # re-agg, and the per⨝tot join re-exchange.  Partitioning lineitem by
+    # l_partkey FIRST lets the (part,supp) groupBy, the per-part total,
+    # and the dominance test all run on that one exchange: hash(l_partkey)
+    # co-locates every (part, supp) group AND every part, so the groupBy
+    # needs no further exchange and ``tot`` becomes a whole-partition
+    # window over the same data — no join, no cache, no second pass.
+    per = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    wt = Window.partitionBy("l_partkey")
     dominant = (
-        per.join(tot, on="l_partkey")
+        per.withColumn("total", F.sum("qty").over(wt))
         .where(F.col("qty") > 0.5 * F.col("total"))
         .select("l_suppkey")
     )
@@ -702,19 +712,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(
         spark, sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]
     ).where(F.col("o_orderstatus") == "F")
-    # (order, supplier)-sized; cached — order_stats and the qualifying join
-    # both consume it (one lineitem scan, not two)
+    # r12 opt (guide §2.4: establish the partitioning once).  The old shape
+    # paid three exchanges + a cache: per-(order,supp) agg, per-order
+    # re-agg, and the per⨝order_stats join re-exchange.  Partitioning
+    # lineitem by l_orderkey FIRST co-locates every (order, supp) group
+    # AND every order, so the groupBy reuses that one exchange and the
+    # order stats become whole-partition window aggregates over the same
+    # data — no join, no cache, no second pass.
     per = (
-        li.groupBy("l_orderkey", "l_suppkey")
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("last_ship"))
-        .cache()
     )
-    order_stats = per.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.max("last_ship").alias("max_ship"),
-    )
+    wo = Window.partitionBy("l_orderkey")
     return (
-        per.join(order_stats, on="l_orderkey")
+        per.withColumn("n_supp", F.count(F.lit(1)).over(wo))
+        .withColumn("max_ship", F.max("last_ship").over(wo))
         .where((F.col("n_supp") >= 2) & (F.col("last_ship") == F.col("max_ship")))
         .join(orders, F.col("l_orderkey") == orders.o_orderkey, "left_semi")
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)

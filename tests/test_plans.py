@@ -263,15 +263,23 @@ def test_q16_anti_join_broadcasts_exclusion(spark, sf_dir):
     assert "p_size" in pf, pf
 
 
-def test_q21_single_fact_scan_via_cache(spark, sf_dir):
-    # per-(order,supplier) aggregate feeds two consumers; the cached copy
-    # must appear as InMemoryRelation so lineitem is scanned exactly once.
+def test_q21_single_fact_scan_one_exchange(spark, sf_dir):
+    # r12 opt shape: the per-(order,supplier) aggregate and the per-order
+    # stats share ONE l_orderkey partitioning (repartition → groupBy →
+    # whole-partition Window) — no cache, no per⨝order_stats self-join,
+    # and lineitem is scanned exactly once (3 scans total: lineitem,
+    # orders, supplier).
     from dataframework_spark.operators.tpch_shapes import q21_waiting_suppliers
 
     df = q21_waiting_suppliers(spark, sf_dir)
     p = plan_string(df)
-    assert "InMemoryRelation" in p, p
-    assert p.count("Scan parquet") - p.count("InMemoryTableScan") <= 3, p
+    assert "Window" in p, p
+    # formatted output lists each scan twice (tree + operator details):
+    # 3 real scans — lineitem, orders, supplier
+    assert p.count("Scan parquet") <= 6, p
+    # the window runs on the groupBy's partitioning: exactly one exchange
+    # may hash on l_orderkey (the repartition the agg + window both reuse)
+    assert p.count("hashpartitioning(l_orderkey") <= 1, p
 
 
 def test_vocab_coverage_topk_no_global_sort(spark, sf_dir):
