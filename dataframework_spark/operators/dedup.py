@@ -145,8 +145,17 @@ def dedup_ngram_jaccard(
         # inlining the shingle transform into downstream generators, which
         # would re-evaluate it per exploded element).
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # r12 opt (guide §2.3 narrower shuffle keys): shingle strings fold to
+    # xxhash64 longs at shingling — df-count exchange, prefix window
+    # sort, candidate self-join, and the exact ``array_intersect``
+    # verification all run on 8-byte ids (collision ~|shingles|²/2⁶⁵; the
+    # `dedup_ngram_containment` / `dedup_exact_substring` precedent).
+    # The prefix filter stays lossless under ANY consistent global
+    # shingle order, so the (df, hashed-id) tie-break changes candidates
+    # but never verified output.
     s = docs.withColumn("toks", tokens()).select(
-        "doc_id", F.expr(shingles_sql("toks")).alias("sh")
+        "doc_id",
+        F.expr(f"transform({shingles_sql('toks')}, x -> xxhash64(x))").alias("sh"),
     )
     s = s.withColumn("n", F.size("sh")).cache()  # reused: index build + verification
     inv = s.select("doc_id", "n", F.explode("sh").alias("shingle"))

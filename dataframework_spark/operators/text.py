@@ -1218,7 +1218,16 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized and broadcast; one training scan, one scoring
     scan, one per-doc aggregate exchange."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    t = docs.select("doc_id", tokens().alias("toks"))
+    # r12 opt (guide §2.3 narrower shuffle keys): every count table and
+    # join in this operator is keyed by token STRINGS; hashing each token
+    # to a 64-bit id once at tokenization makes the unigram/bigram
+    # aggregates, both fertility tables, and the (t1, t2) scoring join
+    # run on 8-byte longs (collision ~vocab²/2⁶⁵ — the shingle-id
+    # precedent).  Counts, fertilities, and therefore every probability
+    # are unchanged; the output is per-doc aggregates only.
+    t = docs.withColumn("_w", tokens()).select(
+        "doc_id", F.expr("transform(_w, x -> xxhash64(x))").alias("toks")
+    )
     t = t.cache()  # read 3x: unigram counts, bigram counts, scoring stream
     tr = t.where(F.col("doc_id") % 2 == 0)
     ucnt = (
@@ -1335,6 +1344,15 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index materialization — (doc, term, tf) triples,
     MEMORY_AND_DISK, far smaller than the token stream."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # r12 opt (guide §2.4 establish the partitioning once): partitioning
+    # the DOCUMENTS by doc_id before tokenization gives every doc-keyed
+    # consumer the layout for free — hash(doc_id) co-locates all
+    # (doc, term) groups (subset-key clustering), so the tf aggregate,
+    # the dl aggregate, the hit⨝dl join, and the final (query, doc)
+    # aggregate all reuse this ONE exchange of raw text instead of
+    # paying three tf-sized exchanges.  Only the vocabulary df aggregate
+    # still exchanges by term.
+    docs = docs.repartition("doc_id")
     toks = docs.select("doc_id", F.explode(tokens()).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
