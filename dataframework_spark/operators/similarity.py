@@ -723,18 +723,32 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # r12 opt (guide §1.2 per-task work): ADC's defining trick is the
+    # per-query distance LOOKUP TABLE — the {_PQ_M}×{_PQ_K} subspace
+    # distances are computed ONCE per query (inside the broadcast build,
+    # {_N_QUERIES}×{_PQ_M}×{_PQ_K} doubles total) instead of re-running
+    # the slice/zip_with/aggregate chain per (query, corpus) PAIR.  Each
+    # LUT cell is the IDENTICAL expression the per-pair form evaluated,
+    # and the outer sum keeps the identical m-order, so every distance is
+    # bit-equal and the rounded ranking keys cannot move.
+    q_lut = (
+        f"transform(sequence(0, {_PQ_M - 1}), m -> "
+        f"transform(qcb, c -> aggregate(zip_with("
+        f"slice(qe, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+        f"slice(c, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
+        f"(x, y) -> (x - y) * (x - y)), 0D, (a2, v) -> a2 + v)))"
+    )
     queries = (
         emb.where(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qe"))
+        .crossJoin(F.broadcast(cbarr.select(F.col("cb").alias("qcb"))))
+        .selectExpr("query_id", "qe", f"{q_lut} as lut")
     )
     paired = coded.join(F.broadcast(queries))
     adc_d = F.round(
         F.expr(
             f"aggregate(sequence(0, {_PQ_M - 1}), 0D, (acc, m) -> acc + "
-            f"aggregate(zip_with("
-            f"slice(qe, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
-            f"slice(element_at(cb, element_at(codes, m + 1) + 1), m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM}), "
-            f"(x, y) -> (x - y) * (x - y)), 0D, (a2, v) -> a2 + v))"
+            f"element_at(element_at(lut, m + 1), element_at(codes, m + 1) + 1))"
         ),
         6,
     )
