@@ -1542,6 +1542,12 @@ def dedup_exact_substring(
         # ONE exchange on the span hash; null h (short docs) is excluded
         # from the frequency window so the all-short-docs null partition
         # can never become the skew key at scale.
+        # r12 opt audit: ALSO tried the knob path's groupBy(h) + join-back
+        # shape here (light (h, count) exchange + AQE-broadcast dup table)
+        # — it recomputes the span explode for both consumers and measured
+        # 8.3 → 10.2 s at sf0.1 (tokenize+hash CPU > the saved exchange);
+        # reverted.  At 100 TB, where shuffle dominates CPU, the knob path
+        # remains the production form — sample_frac engages it.
         wh = Window.partitionBy("h")
         marked = spans.withColumn(
             "dup",

@@ -61,15 +61,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part", columns=["p_partkey", "p_size"])
     supp = load_table(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    # r12 opt (guide §2.4, the q20/q21 pattern): partition by partkey
+    # once — the (part, supp) groupBy reuses it (subset-key clustering)
+    # and the per-part minimum becomes a whole-partition window, removing
+    # the re-agg and the ps⨝min_cost join exchange.
     ps = (
-        li.groupBy(
+        li.repartition("l_partkey")
+        .groupBy(
             F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
         )
         .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("unit_cost"))
     )
-    min_cost = ps.groupBy("partkey").agg(F.min("unit_cost").alias("min_cost"))
     return (
-        ps.join(min_cost, on="partkey")
+        ps.withColumn("min_cost", F.min("unit_cost").over(Window.partitionBy("partkey")))
         .where(F.col("unit_cost") == F.col("min_cost"))
         .join(F.broadcast(part.where(F.col("p_size") <= 10)), F.col("partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
