@@ -396,8 +396,20 @@ def dedup_minhash_lsh(
     # estimate (5.0-6.6 s at sf0.1, driver OOM at 100x), while
     # shuffle_hash holds 2.7-3.4 s locally and completes at 100x.  The
     # shingle sets are the data-sized side at any real scale.
-    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")).hint("shuffle_hash")
-    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")).hint("shuffle_hash")
+    # r12 opt (guide §2.3): the verify exchange moves 8-byte xxhash64
+    # shingle ids, not the ~20-25 B shingle strings (~3× fewer bytes per
+    # side), and the exact `array_intersect` compares longs.  The md5
+    # term-id signature math is untouched (oracle-matched); collision
+    # odds for the hashed intersect are the repo's accepted
+    # |shingles|²/2⁶⁵ argument.
+    sa = s.select(
+        F.col("doc_id").alias("doc_a"),
+        F.expr("transform(sh, x -> xxhash64(x))").alias("sh_a"),
+    ).hint("shuffle_hash")
+    sb = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.expr("transform(sh, x -> xxhash64(x))").alias("sh_b"),
+    ).hint("shuffle_hash")
     ver = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
