@@ -34,6 +34,7 @@ from dataframework_spark.catalog import load_table
 from dataframework_spark.functions.arrays import (
     as_double,
     cosine_prenorm_sql,
+    cosine_sql,
     dot_sql,
     duck_cosine_sql,
     duck_dot_sql,
@@ -182,16 +183,15 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is written bucketed/partitioned by ``bucket``, making each
     query a partition-pruned scan of ~1/256 of the data; candidates << n
     is what turns O(n) per query into sub-linear."""
-    # r12 opt: norms hoisted out of the pair loop (one per row, not one per
-    # pair) — bit-equal by cosine_prenorm_sql's construction.
-    e = (
-        _corpus(spark, sf_dir)
-        .withColumn("bucket", F.expr(_bucket_sql_spark("v")))
-        .withColumn("nv", F.expr(norm_sql("v")))
-    )
+    # r12 opt audit: the norm hoist (cosine_prenorm_sql) was applied here
+    # and REVERTED — this join is bucket-SELECTIVE (a corpus row matches
+    # ~NQ/256 queries), so a per-row ‖v‖ costs ~d per row while the
+    # per-pair norms it replaces only cost ~2d × 0.03 pairs/row; measured
+    # 0.61 → 0.76 s.  The hoist stays in the DENSE pair loops
+    # (`sim_cosine_topk`, `sim_rrf_fusion`, ...), where pairs/row = NQ.
+    e = _corpus(spark, sf_dir).withColumn("bucket", F.expr(_bucket_sql_spark("v")))
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("bucket").alias("qb"), F.col("nv").alias("nq"),
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )
     scored = (
         F.broadcast(q)
@@ -200,7 +200,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "bucket",
-            F.round(F.expr(cosine_prenorm_sql("qv", "v", "nq", "nv")), 4).alias("cos_sim"),
+            F.round(F.expr(cosine_sql("qv", "v")), 4).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
