@@ -695,6 +695,15 @@ def corpus_mixture_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("n_ws"),
             F.sum(F.col("cnt") * F.col("n_sym")).alias("n_bpe"),
         )
+        # r12 note (guide §1.3 know when to stop): dt feeds BOTH the
+        # per-source totals and the kept-docs aggregate, so the tokenize +
+        # word-count + encode-join chain runs twice (Catalyst does not
+        # dedupe subtrees).  A dt.cache() was tried and REVERTED: locally
+        # the duplicate chains run concurrently on idle cores inside one
+        # job, so the cache only added its materialization barrier
+        # (A/B/A/B mins 2.1-3.0 s uncached vs 2.7-4.1 s cached at sf0.1).
+        # At 100 TB, where duplicate passes cost real resources, the
+        # one-line cache (or a checkpoint of dt) is the documented hatch.
     )
     st = (
         dt.groupBy("source")

@@ -1776,10 +1776,21 @@ def dedup_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
             for n in _SEV_TIERS
         ]
     )
-    flat = (
-        t.select("doc_id", F.explode(tier_structs).alias("p"))
-        .select("doc_id", "p.tier", "p.sh")
-        .cache()  # hashes + ints only; both join sides read it
+    # r12 opt (guide §1.2): cache ONE per-doc frame holding the token count
+    # and the hashed tier-shingle array, instead of caching the exploded
+    # pair table and re-running tokenize+shingle a second time for
+    # ``ev_docs`` (the before-plan tokenized the corpus twice).  Strings
+    # still never leave the row (same 1000x OOM discipline — the cache is
+    # doc_id + a long + an array of (int, 8-byte hash)); the explode now
+    # runs once per join side FROM the cache, which is cheap next to the
+    # tokenize/shingle/md5 work it used to repeat.
+    c = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        tier_structs.alias("arr"),
+    ).cache()
+    flat = c.select("doc_id", F.explode("arr").alias("p")).select(
+        "doc_id", "p.tier", "p.sh"
     )
     tr = flat.where(F.col("doc_id") % 2 == 0).select("tier", "sh").distinct()
     best = (
@@ -1788,9 +1799,7 @@ def dedup_contamination_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("tier").alias("severity"))
     )
-    ev_docs = t.where(F.col("doc_id") % 2 == 1).select(
-        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
-    )
+    ev_docs = c.where(F.col("doc_id") % 2 == 1).select("doc_id", "n_tokens")
     return ev_docs.join(best, "doc_id", "left").select(
         "doc_id",
         "n_tokens",

@@ -1416,10 +1416,12 @@ def ml_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("score"),
     )
-    n = s.agg(F.count(F.lit(1)).alias("n"))
-    r = global_order_stats(s, [F.col("score"), F.col("vec_id")], rn="rnk")
+    # r12 opt (guide §1.2): the row total comes from global_order_stats's
+    # own partition-count summary (n_total) instead of a separate aggregate
+    # over a second evaluation of the scoring pass.
+    r = global_order_stats(s, [F.col("score"), F.col("vec_id")], rn="rnk", n_total="n")
     return (
-        r.crossJoin(F.broadcast(n))
+        r
         .select(
             (((F.col("rnk") - 1) * 10 / F.col("n")).cast("bigint") + 1).alias("decile"),
             "score",

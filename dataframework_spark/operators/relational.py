@@ -1108,7 +1108,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
     return sessions.groupBy("user_id").agg(
-        F.countDistinct("session_id").alias("n_sessions"),
+        # session_id is a running sum of 0/1 flags starting at 1, so per
+        # user it takes exactly the values 1..K — max ≡ count(distinct),
+        # without the distinct aggregate's Expand pass (guide §1.2)
+        F.max("session_id").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )

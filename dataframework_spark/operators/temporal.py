@@ -652,23 +652,47 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back.  Identity: global_prefix(t) = day_prefix(t) +
     carry(day(t)), so values match the oracle exactly."""
     ev = load_table(spark, sf_dir, "events", columns=["ts"])
-    starts = ev.select(F.col("ts").alias("p"), F.lit(1).alias("d"))
-    ends = ev.select((F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("p"), F.lit(-1).alias("d"))
-    net = starts.unionByName(ends).groupBy("p").agg(F.sum("d").alias("nd"))
-    net = net.withColumn("day", F.to_date("p"))
+    # r12 opt (guide §2.4 establish the partitioning once + §1.2): ONE
+    # events scan (the ±1 endpoint pair is exploded per row instead of a
+    # two-leg self-union — one full read, not two) and ONE hash exchange
+    # on day serve everything.  day is a function of p, so grouping by
+    # (day, p) under hashpartitioning(day) collapses the deltas with no
+    # second exchange; the in-day prefix window and the per-day
+    # (max_run, day_net) aggregate inherit the same layout.  The midnight
+    # carry then folds on the CALENDAR-sized day frame and the answer is
+    # max_run + carry per day — the old shape's broadcast join back onto
+    # data-sized rows (and the double evaluation of the delta pipeline
+    # that fed it — Catalyst does not dedupe subtrees) is gone.
+    pts = ev.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("p"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("p"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("x")
+    ).select(F.col("x.p").alias("p"), F.col("x.d").alias("d")).withColumn(
+        "day", F.to_date("p")
+    )
+    net = (
+        pts.repartition("day")
+        .groupBy("day", "p")
+        .agg(F.sum("d").alias("nd"))
+    )
     w_in_day = (
         Window.partitionBy("day").orderBy("p").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     run_in_day = net.withColumn("run", F.sum("nd").over(w_in_day))
-    day_tot = net.groupBy("day").agg(F.sum("nd").alias("day_net"))
-    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)  # _GLOBAL_WINDOW_OK: input is the per-day aggregate (calendar-sized)
-    carry = day_tot.withColumn("carry", F.coalesce(F.sum("day_net").over(w_days), F.lit(0)))
-    joined = run_in_day.join(F.broadcast(carry.select("day", "carry")), "day")
-    return (
-        joined.select("day", (F.col("run") + F.col("carry")).alias("conc"))
-        .groupBy("day")
-        .agg(F.max("conc").alias("max_concurrent"))
+    per_day = run_in_day.groupBy("day").agg(
+        F.max("run").alias("max_run"), F.sum("nd").alias("day_net")
     )
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)  # _GLOBAL_WINDOW_OK: input is the per-day aggregate (calendar-sized)
+    carry = per_day.withColumn("carry", F.coalesce(F.sum("day_net").over(w_days), F.lit(0)))
+    # identity: global_prefix(t) = day_prefix(t) + carry(day(t)), and carry
+    # is constant within a day, so max(global) = max(day_prefix) + carry
+    return carry.select("day", (F.col("max_run") + F.col("carry")).alias("max_concurrent"))
 
 
 @register(

@@ -286,10 +286,19 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides before the rank so libm last-ulp noise in ``ln`` cannot
     reorder the top-k; ties break on the term itself."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # r12 opt (guide §2.4 establish the partitioning once + §1.2): hash the
+    # raw text by doc_id ONCE — the (doc, term) tf aggregate then needs no
+    # exchange (subset-key clustering) and the top-k window inherits the
+    # same layout, so the only remaining exchanges are this one and the
+    # vocabulary-sized df aggregate.  tf is cached because it feeds both
+    # the document-frequency table and the scoring join (the before-plan
+    # tokenized the corpus twice); df derives FROM tf — (doc, term) rows
+    # are distinct by construction, so count(*) ≡ count(distinct doc_id).
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # metadata-cheap scan
+    docs = docs.repartition("doc_id")
     toks = docs.select("doc_id", F.explode(tokens()).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(n_docs))
@@ -1953,7 +1962,14 @@ def text_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array(least(9L, n div 50), least(9L, (10 * nd) div n), "
             "least(9L, (20 * nsw) div n), least(9L, tl div n))"
         ).alias("bins"),
-    )
+        # r12 opt (guide §1.2 / §5): feat feeds FOUR consumers (bin counts,
+        # class priors, and the held-out scoring stream via two products)
+        # and Catalyst does not dedupe logical subtrees — without
+        # materialization the tokenize + feature-extraction corpus pass ran
+        # once per consumer (4 documents scans in the before-plan).  The
+        # cached frame is one narrow row per doc (two ints + 4 small
+        # longs), orders of magnitude under the corpus bytes.
+    ).cache()
     tr = feat.where(F.col("s") < _TQ_TRAIN_PCT)
     ex = tr.select("y", F.posexplode("bins").alias("fi", "bin"))
     cnt = ex.groupBy("y", "fi", "bin").agg(F.count(F.lit(1)).alias("c"))
@@ -2022,7 +2038,10 @@ def text_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         F.expr("case when m > 0 then 1 else 0 end").alias("pred"),
         F.expr(_TQ_CAL).alias("bucket"),
-    )
+        # r12 opt: p feeds the global metric aggregate AND the per-bucket
+        # rollup — cache the held-out-doc-sized scored frame so the
+        # explode + model join runs once, not twice.
+    ).cache()
     met = p.agg(
         F.sum(F.expr("case when y_true = 1 and pred = 1 then 1 else 0 end")).alias("tp"),
         F.sum(F.expr("case when y_true = 0 and pred = 1 then 1 else 0 end")).alias("fp"),

@@ -1041,3 +1041,35 @@ def test_chi2_single_corpus_pass_and_broadcast_margins(spark, sf_dir):
     assert has_broadcast_join(df), p
     # presence explode feeds exactly one corpus-wide explode Generate
     assert p.count("Generate explode") <= 3, p
+
+
+def test_max_concurrency_one_scan_one_data_exchange(spark, sf_dir):
+    """r12 opt shape: the ±1 sweep endpoints are exploded from ONE events
+    scan (no two-leg self-union), and one hashpartitioning(day) exchange
+    serves the delta groupBy, the in-day prefix window, and the per-day
+    aggregate; the only other exchange is the calendar-sized carry
+    window's SinglePartition."""
+    from dataframework_spark.operators.temporal import events_max_concurrency
+
+    df = events_max_concurrency(spark, sf_dir)
+    p = plan_string(df)
+    # formatted output lists each scan twice (tree + operator details)
+    assert p.count("Scan parquet") <= 2, p
+    assert p.count("hashpartitioning(day") <= 1, p
+    # no broadcast join back onto data-sized rows survives
+    assert "BroadcastHashJoin" not in p, p
+
+
+def test_tfidf_single_tokenize_shared_partitioning(spark, sf_dir):
+    """r12 opt shape: documents are hashed by doc_id once; the (doc, term)
+    tf aggregate is cached and feeds BOTH the document-frequency table and
+    the scoring join, so the corpus tokenizes exactly once (every explode
+    lives inside the cached relation) and the top-k window adds no
+    exchange beyond the repartition + the vocabulary df aggregate."""
+    from dataframework_spark.operators.text import text_tfidf_topk
+
+    df = text_tfidf_topk(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    n_cached = opt.count("InMemoryRelation")
+    assert n_cached > 0, opt
+    assert opt.count("Generate explode") == n_cached, opt
