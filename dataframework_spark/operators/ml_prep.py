@@ -974,20 +974,29 @@ def ml_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
     cent = cd.groupBy("label").agg(
         F.expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").alias("centroid")
     ).select(F.col("label").alias("clabel"), "centroid")
-    d = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "label",
-        "clabel",
-        F.expr(
-            "aggregate(zip_with(cast(embedding as array<double>), centroid, "
-            "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
-        ).alias("dist2"),
+    # r12 opt (guide §1.2): the |labels|-row model collapses to ONE
+    # broadcast array of (clabel, centroid) and the argmin runs narrowly
+    # inside each corpus row — array_min over (rounded d², clabel) structs
+    # IS the old row_number()=1 pick (lexicographic struct order = the
+    # window's (round(dist2,6), clabel) order; clabel is unique within the
+    # array, so the winner's raw dist2 rides along unambiguously).  The
+    # 10× crossJoin row expansion, the vec_id exchange, and the window
+    # sort are gone; each d² is the identical IEEE fold as before.
+    cents = cent.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(clabel, centroid)))").alias("cs")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.round("dist2", 6), "clabel")
-    r = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return r.groupBy("label", F.col("clabel").alias("predicted")).agg(
+    best = F.expr(
+        "array_min(transform(cs, c -> struct("
+        "round(aggregate(zip_with(cast(embedding as array<double>), c.centroid, "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v), 6) as rd, "
+        "c.clabel as clabel, "
+        "aggregate(zip_with(cast(embedding as array<double>), c.centroid, "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v) as dist2)))"
+    )
+    r = e.crossJoin(F.broadcast(cents)).select("vec_id", "label", best.alias("b"))
+    return r.groupBy("label", F.col("b.clabel").alias("predicted")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(F.sqrt("dist2")), 2).alias("avg_dist"),
+        F.round(F.avg(F.sqrt("b.dist2")), 2).alias("avg_dist"),
     )
 
 
@@ -1050,6 +1059,11 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(x, y) -> x * y), 0D, (acc, v) -> acc + v)"
         ).alias("score"),
     )
+    # r12 note (guide §1.3): an s.cache() before the ranking helper was
+    # tried (the helper's repartitionByRange samples its input, a second
+    # evaluation of the scoring pass) and REVERTED — paired in-JVM A/B
+    # lost 6/7 reps; locally the sampling pass is cheaper than the cache's
+    # materialization barrier.
     s = s.withColumn("_score_r", F.round("score", 6))
     r = global_order_stats(
         s, [F.col("_score_r"), F.col("vec_id")], rn="rnk"
@@ -2857,14 +2871,31 @@ def ml_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ci"),
     )
+    # r12 opt (guide §1.2): the centroid comes back as ONE broadcast array
+    # and each vector's d² folds narrowly inside the row (zip_with over the
+    # fixed-pointed components) — the second corpus explode, the dim join,
+    # and the per-vector re-aggregation exchange are gone.  All terms are
+    # the same exact int64s as the exploded form, so d2 is value-identical.
+    cent_arr = cent.groupBy().agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, ci))), s -> s.ci)").alias(
+            "carr"
+        )
+    )
     d2 = (
-        flat.join(F.broadcast(cent), "dim")
-        .select("vec_id", ((vi - F.col("ci")) * (vi - F.col("ci"))).alias("sq"))
-        .groupBy("vec_id")
-        .agg(F.sum("sq").alias("d2"))
+        e.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with("
+                "transform(cast(embedding as array<double>), "
+                "x -> cast(round(x * 1000000D, 0) as bigint)), "
+                "carr, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("d2"),
+        )
     ).cache()  # one (vec_id, int64) row per vector; read by the total AND
     # the output — without it the `tot` branch re-runs the whole corpus
-    # pass (explode + centroid join) a second time
+    # pass a second time
     tot = d2.agg(
         F.sum(F.col("d2").cast("decimal(38,0)")).alias("sum_d2"),
         F.count(F.lit(1)).alias("nvec"),

@@ -1027,6 +1027,9 @@ def text_backoff_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr.select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
+        # r12 note (guide §1.3): a ucnt.cache() (three consumers) was tried
+        # and reverted — the explode+agg re-runs read the already-cached t,
+        # and the paired A/B showed the cache as a slight loss locally.
     )
     utot = ucnt.agg(F.sum("c").cast("double").alias("n"))
     bigrams = F.expr(
