@@ -1383,25 +1383,32 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays ONE digest-keyed exchange."""
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    bucketed = docs.withColumn("b", F.expr(_INC_BUCKET_SPARK))
-    base = bucketed.where(F.col("b") < 8).select("doc_id", "text")
-    fresh = bucketed.where(F.col("b") >= 8).select("doc_id", "text")
+    # r12 opt (guide §1.2 / §8 decide with small rows): the digest is a
+    # pure function of the text, so compute it ONCE per doc and drop the
+    # text immediately — the base-index side and all three delta legs then
+    # derive from one cached (doc_id, bucket, fp) frame instead of each
+    # re-running the scan + whitespace-normalize + md5 pass (the before-
+    # plan carried four documents scans).
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    bucketed = (
+        docs.select("doc_id", F.expr(_INC_BUCKET_SPARK).alias("b"), fp.alias("fp"))
+        .cache()
+    )
+    base = bucketed.where(F.col("b") < 8).select("doc_id", "fp")
+    fresh = bucketed.where(F.col("b") >= 8).select("doc_id", "fp")
     delta = (
         fresh
         .unionAll(
             base.where(F.col("doc_id") % 5 == 0)
-            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "fp")
         )
         .unionAll(
             fresh.where(F.col("doc_id") % 3 == 0)
-            .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+            .select((F.col("doc_id") + 200000).alias("doc_id"), "fp")
         )
     )
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
-    base_fps = (
-        base.select(fp.alias("fp")).distinct().withColumn("in_base", F.lit(True))
-    )
-    dh = delta.select("doc_id", fp.alias("fp"))
+    base_fps = base.select("fp").distinct().withColumn("in_base", F.lit(True))
+    dh = delta
     marked = dh.join(base_fps.hint("shuffle_hash"), "fp", "left")
     first_doc = F.min("doc_id").over(Window.partitionBy("fp"))
     verdict = (
