@@ -1475,7 +1475,10 @@ _ESS_W = 8  # span width in tokens (the paper uses 50 BPE tokens at web scale)
     """,
 )
 def dedup_exact_substring(
-    spark: SparkSession, sf_dir: str, sample_frac: float = 1.0
+    spark: SparkSession,
+    sf_dir: str,
+    sample_frac: float = 1.0,
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """Exact-substring (span-level) dedup accounting, the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" semantics:
@@ -1489,20 +1492,20 @@ def dedup_exact_substring(
     rewrite would delete.
 
     The paper builds a corpus-wide suffix array; the Spark-first form is
-    the positional n-gram self-count: explode spans with positions, ONE
-    keyed exchange on the span hash (count >= 2 <=> duplicated — the
-    window avoids materializing a frequency table and joining back), one
-    doc-keyed window for the interval sweep that the per-doc aggregate
-    then reuses.  Scale (100 TB): span rows ~ token count x1 — linear;
-    the span-hash exchange partitions by md5 so it is skew-free by
-    construction EXCEPT the pathological all-equal-span corpus, which the
-    boilerplate family's AQE note covers; no driver-side state, no
-    suffix array to hold anywhere.
+    the positional n-gram self-count: explode spans with positions once
+    (cached), derive the duplicated-hash set from a map-side-aggregated
+    (h, count) shuffle, broadcast it back, and run the interval sweep
+    over DUPLICATED spans only — unique spans (the overwhelming
+    majority) never cross a full-width exchange.  Scale (100 TB): span
+    rows ~ token count x1 — linear; the (h, count) exchange partitions
+    by the span hash so it is skew-free by construction EXCEPT the
+    pathological all-equal-span corpus, which the boilerplate family's
+    AQE note covers; no driver-side state, no suffix array to hold
+    anywhere.
 
     Short docs (< {_ESS_W} tokens) have zero spans and an honest 0.0
-    fraction — kept via explode_outer + null-aware counts rather than a
-    join back onto the base table (one pipeline, no extra doc_id
-    exchange before the final agg).
+    fraction — kept via explode_outer (one null row per short doc feeds
+    the per-doc base frame) + coalesced dup counts.
 
     ``sample_frac`` is the production escape hatch (VERDICT r6 #3,
     completing the eval-tier knob family): a doc-level md5-deterministic
@@ -1510,14 +1513,21 @@ def dedup_exact_substring(
     GLOBAL — a sampled doc's span is duplicated iff it repeats anywhere
     in the FULL corpus, so the sampled output is provably EQUAL to the
     full result restricted to sampled docs (the containment knob's
-    lossless construction).  The knob also improves the plan shape: the
-    full-corpus pass collapses from a per-row span-hash window to a
-    ``groupBy(h)`` with map-side partial aggregation (only duplicated
-    hashes survive the filter), and the per-row window work runs on the
-    sampled docs only.  The registered query keeps ``sample_frac=1.0``
-    — exact semantics, oracle unchanged."""
+    lossless construction).  The registered query keeps
+    ``sample_frac=1.0`` — exact semantics, oracle unchanged.
+
+    ``broadcast_dups`` (default on): the duplicated-hash table is
+    broadcast back onto the span stream.  At sf0.1 it is tiny; at a
+    scale where the ≥2×-hash universe outgrows a broadcast relation,
+    set False for a shuffled join — spans then cross one h-keyed
+    exchange (still strictly better than the pre-r13 window shape,
+    which ALSO pushed every span through a second doc-keyed exchange)."""
     _check_frac(sample_frac, "sample_frac")
     docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # tokenize+hash is CPU-bound; spread a single-split local scan across
+    # cores (cluster scans get this from their input splits — the
+    # dedup_exact / dedup_ngram_jaccard note, overlooked here until r13)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     # r12 opt (guide §2.3 narrower types / §1.2 per-task work): the span key
     # only ever decides "does this exact token window occur twice" — it is
     # never emitted — so it is folded to a 64-bit ``xxhash64`` INSIDE the
@@ -1527,88 +1537,105 @@ def dedup_exact_substring(
     # needs two DIFFERENT spans to collide in 64 bits: ~n²/2⁶⁵ ≈ 1e-7 at
     # sf0.1 — the oracle still computes md5 over the real span text and
     # hash-matches.
+    # r13 opt (guide §1.2 per-task work): ``toks`` is MATERIALIZED as a
+    # column before the span transform.  Higher-order-function lambdas
+    # re-evaluate every subtree they embed once PER ELEMENT, so inlining
+    # the split() here re-ran the whole-document regex split once per
+    # span — measured 5.4 s → 0.35 s for the explode alone at sf0.1.
+    # CollapseProject keeps the alias materialized (non-cheap expression
+    # referenced 4×, the minhash `tids` precedent).
+    toks = docs.select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
     span_sql = (
-        f"case when size({TOKENS_SQL}) < {_ESS_W} then array() "
-        f"else transform(sequence(1, size({TOKENS_SQL}) - {_ESS_W - 1}), "
-        f"i -> struct(i as pos, xxhash64(array_join(slice({TOKENS_SQL}, i, {_ESS_W}), ' ')) as h)) end"
+        f"case when size(toks) < {_ESS_W} then array() "
+        f"else transform(sequence(1, size(toks) - {_ESS_W - 1}), "
+        f"i -> struct(i as pos, xxhash64(array_join(slice(toks, i, {_ESS_W}), ' ')) as h)) end"
     )
-    spans = docs.select(
-        "doc_id",
-        F.size(F.expr(TOKENS_SQL)).cast("bigint").alias("n_tokens"),
-        F.explode_outer(F.expr(span_sql)).alias("s"),
-    ).select("doc_id", "n_tokens", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-
+    # r13 opt (guide §2.3 aggregate-before-shuffle / §3.2 prefilter the big
+    # side; VERDICT r12 #1): most spans are UNIQUE, yet the old shape pushed
+    # every (doc_id, n_tokens, pos, h) row through the span-hash window
+    # exchange AND the doc_id sweep exchange.  Now the span table is
+    # materialized once (cache — the r12 audit measured the uncached
+    # groupBy+join-back recomputing the whole tokenize+hash explode per
+    # consumer, 8.3 → 10.2 s) and
+    #   * the h-keyed exchange carries map-side partial-aggregated
+    #     (h, count) rows — no doc_id/pos/n_tokens payload,
+    #   * the ≥2× hashes broadcast back as an inner join, so ONLY
+    #     duplicated spans reach the doc_id sweep exchange (the oracle's
+    #     own ``FROM marked WHERE dup`` shape),
+    #   * per-doc totals need no span rows at all: n_spans is determined
+    #     by n_tokens (|spans| = n_tokens − W + 1 when n_tokens ≥ W,
+    #     else 0 — exactly what the explode emits).
+    spans = (
+        toks.select(
+            "doc_id",
+            F.size(F.col("toks")).cast("bigint").alias("n_tokens"),
+            F.explode_outer(F.expr(span_sql)).alias("s"),
+        )
+        .select("doc_id", "n_tokens", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+        .cache()  # one tokenize+hash pass feeds totals, frequencies, and the sweep
+    )
+    base = (
+        spans.groupBy("doc_id")
+        .agg(F.max("n_tokens").alias("n_tokens"))
+        .withColumn(
+            "n_spans",
+            F.when(F.col("n_tokens") >= _ESS_W, F.col("n_tokens") - _ESS_W + 1)
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+    )
+    dup_h = (
+        spans.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("h")
+    )
+    if broadcast_dups:
+        dup_h = F.broadcast(dup_h)
+    dups = spans.where(F.col("h").isNotNull())
     if sample_frac < 1.0:
-        # Knob path: frequencies from ALL spans (groupBy(h) partial-
-        # aggregates map-side, so the exchange carries per-partition
-        # distinct hashes, not every span row), billed spans from the
-        # sampled docs only; a null-h short doc joins nothing and stays
-        # honestly dup=false.
-        dup_h = (
-            spans.where(F.col("h").isNotNull())
-            .groupBy("h")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") >= 2)
-            .select("h", F.lit(True).alias("dup_"))
-        )
-        marked = (
-            spans.where(_doc_sample_pred(sample_frac, "exactsub"))
-            .join(dup_h, "h", "left")
-            .withColumn("dup", F.coalesce(F.col("dup_"), F.lit(False)))
-            .drop("dup_")
-        )
-    else:
-        # ONE exchange on the span hash; null h (short docs) is excluded
-        # from the frequency window so the all-short-docs null partition
-        # can never become the skew key at scale.
-        # r12 opt audit: ALSO tried the knob path's groupBy(h) + join-back
-        # shape here (light (h, count) exchange + AQE-broadcast dup table)
-        # — it recomputes the span explode for both consumers and measured
-        # 8.3 → 10.2 s at sf0.1 (tokenize+hash CPU > the saved exchange);
-        # reverted.  At 100 TB, where shuffle dominates CPU, the knob path
-        # remains the production form — sample_frac engages it.
-        wh = Window.partitionBy("h")
-        marked = spans.withColumn(
-            "dup",
-            F.when(
-                F.col("h").isNotNull(), F.count(F.lit(1)).over(wh) >= 2
-            ).otherwise(F.lit(False)),
-        )
-    # Interval sweep per doc: tokens covered by >=1 dup span, overlaps
-    # merged via the running max of DUP span ends over preceding rows
-    # (non-dup rows pass through the window as nulls MAX ignores, so the
-    # sweep, the span counts, and the dup counts all ride ONE doc_id
-    # window/aggregate — a separate dup-only branch would scan documents
-    # and pay the span-hash exchange twice, then join; caught by plan
-    # audit).
+        # Knob path: frequencies stay GLOBAL (dup_h above is built from
+        # ALL spans); only the billed spans and the billed docs are
+        # restricted to the sample.
+        pred = _doc_sample_pred(sample_frac, "exactsub")
+        dups = dups.where(pred)
+        base = base.where(pred)
+    dups = dups.join(dup_h, "h", "inner")
+    # Interval sweep per doc over DUPLICATED spans only: tokens covered by
+    # >=1 dup span, overlaps merged via the running max of span ends over
+    # preceding rows.  Restricting to dup rows first is value-identical —
+    # non-dup rows contributed covered=0 and their (null) ends were
+    # ignored by MAX — and is the oracle's own cov-CTE filter.
     wd = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    dup_end = F.when(F.col("dup"), F.col("pos") + _ESS_W)
-    cov = marked.withColumn(
+    cov = dups.withColumn(
         "covered",
-        F.when(
-            F.col("dup"),
-            F.greatest(
-                F.lit(0),
-                F.col("pos")
-                + _ESS_W
-                - F.greatest(
-                    F.coalesce(F.max(dup_end).over(wd), F.col("pos")),
-                    F.col("pos"),
-                ),
+        F.greatest(
+            F.lit(0),
+            F.col("pos")
+            + _ESS_W
+            - F.greatest(
+                F.coalesce(F.max(F.col("pos") + _ESS_W).over(wd), F.col("pos")),
+                F.col("pos"),
             ),
-        ).otherwise(F.lit(0)),
+        ),
     )
-    return cov.groupBy("doc_id").agg(
-        F.max("n_tokens").alias("n_tokens"),
-        F.sum(F.when(F.col("h").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_spans"),
-        F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("bigint").alias("n_dup_spans"),
+    dupagg = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
         F.sum("covered").cast("bigint").alias("dup_tokens"),
+    )
+    return base.join(dupagg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
         F.round(
-            F.sum("covered") / F.max("n_tokens"), 6
+            F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6
         ).alias("dup_token_frac"),
     )
 

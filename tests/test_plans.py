@@ -997,20 +997,29 @@ def test_digest_fpr_audit_shapes_and_contract(spark, sf_dir):
     assert row.fpr_within_2x, row
 
 
-def test_exact_substring_single_scan_two_exchanges(spark, sf_dir):
-    """dedup_exact_substring must stay one pipeline: one documents scan,
-    one span-hash exchange (frequency window), one doc_id exchange that
-    the interval sweep AND the final aggregate share, and no join — the
-    two-branch form scanned documents twice and paid the span exchange
-    twice."""
+def test_exact_substring_singleton_spans_never_reach_doc_exchange(spark, sf_dir):
+    """dedup_exact_substring (r13 shape): the span table is cached (one
+    documents scan + one tokenize), the span-hash exchange carries only
+    map-side partial-aggregated (h, count) rows, the ≥2× hash set comes
+    back as a BROADCAST inner join, and only duplicated spans reach the
+    doc_id sweep exchange — unique spans (the overwhelming majority)
+    never cross a full-width exchange (VERDICT r12 #1)."""
     from dataframework_spark.operators.dedup import dedup_exact_substring
-    from dataframework_spark.plans.explain import exchange_count
 
     df = dedup_exact_substring(spark, sf_dir)
-    p = plan_string(df)
+    p = plan_string(df, mode="formatted")
+    # one real documents scan behind the cache
     assert p.count("documents.parquet") == 1, p
-    assert exchange_count(df) == 2, p
-    assert "Join" not in p, p
+    assert "InMemoryRelation" in p, p
+    # the h exchange is fed by a partial count (aggregate-before-shuffle),
+    # and the dup-hash set is broadcast back as an inner prefilter
+    assert "partial_count" in p, p
+    assert "BroadcastHashJoin Inner" in p, p
+    # no full-width span window on h remains
+    assert "hashpartitioning(h" in p, p
+    import re
+
+    assert not re.search(r"Window .*count", p), p
 
 
 def test_bm25_reads_tf_from_cache_everywhere(spark, sf_dir):
