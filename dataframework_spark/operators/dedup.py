@@ -110,7 +110,10 @@ _JACCARD_THRESHOLD = 0.8  # the synthetic corpus plants 25 pairs at ≥ 0.9
     """,
 )
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.8, via **prefix-filtered
     inverted index** (PPJoin-family, exact — no candidate is lost).
@@ -135,28 +138,39 @@ def dedup_ngram_jaccard(
 
     ``docs`` (optional): a pre-filtered (doc_id, text) frame — the hook
     ``dedup_lsh_eval``'s ``sample_frac`` production knob uses to run the
-    exact-truth side on a corpus sample."""
-    if docs is None:
-        docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-        # A small local file scans as ONE split; shingling + the index joins
-        # are CPU-bound, so spread rows across cores first.  On a cluster the
-        # scan's own splits provide this; the repartition keeps the plan
-        # correct in both worlds (and its exchange stops Catalyst from
-        # inlining the shingle transform into downstream generators, which
-        # would re-evaluate it per exploded element).
-        docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    # r12 opt (guide §2.3 narrower shuffle keys): shingle strings fold to
-    # xxhash64 longs at shingling — df-count exchange, prefix window
-    # sort, candidate self-join, and the exact ``array_intersect``
-    # verification all run on 8-byte ids (collision ~|shingles|²/2⁶⁵; the
-    # `dedup_ngram_containment` / `dedup_exact_substring` precedent).
-    # The prefix filter stays lossless under ANY consistent global
-    # shingle order, so the (df, hashed-id) tie-break changes candidates
-    # but never verified output.
-    s = docs.withColumn("toks", tokens()).select(
-        "doc_id",
-        F.expr(f"transform({shingles_sql('toks')}, x -> xxhash64(x))").alias("sh"),
-    )
+    exact-truth side on a corpus sample.
+
+    ``shingles`` (optional, r13 opt — guide §1.2): a pre-built, cached
+    (doc_id, sh) raw-shingle frame shared with the LSH arm by
+    ``dedup_lsh_eval`` — the xxhash64 fold then derives narrowly from
+    the cache instead of re-tokenizing the corpus (VERDICT r12 #3)."""
+    if shingles is not None:
+        s = shingles.select(
+            "doc_id",
+            F.expr("transform(sh, x -> xxhash64(x))").alias("sh"),
+        )
+    else:
+        if docs is None:
+            docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
+            # A small local file scans as ONE split; shingling + the index
+            # joins are CPU-bound, so spread rows across cores first.  On a
+            # cluster the scan's own splits provide this; the repartition
+            # keeps the plan correct in both worlds (and its exchange stops
+            # Catalyst from inlining the shingle transform into downstream
+            # generators, which would re-evaluate it per exploded element).
+            docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        # r12 opt (guide §2.3 narrower shuffle keys): shingle strings fold to
+        # xxhash64 longs at shingling — df-count exchange, prefix window
+        # sort, candidate self-join, and the exact ``array_intersect``
+        # verification all run on 8-byte ids (collision ~|shingles|²/2⁶⁵; the
+        # `dedup_ngram_containment` / `dedup_exact_substring` precedent).
+        # The prefix filter stays lossless under ANY consistent global
+        # shingle order, so the (df, hashed-id) tie-break changes candidates
+        # but never verified output.
+        s = docs.withColumn("toks", tokens()).select(
+            "doc_id",
+            F.expr(f"transform({shingles_sql('toks')}, x -> xxhash64(x))").alias("sh"),
+        )
     s = s.withColumn("n", F.size("sh")).cache()  # reused: index build + verification
     inv = s.select("doc_id", "n", F.explode("sh").alias("shingle"))
     df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -268,6 +282,7 @@ def dedup_minhash_lsh(
     sf_dir: str,
     docs: DataFrame | None = None,
     precollapse: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash (16 perms) + LSH banding (4 bands × 4 rows) near-dedup.
 
@@ -300,7 +315,13 @@ def dedup_minhash_lsh(
     keeps the pre-r12 exact-all-pairs form (eval/truth tier).
 
     ``docs`` (optional): a pre-filtered (doc_id, text) frame — used by
-    ``dedup_lsh_eval(sample_frac=...)`` to price the banding on a sample."""
+    ``dedup_lsh_eval(sample_frac=...)`` to price the banding on a sample.
+
+    ``shingles`` (optional, r13 opt — guide §1.2): a pre-built, cached
+    (doc_id, xh, sh) shingle frame.  ``dedup_lsh_eval`` runs BOTH this
+    query and the exact-Jaccard truth tier over the same corpus; without
+    sharing, each arm re-tokenized and re-shingled every document from
+    scratch (VERDICT r12 #3)."""
     if docs is None:
         docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
         # single-split local scan → spread CPU-bound shingling across cores
@@ -331,12 +352,15 @@ def dedup_minhash_lsh(
         # work is 16 ``array_min``s per DUPLICATE doc (whose keeper
         # recomputes the same signature) — trivial next to the md5 term-id
         # pass, which already ran per doc in every previous shape.
-        s = docs.withColumn("toks", tokens()).select(
-            "doc_id",
-            F.md5(F.encode(F.col("text"), "UTF-8")).alias("xh"),
-            F.expr(shingles_sql("toks")).alias("sh"),
-        )
-        s.cache()  # verification + the signature branch both derive from it
+        if shingles is not None:
+            s = shingles
+        else:
+            s = docs.withColumn("toks", tokens()).select(
+                "doc_id",
+                F.md5(F.encode(F.col("text"), "UTF-8")).alias("xh"),
+                F.expr(shingles_sql("toks")).alias("sh"),
+            )
+            s.cache()  # verification + the signature branch both derive from it
         sigall = s.select(
             "doc_id", "xh", F.expr(f"transform(sh, t -> {tid_sql('t', _MH_P)})").alias("tids")
         ).select("doc_id", "xh", F.size("tids").alias("nsh"), *sig_cols)
@@ -352,10 +376,13 @@ def dedup_minhash_lsh(
         )
         s = s.select("doc_id", "sh")
     else:
-        s = docs.withColumn("toks", tokens()).select(
-            "doc_id", F.expr(shingles_sql("toks")).alias("sh")
-        )
-        s.cache()  # reused: signature branch AND verification
+        if shingles is not None:
+            s = shingles.select("doc_id", "sh")
+        else:
+            s = docs.withColumn("toks", tokens()).select(
+                "doc_id", F.expr(shingles_sql("toks")).alias("sh")
+            )
+            s.cache()  # reused: signature branch AND verification
         keep = s.select(
             "doc_id", F.expr(f"transform(sh, t -> {tid_sql('t', _MH_P)})").alias("tids")
         )
@@ -1052,13 +1079,26 @@ def dedup_lsh_eval(
     reports NULL precision (recall) explicitly on both engines rather
     than relying on Spark's non-ANSI x/0."""
     _check_frac(sample_frac, "sample_frac")
-    docs = None
+    docs = load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
     if sample_frac < 1.0:
-        docs = (
-            load_table(spark, sf_dir, "documents", columns=["doc_id", "text"])
-            .where(_doc_sample_pred(sample_frac, "lsheval"))
-            .repartition(spark.sparkContext.defaultParallelism)
+        docs = docs.where(_doc_sample_pred(sample_frac, "lsheval"))
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # r13 opt (guide §1.2; VERDICT r12 #3): BOTH tiers consume the same
+    # per-doc shingle sets, but each arm used to re-tokenize and
+    # re-shingle the whole corpus from scratch — the pair lists were
+    # cached, the corpus-sized scan+shingle work was not.  One shared
+    # (doc_id, xh, sh) frame is built and cached here and handed to both
+    # arms (`toks` materialized before the shingle transform — the HOF
+    # lambda re-evaluation discipline).
+    shared = (
+        docs.withColumn("toks", tokens())
+        .select(
+            "doc_id",
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("xh"),
+            F.expr(shingles_sql("toks")).alias("sh"),
         )
+        .cache()
+    )
     # r12 opt (guide §1.2 "don't compute things you throw away"): each pair
     # list feeds TWO consumers (its own count + the hits join), and Catalyst
     # does not dedupe identical logical subtrees — only physically identical
@@ -1066,9 +1106,13 @@ def dedup_lsh_eval(
     # and verification pipelines re-ran once per consumer (28 parquet scans
     # in the before-plan vs 11 after).  Both frames are candidate-pair-sized
     # (bounded output of the registered queries), so the cache is tiny.
-    lsh = dedup_minhash_lsh(spark, sf_dir, docs=docs).select("doc_a", "doc_b").cache()
+    lsh = (
+        dedup_minhash_lsh(spark, sf_dir, shingles=shared)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
     truth = (
-        dedup_ngram_jaccard(spark, sf_dir, docs=docs)
+        dedup_ngram_jaccard(spark, sf_dir, shingles=shared)
         .select(F.col("doc_a").alias("ta"), F.col("doc_b").alias("tb"))
         .cache()
     )

@@ -985,13 +985,19 @@ def ml_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
     cents = cent.groupBy().agg(
         F.expr("array_sort(collect_list(struct(clabel, centroid)))").alias("cs")
     )
+    # r13 opt (r12 ADVICE; guide §1.2 per-task work): the d² fold is built
+    # in an INNER transform and the (rounded, label, raw) ranking struct in
+    # an outer one — Spark does not common-subexpression-eliminate inside
+    # HOF lambdas, so spelling the fold twice (rd + dist2) doubled the
+    # per-centroid FLOPs.  Same fold, same round, same struct order —
+    # value-identical.
     best = F.expr(
-        "array_min(transform(cs, c -> struct("
-        "round(aggregate(zip_with(cast(embedding as array<double>), c.centroid, "
-        "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v), 6) as rd, "
-        "c.clabel as clabel, "
+        "array_min(transform("
+        "transform(cs, c -> struct("
         "aggregate(zip_with(cast(embedding as array<double>), c.centroid, "
-        "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v) as dist2)))"
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v) as dist2, "
+        "c.clabel as clabel)), "
+        "s -> struct(round(s.dist2, 6) as rd, s.clabel as clabel, s.dist2 as dist2)))"
     )
     r = e.crossJoin(F.broadcast(cents)).select("vec_id", "label", best.alias("b"))
     return r.groupBy("label", F.col("b.clabel").alias("predicted")).agg(
@@ -2876,6 +2882,11 @@ def ml_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-pointed components) — the second corpus explode, the dim join,
     # and the per-vector re-aggregation exchange are gone.  All terms are
     # the same exact int64s as the exploded form, so d2 is value-identical.
+    # DATA CONTRACT (r12 ADVICE): this assumes fixed-dimension embeddings —
+    # zip_with null-pads when |embedding| ≠ |carr|, where the old dim join
+    # summed only the dims present.  The embeddings table ships a single
+    # dimensionality by construction (every generator writes d=same); a
+    # ragged corpus would need a size(embedding)=size(carr) guard here.
     cent_arr = cent.groupBy().agg(
         F.expr("transform(array_sort(collect_list(struct(dim, ci))), s -> s.ci)").alias(
             "carr"

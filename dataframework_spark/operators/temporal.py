@@ -652,17 +652,20 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back.  Identity: global_prefix(t) = day_prefix(t) +
     carry(day(t)), so values match the oracle exactly."""
     ev = load_table(spark, sf_dir, "events", columns=["ts"])
-    # r12 opt (guide §2.4 establish the partitioning once + §1.2): ONE
-    # events scan (the ±1 endpoint pair is exploded per row instead of a
-    # two-leg self-union — one full read, not two) and ONE hash exchange
-    # on day serve everything.  day is a function of p, so grouping by
-    # (day, p) under hashpartitioning(day) collapses the deltas with no
-    # second exchange; the in-day prefix window and the per-day
-    # (max_run, day_net) aggregate inherit the same layout.  The midnight
-    # carry then folds on the CALENDAR-sized day frame and the answer is
-    # max_run + carry per day — the old shape's broadcast join back onto
-    # data-sized rows (and the double evaluation of the delta pipeline
-    # that fed it — Catalyst does not dedupe subtrees) is gone.
+    # r12 opt (guide §2.4 + §1.2): ONE events scan (the ±1 endpoint pair is
+    # exploded per row instead of a two-leg self-union — one full read, not
+    # two); the midnight carry folds on the CALENDAR-sized day frame and the
+    # answer is max_run + carry per day — the old shape's broadcast join
+    # back onto data-sized rows (and the double evaluation of the delta
+    # pipeline that fed it) is gone.
+    # r13 opt (r12 ADVICE; guide §2.2/§2.5): the r12 form pushed RAW
+    # endpoint rows through an explicit repartition("day") — an exchange
+    # keyed on a calendar-cardinality column (parallelism capped at #days,
+    # a hot day lands on one task) whose barrier also forfeited map-side
+    # partial aggregation.  Now the deltas collapse via groupBy(day, p)
+    # (fine-grained keys, partial-agg'd map-side), and only DISTINCT
+    # timestamps cross the second, day-keyed exchange for the in-day
+    # prefix window — bounded by seconds-per-day × days, not by data.
     pts = ev.select(
         F.explode(
             F.array(
@@ -676,11 +679,7 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("x.p").alias("p"), F.col("x.d").alias("d")).withColumn(
         "day", F.to_date("p")
     )
-    net = (
-        pts.repartition("day")
-        .groupBy("day", "p")
-        .agg(F.sum("d").alias("nd"))
-    )
+    net = pts.groupBy("day", "p").agg(F.sum("d").alias("nd"))
     w_in_day = (
         Window.partitionBy("day").orderBy("p").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -1701,16 +1701,27 @@ def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(
         spark, sf_dir, "documents", columns=["doc_id", "lang", "text"]
     ).where(F.length("text") >= 3)
+    # the trigram explode + hashing is CPU-bound; spread a single-split
+    # local scan across cores (r13 — the dedup_exact note, overlooked here)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     split = F.expr(
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) "
         "as bigint) % 10"
     )
     d = docs.withColumn("s", split)
     tri = "explode(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+    # r13 opt (guide §2.3 aggregate-before-shuffle / §1.2 per-task work,
+    # VERDICT r12 #4): trigram instances collapse to (lang, tri) counts
+    # FIRST — the md5 bucket hash then runs once per distinct (lang,
+    # trigram) group (vocabulary-bounded) instead of once per corpus
+    # character, and the (lang, tri) exchange partial-aggregates
+    # map-side.  c per (lang, g) = Σ_tri c0 — identical integers.
     trg = (
         d.where(F.col("s") < _LID_TRAIN_PCT)
         .select("lang", F.expr(tri).alias("tri"))
-        .select("lang", F.expr(_lid_hash_spark("tri")).alias("g"))
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("c0"))
+        .select("lang", F.expr(_lid_hash_spark("tri")).alias("g"), "c0")
     )
     # r12 opt (guide §1.2: one pass, not two): ``cnt`` is the bounded
     # (lang, bucket) count table; the per-lang trigram total is its
@@ -1718,7 +1729,7 @@ def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derives from ``cnt`` instead of re-running the full trigram explode +
     # md5 pass over the training corpus (the before-plan exploded the
     # train split twice).  Integer sum of integer counts — value-identical.
-    cnt = trg.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("c")).cache()
+    cnt = trg.groupBy("lang", "g").agg(F.sum("c0").alias("c")).cache()
     tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
     nl = (
         d.where(F.col("s") < _LID_TRAIN_PCT)
@@ -1752,14 +1763,18 @@ def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pw"),
         )
     )
+    # same two-level shape on the held-out side: md5 per distinct
+    # (doc, trigram) instead of per trigram instance; tf = Σ tf0 exactly
     tsg = (
         d.where(F.col("s") >= _LID_TRAIN_PCT)
         .select("doc_id", F.col("lang").alias("lang_true"), F.expr(tri).alias("tri"))
+        .groupBy("doc_id", "lang_true", "tri")
+        .agg(F.count(F.lit(1)).alias("tf0"))
         .select(
-            "doc_id", "lang_true", F.expr(_lid_hash_spark("tri")).alias("g")
+            "doc_id", "lang_true", F.expr(_lid_hash_spark("tri")).alias("g"), "tf0"
         )
         .groupBy("doc_id", "lang_true", "g")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.sum("tf0").alias("tf"))
     )
     # model grid is bounded by construction constants (B x L rows):
     # broadcast is the right side discipline, opposite to corpus joins

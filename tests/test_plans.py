@@ -1053,18 +1053,27 @@ def test_chi2_single_corpus_pass_and_broadcast_margins(spark, sf_dir):
 
 
 def test_max_concurrency_one_scan_one_data_exchange(spark, sf_dir):
-    """r12 opt shape: the ±1 sweep endpoints are exploded from ONE events
-    scan (no two-leg self-union), and one hashpartitioning(day) exchange
-    serves the delta groupBy, the in-day prefix window, and the per-day
-    aggregate; the only other exchange is the calendar-sized carry
-    window's SinglePartition."""
+    """r13 shape (r12 ADVICE): the ±1 sweep endpoints are exploded from ONE
+    events scan (no two-leg self-union); raw endpoints collapse through a
+    map-side partial-aggregated groupBy(day, p) — fine-grained keys, no
+    calendar-cardinality repartition barrier — and only distinct
+    timestamps cross the day-keyed exchange feeding the in-day prefix
+    window; the only other exchange is the calendar-sized carry window's
+    SinglePartition."""
     from dataframework_spark.operators.temporal import events_max_concurrency
 
     df = events_max_concurrency(spark, sf_dir)
     p = plan_string(df)
     # formatted output lists each scan twice (tree + operator details)
     assert p.count("Scan parquet") <= 2, p
-    assert p.count("hashpartitioning(day") <= 1, p
+    import re
+
+    # the delta collapse partial-aggregates before its (day, p) exchange
+    assert "partial_sum" in p, p
+    assert len(re.findall(r"hashpartitioning\(day#\d+, p#\d+", p)) == 1, p
+    # exactly one day-only exchange (the in-day window), no repartition
+    assert len(re.findall(r"hashpartitioning\(day#\d+, \d+\)", p)) == 1, p
+    assert "RoundRobinPartitioning" not in p, p
     # no broadcast join back onto data-sized rows survives
     assert "BroadcastHashJoin" not in p, p
 
