@@ -165,14 +165,22 @@ def test_funnel_single_scan_single_user_exchange(spark, sf_dir):
     assert "Join" not in plan_string(df), plan_string(df)
 
 
-def test_profile_columns_single_scan(spark, sf_dir):
-    # the oracle formulation is six scans (one per column); the engine's
-    # whole point is ONE multi-distinct aggregate pass.
+def test_profile_columns_pruned_branches_no_expand(spark, sf_dir):
+    """r13 shape (VERDICT r12 #7): six per-column branches, each scan
+    pruned to EXACTLY its one column (total I/O = the old single
+    6-column scan) and partial-aggregated before its exchange; the
+    Expand node that multiplied every row 7× through the multi-distinct
+    aggregate is gone."""
     from dataframework_spark.operators.relational import profile_columns
 
     df = profile_columns(spark, sf_dir)
-    assert len(read_schemas(df)) == 1, plan_string(df)
-    assert "Join" not in plan_string(df), plan_string(df)
+    p = plan_string(df)
+    schemas = read_schemas(df)
+    assert len(schemas) == 6, p
+    assert all(s.count(":") == 1 for s in schemas), schemas  # one column each
+    assert "Expand" not in p, p
+    assert "partial_count" in p, p
+    assert "Join" not in p, p
 
 
 def test_retention_single_scan_no_join(spark, sf_dir):
